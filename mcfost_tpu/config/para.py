@@ -1,0 +1,447 @@
+"""Parameter-file schema and parser.
+
+Reads the reference's versioned ``.para`` format (current 4.1; spec:
+reference docs/parameter_file.rst, parser: src/read_param.f90:16-110 and
+read_para41x).  The configuration is represented as plain dataclasses; the
+parser is token-positional like the reference (values are whitespace-split,
+trailing comments on each line are ignored).
+
+Only the 4.1 and 4.0 formats are parsed natively for now; older legacy
+formats raise with a clear message.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+def _to_bool(tok: str) -> bool:
+    t = tok.strip().rstrip(",").lower()
+    if t in ("t", ".true.", "true", "1"):
+        return True
+    if t in ("f", ".false.", "false", "0"):
+        return False
+    raise ValueError(f"cannot parse boolean token {tok!r}")
+
+
+@dataclass
+class Photons:
+    # reference: src/ref4.1.para:3-6
+    n_eq_th: float = 1.28e5        # thermal MC packets
+    n_lambda: float = 1.28e3       # packets received per SED wavelength
+    n_image: float = 1.28e6        # packets for images
+
+
+@dataclass
+class Wavelengths:
+    # reference: src/ref4.1.para:8-12
+    n_lambda: int = 50
+    lambda_min: float = 0.1        # [micron]
+    lambda_max: float = 3000.0     # [micron]
+    compute_temp: bool = True
+    compute_sed: bool = True
+    default_grid: bool = True
+    wavelength_file: str = ""
+    separate_contributions: bool = False
+    output_stokes: bool = False
+
+
+@dataclass
+class GridParams:
+    # reference: src/ref4.1.para:14-16
+    geometry: int = 1              # 1=cylindrical, 2=spherical, 3=Voronoi
+    n_rad: int = 100
+    nz: int = 70                   # nz (or n_theta for spherical)
+    n_az: int = 1
+    n_rad_in: int = 20             # subdivision of the innermost radial cell
+
+
+@dataclass
+class Maps:
+    # reference: src/ref4.1.para:18-23
+    nx: int = 301
+    ny: int = 301
+    map_size: float = 700.0        # [AU]
+    imin: float = 0.0
+    imax: float = 45.0
+    n_incl: int = 3
+    centered: bool = False
+    az_min: float = 0.0
+    az_max: float = 0.0
+    n_az_angles: int = 1
+    distance: float = 140.0        # [pc]
+    disk_pa: float = -90.0         # [deg]
+
+
+@dataclass
+class Zone:
+    # reference: src/ref4.1.para:43-49; semantics docs/parameter_file.rst:292-311
+    geometry: int = 1              # 1 disk, 2 tapered-edge, 3 envelope, 4 debris, 5 wall
+    dust_mass: float = 1.0e-3      # [Msun]
+    gas_to_dust: float = 100.0
+    scale_height: float = 10.0     # H0 [AU] at rref
+    ref_radius: float = 100.0      # [AU]
+    vert_profile_exp: float = 2.0  # debris disks only
+    rin: float = 1.0               # [AU]
+    edge: float = 0.0              # [AU]
+    rout: float = 300.0            # [AU]
+    rc: float = 100.0              # tapered-edge / debris only [AU]
+    flaring_exp: float = 1.125     # beta
+    surface_density_exp: float = -0.5   # p1 (or -gamma)
+    gamma_exp: float = 0.0         # p2 (-gamma_exp, or alpha_in/out for debris)
+
+    @property
+    def rmin(self) -> float:
+        # reference: read_param sets rmin = rin - 5*edge when edge>0
+        return self.rin if self.edge <= 0 else max(self.rin - 5.0 * self.edge, 0.0)
+
+    @property
+    def rmax(self) -> float:
+        if self.geometry == 2 and self.rout <= 0:  # tapered edge
+            return 8.0 * self.rc
+        return self.rout
+
+
+@dataclass
+class DustComponent:
+    optical_indices_file: str = "Draine_Si_sUV.dat"
+    volume_fraction: float = 1.0
+
+
+@dataclass
+class DustSpecies:
+    # reference: src/ref4.1.para:51-56
+    grain_type: str = "Mie"        # Mie or DHS
+    n_components: int = 1
+    mixing_rule: int = 2           # 1 = EMT, 2 = coating
+    porosity: float = 0.0
+    mass_fraction: float = 1.0
+    dhs_vmax: float = 0.9
+    components: List[DustComponent] = field(default_factory=lambda: [DustComponent()])
+    heating_method: int = 1        # 1 RE+LTE, 2 RE+nLTE, 3 nRE
+    amin: float = 0.03             # [micron]
+    amax: float = 1000.0           # [micron]
+    aexp: float = 3.5
+    n_grains: int = 100
+
+
+@dataclass
+class MoleculeSettings:
+    lpop: bool = True
+    laccurate_pop: bool = True
+    lte: bool = True
+    v_turb: float = 0.05
+    v_turb_unit: str = "cs"        # "km/s" or "cs"
+    molecules: List["Molecule"] = field(default_factory=list)
+
+
+@dataclass
+class Molecule:
+    filename: str = "co.dat"
+    level_max: int = 6
+    cst_abundance: bool = True
+    abundance: float = 1.0e-4
+    abundance_file: str = ""
+    ray_tracing: bool = True
+    n_lines_rt: int = 2
+    transitions: List[int] = field(default_factory=lambda: [2, 3])
+    vmin: float = -10.0            # km/s
+    vmax: float = 10.0
+    n_speed: int = 41
+
+
+@dataclass
+class AtomSettings:
+    atoms: List["Atom"] = field(default_factory=list)
+
+
+@dataclass
+class Atom:
+    filename: str = "H_6.atom"
+    non_lte: bool = False
+    initial_solution: int = 0
+    vmax: float = 1000.0           # km/s
+    n_points: int = 101
+    images: bool = True
+    n_lines: int = 1
+    lines: List[tuple] = field(default_factory=lambda: [(3, 2)])
+
+
+@dataclass
+class Star:
+    # reference: src/ref4.1.para:77-81
+    teff: float = 5000.0
+    radius: float = 2.0            # [Rsun]
+    mass: float = 1.0              # [Msun]
+    x: float = 0.0                 # [AU]
+    y: float = 0.0
+    z: float = 0.0
+    auto_spectrum: bool = True
+    spectrum_file: str = ""
+    fuv: float = 0.0
+    slope_fuv: float = 2.2
+    # Extensions (CLI in the reference)
+    blackbody: bool = True         # forced BB when no spectra data dir available
+    mdot: float = 0.0              # accretion [Msun/yr]
+
+
+@dataclass
+class Physics:
+    # reference: src/ref4.1.para:33-38
+    settling_type: int = 0         # 0 none, 1 parametric, 2 Dubrulle, 3 Fromang
+    exp_strat: float = 0.5
+    a_strat: float = 1.0
+    radial_migration: bool = False
+    sublimate_dust: bool = False
+    hydrostatic_eq: bool = False
+    viscous_heating: bool = False
+    alpha_viscosity: float = 1.0e-5
+
+
+@dataclass
+class Para:
+    """Full configuration equivalent of a 4.1 parameter file."""
+    version: float = 4.1
+    photons: Photons = field(default_factory=Photons)
+    wavelengths: Wavelengths = field(default_factory=Wavelengths)
+    grid: GridParams = field(default_factory=GridParams)
+    maps: Maps = field(default_factory=Maps)
+    scattering_method: int = 0     # 0 auto, 1 per grain, 2 per cell
+    aniso_method: int = 1          # 1 Mie phase function, 2 HG
+    sym_image: bool = True
+    sym_central: bool = True
+    sym_axial: bool = True
+    physics: Physics = field(default_factory=Physics)
+    zones: List[Zone] = field(default_factory=lambda: [Zone()])
+    # dust species, per zone: species[izone][ispecies]
+    dust: List[List[DustSpecies]] = field(default_factory=lambda: [[DustSpecies()]])
+    mol: MoleculeSettings = field(default_factory=MoleculeSettings)
+    atoms: AtomSettings = field(default_factory=AtomSettings)
+    stars: List[Star] = field(default_factory=lambda: [Star()])
+
+    # Run-control knobs that are CLI flags in the reference
+    # (reference: src/init_mcfost.f90:462-1530)
+    n_T: int = 100
+    T_min: float = 1.0
+    T_max: float = 3000.0
+    nang_scatt: int = 180
+    cutoff: float = 7.0            # zmax = cutoff * H
+    seed: int = 269753
+    iso_scattering: bool = False
+    hg_scattering: bool = False
+
+    @property
+    def rmin(self) -> float:
+        return min(z.rmin for z in self.zones)
+
+    @property
+    def rmax(self) -> float:
+        return max(z.rmax for z in self.zones)
+
+
+class _TokenReader:
+    """Line-oriented token reader; each data line is whitespace split and
+    trailing alphabetic comments are naturally skipped because we only
+    consume as many leading tokens as requested."""
+
+    def __init__(self, text: str):
+        # Keep non-empty, non-comment lines
+        self.lines = [
+            ln for ln in text.splitlines()
+            if ln.strip() and not ln.strip().startswith("#")
+        ]
+        self.pos = 0
+
+    def line(self, n: int) -> List[str]:
+        """Return first n tokens of the next line."""
+        if self.pos >= len(self.lines):
+            raise ValueError("unexpected end of parameter file")
+        toks = self.lines[self.pos].split()
+        self.pos += 1
+        if len(toks) < n:
+            raise ValueError(
+                f"expected {n} tokens on line {self.pos}: {self.lines[self.pos-1]!r}")
+        return toks[:n]
+
+    def peek_float(self) -> float:
+        return float(self.lines[self.pos].split()[0])
+
+
+def parse_para(text: str) -> Para:
+    """Parse a 4.0/4.1 parameter file (reference: src/read_param.f90:16-110)."""
+    rd = _TokenReader(text)
+    version = float(rd.line(1)[0])
+    if version < 4.0 - 1e-6:
+        raise NotImplementedError(
+            f"parameter file version {version} not supported yet (>=4.0 only)")
+    p = Para(version=version)
+
+    # Photons
+    t = rd.line(1); p.photons.n_eq_th = float(t[0])
+    t = rd.line(1); p.photons.n_lambda = float(t[0])
+    t = rd.line(1); p.photons.n_image = float(t[0])
+
+    # Wavelengths
+    t = rd.line(3)
+    p.wavelengths.n_lambda = int(float(t[0]))
+    p.wavelengths.lambda_min = float(t[1])
+    p.wavelengths.lambda_max = float(t[2])
+    t = rd.line(3)
+    p.wavelengths.compute_temp = _to_bool(t[0])
+    p.wavelengths.compute_sed = _to_bool(t[1])
+    p.wavelengths.default_grid = _to_bool(t[2])
+    t = rd.line(1); p.wavelengths.wavelength_file = t[0]
+    t = rd.line(2)
+    p.wavelengths.separate_contributions = _to_bool(t[0])
+    p.wavelengths.output_stokes = _to_bool(t[1])
+
+    # Grid
+    t = rd.line(1); p.grid.geometry = int(float(t[0]))
+    t = rd.line(4)
+    p.grid.n_rad = int(float(t[0])); p.grid.nz = int(float(t[1]))
+    p.grid.n_az = int(float(t[2])); p.grid.n_rad_in = int(float(t[3]))
+
+    # Maps
+    t = rd.line(3)
+    p.maps.nx = int(float(t[0])); p.maps.ny = int(float(t[1]))
+    p.maps.map_size = float(t[2])
+    t = rd.line(4)
+    p.maps.imin = float(t[0]); p.maps.imax = float(t[1])
+    p.maps.n_incl = int(float(t[2])); p.maps.centered = _to_bool(t[3])
+    t = rd.line(3)
+    p.maps.az_min = float(t[0]); p.maps.az_max = float(t[1])
+    p.maps.n_az_angles = int(float(t[2]))
+    t = rd.line(1); p.maps.distance = float(t[0])
+    t = rd.line(1); p.maps.disk_pa = float(t[0])
+
+    # Scattering method
+    t = rd.line(1); p.scattering_method = int(float(t[0]))
+    if version < 4.1 - 1e-6:
+        # 4.0 has a separate Mie/hg line
+        t = rd.line(1); p.aniso_method = int(float(t[0]))
+
+    # Symmetries
+    t = rd.line(1); p.sym_image = _to_bool(t[0])
+    t = rd.line(1); p.sym_central = _to_bool(t[0])
+    t = rd.line(1); p.sym_axial = _to_bool(t[0])
+
+    # Disk physics
+    t = rd.line(3)
+    p.physics.settling_type = int(float(t[0]))
+    p.physics.exp_strat = float(t[1]); p.physics.a_strat = float(t[2])
+    t = rd.line(1); p.physics.radial_migration = _to_bool(t[0])
+    t = rd.line(1); p.physics.sublimate_dust = _to_bool(t[0])
+    t = rd.line(1); p.physics.hydrostatic_eq = _to_bool(t[0])
+    t = rd.line(2)
+    p.physics.viscous_heating = _to_bool(t[0])
+    p.physics.alpha_viscosity = float(t[1])
+
+    # Zones
+    t = rd.line(1); n_zones = int(float(t[0]))
+    p.zones = []
+    for _ in range(n_zones):
+        z = Zone()
+        t = rd.line(1); z.geometry = int(float(t[0]))
+        t = rd.line(2); z.dust_mass = float(t[0]); z.gas_to_dust = float(t[1])
+        t = rd.line(3)
+        z.scale_height = float(t[0]); z.ref_radius = float(t[1])
+        z.vert_profile_exp = float(t[2])
+        t = rd.line(4)
+        z.rin = float(t[0]); z.edge = float(t[1])
+        z.rout = float(t[2]); z.rc = float(t[3])
+        t = rd.line(1); z.flaring_exp = float(t[0])
+        t = rd.line(2)
+        z.surface_density_exp = float(t[0]); z.gamma_exp = float(t[1])
+        p.zones.append(z)
+
+    # Grain properties (per zone)
+    p.dust = []
+    for _iz in range(n_zones):
+        t = rd.line(1); n_species = int(float(t[0]))
+        species = []
+        for _ in range(n_species):
+            s = DustSpecies()
+            t = rd.line(6)
+            s.grain_type = t[0]
+            s.n_components = int(float(t[1]))
+            s.mixing_rule = int(float(t[2]))
+            s.porosity = float(t[3])
+            s.mass_fraction = float(t[4])
+            s.dhs_vmax = float(t[5])
+            s.components = []
+            for _c in range(s.n_components):
+                t = rd.line(2)
+                s.components.append(
+                    DustComponent(optical_indices_file=t[0],
+                                  volume_fraction=float(t[1])))
+            t = rd.line(1); s.heating_method = int(float(t[0]))
+            t = rd.line(4)
+            s.amin = float(t[0]); s.amax = float(t[1])
+            s.aexp = float(t[2]); s.n_grains = int(float(t[3]))
+            species.append(s)
+        p.dust.append(species)
+
+    # Molecular RT settings
+    t = rd.line(3)
+    p.mol.lpop = _to_bool(t[0]); p.mol.laccurate_pop = _to_bool(t[1])
+    p.mol.lte = _to_bool(t[2])
+    t = rd.line(2)
+    p.mol.v_turb = float(t[0]); p.mol.v_turb_unit = t[1]
+    t = rd.line(1); n_mol = int(float(t[0]))
+    p.mol.molecules = []
+    for _ in range(n_mol):
+        m = Molecule()
+        t = rd.line(2); m.filename = t[0]; m.level_max = int(float(t[1]))
+        t = rd.line(3)
+        m.cst_abundance = _to_bool(t[0]); m.abundance = float(t[1])
+        m.abundance_file = t[2]
+        t = rd.line(2)
+        m.ray_tracing = _to_bool(t[0]); m.n_lines_rt = int(float(t[1]))
+        t = rd.line(m.n_lines_rt)
+        m.transitions = [int(float(x)) for x in t]
+        t = rd.line(3)
+        m.vmin = float(t[0]); m.vmax = float(t[1]); m.n_speed = int(float(t[2]))
+        p.mol.molecules.append(m)
+
+    # Atoms (4.1 addition)
+    if version >= 4.1 - 1e-6:
+        t = rd.line(1); n_atoms = int(float(t[0]))
+        p.atoms.atoms = []
+        for _ in range(n_atoms):
+            a = Atom()
+            t = rd.line(1); a.filename = t[0]
+            t = rd.line(1); a.non_lte = _to_bool(t[0])
+            t = rd.line(1); a.initial_solution = int(float(t[0]))
+            t = rd.line(2); a.vmax = float(t[0]); a.n_points = int(float(t[1]))
+            t = rd.line(2); a.images = _to_bool(t[0]); a.n_lines = int(float(t[1]))
+            a.lines = []
+            for _l in range(a.n_lines):
+                t = rd.line(2)
+                a.lines.append((int(float(t[0])), int(float(t[1]))))
+            p.atoms.atoms.append(a)
+
+    # Stars
+    t = rd.line(1); n_stars = int(float(t[0]))
+    p.stars = []
+    for _ in range(n_stars):
+        s = Star()
+        t = rd.line(7)
+        s.teff = float(t[0]); s.radius = float(t[1]); s.mass = float(t[2])
+        s.x = float(t[3]); s.y = float(t[4]); s.z = float(t[5])
+        s.auto_spectrum = _to_bool(t[6])
+        t = rd.line(1); s.spectrum_file = t[0]
+        t = rd.line(2); s.fuv = float(t[0]); s.slope_fuv = float(t[1])
+        p.stars.append(s)
+
+    return p
+
+
+def read_para(path: str) -> Para:
+    with open(path) as f:
+        return parse_para(f.read())
+
+
+def default_ref_para() -> Para:
+    """The ref4.1 disk model (reference: src/ref4.1.para), as built-in defaults."""
+    return Para()
