@@ -1,0 +1,234 @@
+"""Dust model assembly: size distribution, cross sections, per-cell opacities.
+
+Builds every table the MC transport and thermal solver need, as plain numpy
+(host, float64) packed into a `DustModel`.  Mirrors the reference's data
+flow  build_grain_size_distribution -> prop_grains -> opacity
+(src/dust_prop.f90:33-222, :551-679, :791-1033) re-organised as batch array
+ops:
+
+* grain sizes: log bins, n(a) da ~ a^-aexp da with the extra factor a for
+  d ln a binning (dust_prop.f90:156-209);
+* Mie cross sections for every (grain, lambda) pair in one vectorized batch;
+* per-cell opacity kappa [AU^-1], albedo, scattering-angle CDFs and Mueller
+  tables;
+* uniform-dust memory collapse: when every cell shares the same grain mix,
+  tables carry a single reference cell and the true opacity is
+  kappa * kappa_factor(icell) (dust_prop.f90:947-956).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .. import constants as cst
+from ..config.para import Para
+from ..physics.wavelengths import WavelengthGrid
+from . import materials as mat
+from .mie import mie_batch
+
+
+@dataclass
+class GrainPopulation:
+    """Per-grain-size arrays for all populations concatenated
+    (reference: src/grains.f90:35-57)."""
+    r_grain: np.ndarray        # (K,) [micron]
+    s_grain: np.ndarray        # (K,) geometric cross section [micron^2]
+    m_grain: np.ndarray        # (K,) grain mass [g]
+    n_grains: np.ndarray       # (K,) relative number per cell unit density
+    rho1g: np.ndarray          # (K,) bulk density
+    zone: np.ndarray           # (K,) zone index of each grain
+    avg_grain_mass: float      # [g]
+
+
+def build_grain_sizes(para: Para) -> GrainPopulation:
+    """Log-binned power-law size distribution
+    (reference: src/dust_prop.f90:119-209)."""
+    rs, ss, ms, ns, rhos, zones = [], [], [], [], [], []
+    avg_mass = 0.0
+    for iz, species in enumerate(para.dust):
+        for sp in species:
+            material = mat.get_material(sp.components[0].optical_indices_file)
+            rho1g = material.rho * (1.0 - sp.porosity)
+            kdelta = np.exp(np.log(sp.amax / sp.amin) / sp.n_grains)
+            a = sp.amin * np.sqrt(kdelta) * kdelta ** np.arange(sp.n_grains)
+            # average grain mass of the analytic distribution
+            # (dust_prop.f90:127-146)
+            p = sp.aexp
+            if abs(sp.amax - sp.amin) < 1e-5 * sp.amax:
+                avg = cst.four_thirds_pi * cst.mum_to_cm ** 3 * sp.amin ** 3 * rho1g
+            elif abs(p - 4.0) > 1e-5 and abs(p - 1.0) > 1e-5:
+                avg = (cst.four_thirds_pi * cst.mum_to_cm ** 3 * rho1g
+                       * (1 - p) / (4 - p)
+                       * (sp.amax ** (4 - p) - sp.amin ** (4 - p))
+                       / (sp.amax ** (1 - p) - sp.amin ** (1 - p)))
+            elif abs(p - 1.0) <= 1e-5:
+                avg = (cst.four_thirds_pi * cst.mum_to_cm ** 3 * rho1g / (4 - p)
+                       * (sp.amax ** (4 - p) - sp.amin ** (4 - p))
+                       / np.log(sp.amax / sp.amin))
+            else:
+                avg = (cst.four_thirds_pi * cst.mum_to_cm ** 3 * rho1g
+                       * (1 - p) * np.log(sp.amax / sp.amin)
+                       / (sp.amax ** (1 - p) - sp.amin ** (1 - p)))
+
+            n = a ** (-p) * a          # extra a: da = a dln a
+            n = n / n.sum()            # fraction per size within pop
+            # include mass fraction / avg mass so density*n = number density
+            # (dust_prop.f90:203-209, uniform-dust path)
+            n = n * sp.mass_fraction / avg
+
+            rs.append(a)
+            ss.append(np.pi * a ** 2)
+            ms.append(cst.four_thirds_pi * (a * cst.mum_to_cm) ** 3 * rho1g)
+            ns.append(n)
+            rhos.append(np.full_like(a, rho1g))
+            zones.append(np.full(a.shape, iz, dtype=np.int32))
+            avg_mass = avg
+    return GrainPopulation(
+        r_grain=np.concatenate(rs), s_grain=np.concatenate(ss),
+        m_grain=np.concatenate(ms), n_grains=np.concatenate(ns),
+        rho1g=np.concatenate(rhos), zone=np.concatenate(zones),
+        avg_grain_mass=avg_mass)
+
+
+@dataclass
+class DustModel:
+    """All per-wavelength dust tables (host numpy; moved to device later).
+
+    Shapes: K grains, L wavelengths, A = nang+1 scattering angles,
+    P = p_n_cells reference cells (=1 for uniform dust)."""
+    grains: GrainPopulation
+    # per-grain cross sections [micron^2] (dust_prop.f90:626-636)
+    c_ext: np.ndarray          # (K, L)
+    c_sca: np.ndarray          # (K, L)
+    c_abs: np.ndarray          # (K, L)
+    c_abs_norm: np.ndarray     # (K, L) in AU^-1-normalised units
+    tab_g: np.ndarray          # (K, L) asymmetry parameter
+    # Mueller tables per grain (scattering.f90:539-553), normalised so that
+    # s11 == 1 (phase-function normalisation, method 1)
+    tab_s11: np.ndarray        # (K, L, A)
+    tab_s12: np.ndarray        # (K, L, A)
+    tab_s33: np.ndarray        # (K, L, A)
+    tab_s34: np.ndarray        # (K, L, A)
+    prob_s11: np.ndarray       # (K, L, A) CDF over theta for angle sampling
+    # per-cell (reference cell) assembled opacities
+    kappa: np.ndarray          # (P, L) extinction [AU^-1]
+    kappa_abs: np.ndarray      # (P, L) absorption (RE LTE grains) [AU^-1]
+    albedo: np.ndarray         # (P, L)
+    g_cell: np.ndarray         # (P, L) mean asymmetry parameter
+    ksca_cdf: np.ndarray       # (P, L, K) CDF over grain for scatterer draw
+    kappa_factor: Optional[np.ndarray] = None  # (n_cells,) rho/rho_ref
+    uniform: bool = True
+
+
+def build_dust_model(para: Para, wl: WavelengthGrid,
+                     cache_dir: str | None = None) -> DustModel:
+    grains = build_grain_sizes(para)
+    K, L = grains.r_grain.size, wl.n
+    nang = para.nang_scatt
+    A = nang + 1
+
+    cache_file = None
+    if cache_dir:
+        h = hashlib.sha1(repr((grains.r_grain.tobytes(), wl.lam.tobytes(),
+                               [s.components[0].optical_indices_file
+                                for sp in para.dust for s in sp],
+                               nang)).encode()).hexdigest()[:16]
+        cache_file = os.path.join(cache_dir, f"dust_prop_{h}.npz")
+
+    if cache_file and os.path.isfile(cache_file):
+        z = np.load(cache_file)
+        qext, qsca, gsca = z["qext"], z["qsca"], z["gsca"]
+        s11, s12, s33, s34 = z["s11"], z["s12"], z["s33"], z["s34"]
+    else:
+        # one batched Mie evaluation for all (grain, lambda) pairs
+        # per species (different materials)
+        qext = np.zeros((K, L)); qsca = np.zeros((K, L)); gsca = np.zeros((K, L))
+        s11 = np.zeros((K, L, A)); s12 = np.zeros((K, L, A))
+        s33 = np.zeros((K, L, A)); s34 = np.zeros((K, L, A))
+        k0 = 0
+        for iz, species in enumerate(para.dust):
+            for sp in species:
+                ksl = slice(k0, k0 + sp.n_grains)
+                a = grains.r_grain[ksl]
+                material = mat.get_material(sp.components[0].optical_indices_file)
+                if sp.n_components > 1 or sp.porosity > 0:
+                    mats = [mat.get_material(c.optical_indices_file)
+                            for c in sp.components]
+                    m_lam = mat.bruggeman_emt(
+                        mats, [c.volume_fraction for c in sp.components],
+                        wl.lam, sp.porosity)
+                else:
+                    m_lam = material.m_at(wl.lam)
+                xg, mg = np.meshgrid(2 * np.pi * a, np.arange(L), indexing="ij")
+                x = (2 * np.pi * a[:, None] / wl.lam[None, :]).ravel()
+                m = np.broadcast_to(m_lam[None, :], (sp.n_grains, L)).ravel()
+                out = mie_batch(x, m, nang=A)
+                qext[ksl] = out["qext"].reshape(sp.n_grains, L)
+                qsca[ksl] = out["qsca"].reshape(sp.n_grains, L)
+                gsca[ksl] = out["gsca"].reshape(sp.n_grains, L)
+                s11[ksl] = out["s11"].reshape(sp.n_grains, L, A)
+                s12[ksl] = out["s12"].reshape(sp.n_grains, L, A)
+                s33[ksl] = out["s33"].reshape(sp.n_grains, L, A)
+                s34[ksl] = out["s34"].reshape(sp.n_grains, L, A)
+                k0 += sp.n_grains
+        if cache_file:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez_compressed(cache_file, qext=qext, qsca=qsca, gsca=gsca,
+                                s11=s11, s12=s12, s33=s33, s34=s34)
+
+    c_ext = qext * grains.s_grain[:, None]
+    c_sca = qsca * grains.s_grain[:, None]
+    c_abs = c_ext - c_sca
+    c_abs_norm = c_abs * cst.opacity_norm_fact
+
+    # --- scattering-angle CDF per grain (normalise_Mueller_matrix,
+    # scattering.f90:514-537): cumulative s11 sin(theta) dtheta with the
+    # missed diffraction flux added to the first bin.
+    theta = np.linspace(0.0, np.pi, A)
+    dtheta = np.pi / nang
+    w = np.sin(theta) * dtheta
+    w[0] = 0.0
+    cum = np.cumsum(s11 * w[None, None, :], axis=-1)
+    cum[..., 0] = 0.0
+    missing = np.maximum(qsca - cum[..., -1], 0.0)
+    prob = cum + missing[..., None]
+    prob[..., 0] = 0.0
+    tot = np.maximum(prob[..., -1], 1e-300)
+    prob_s11 = prob / tot[..., None]
+
+    # Mueller tables normalised to s11=1 (phase function drawn separately)
+    s11_safe = np.where(s11 > 0, s11, 1.0)
+    tab_s11 = np.ones_like(s11)
+    tab_s12 = s12 / s11_safe
+    tab_s33 = s33 / s11_safe
+    tab_s34 = s34 / s11_safe
+
+    # --- per-cell assembly (uniform dust: single reference cell)
+    # (opacity(), dust_prop.f90:851-888)
+    dens = grains.n_grains        # relative number density per size
+    kappa = (c_ext * dens[:, None]).sum(0)[None, :]
+    ksca = (c_sca * dens[:, None]).sum(0)[None, :]
+    kabs = (c_abs * dens[:, None]).sum(0)[None, :]
+    albedo = np.where(kappa > 0, ksca / np.maximum(kappa, 1e-300), 0.0)
+    g_cell = np.where(ksca > 0,
+                      (c_sca * dens[:, None] * gsca).sum(0)[None, :]
+                      / np.maximum(ksca, 1e-300), 0.0)
+    ksca_cdf = np.cumsum((c_sca * dens[:, None]).T[None, :, :], axis=-1)  # (1,L,K)
+    tot = np.maximum(ksca_cdf[..., -1:], 1e-300)
+    ksca_cdf = ksca_cdf / tot
+
+    # kappa in AU^-1 (for the reference cell; kappa_factor applied per cell)
+    kappa = kappa * cst.opacity_norm_fact
+    kabs = kabs * cst.opacity_norm_fact
+
+    return DustModel(
+        grains=grains, c_ext=c_ext, c_sca=c_sca, c_abs=c_abs,
+        c_abs_norm=c_abs_norm, tab_g=gsca,
+        tab_s11=tab_s11, tab_s12=tab_s12, tab_s33=tab_s33, tab_s34=tab_s34,
+        prob_s11=prob_s11,
+        kappa=kappa, kappa_abs=kabs, albedo=albedo, g_cell=g_cell,
+        ksca_cdf=ksca_cdf, uniform=True)

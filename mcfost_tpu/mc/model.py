@@ -1,0 +1,130 @@
+"""Device-resident model: everything the MC kernels consume, as one pytree.
+
+Assembled on host (float64 numpy) from the physics modules, then cast to the
+compute dtype.  Uniform-dust layout: per-wavelength tables carry a single
+reference cell and per-cell variation enters only through ``kappa_factor``
+(the dust density in g/cm^3), mirroring the reference's memory collapse
+(src/dust_prop.f90:947-956).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cst
+from ..config.para import Para
+from ..dust.opacity import DustModel, build_dust_model
+from ..grids.cylindrical import CylGrid, build_cylindrical_grid
+from ..physics import density as density_mod
+from ..physics import thermal as thermal_mod
+from ..physics.stars import StarModel, build_star_model
+from ..physics.wavelengths import WavelengthGrid, log_wavelength_grid
+
+
+class Model(NamedTuple):
+    # geometry
+    grid: CylGrid
+    kappa_factor: jax.Array    # (n_cells,) dust density [g/cm^3]
+    volume: jax.Array          # (n_cells,) [AU^3]
+    # dust, per unit dust density (uniform-dust reference cell)
+    kappa: jax.Array           # (L,) extinction [AU^-1 / (g cm^-3)]
+    kappa_abs: jax.Array       # (L,)
+    albedo: jax.Array          # (L,)
+    g_cell: jax.Array          # (L,)
+    ksca_cdf: jax.Array        # (L, K) scatterer-selection CDF
+    prob_s11: jax.Array        # (K*L, A) flattened angle CDF per (grain,lambda)
+    tab_s12: jax.Array         # (K*L, A) (s11-normalised)
+    tab_s33: jax.Array         # (K*L, A)
+    tab_s34: jax.Array         # (K*L, A)
+    tab_g: jax.Array           # (K, L)
+    # thermal (Bjorkman & Wood)
+    tab_temp: jax.Array        # (n_T,)
+    log_qcool: jax.Array       # (n_T,)
+    kdb_dt_cdf: jax.Array      # (n_T, L)
+    # stars / emission
+    star_pos: jax.Array        # (S, 3)
+    star_r: jax.Array          # (S,)
+    cdf_star: jax.Array        # (L, S+1)
+    emission_cdf: jax.Array    # (L+1,) step-1 packet-wavelength CDF
+    frac_e_stars: jax.Array    # (L,) star fraction of emission at lambda
+    prob_e_cell: jax.Array     # (n_cells+1,) disk-cell emission CDF per the
+                               # active wavelength (step 2) or zeros (step 1)
+    l_tot: jax.Array           # scalar: total source luminosity (internal
+                               # units); L_packet = l_tot / n_packets
+
+    @property
+    def n_lambda(self) -> int:
+        return self.kappa.shape[0]
+
+    @property
+    def n_grains(self) -> int:
+        return self.tab_g.shape[0]
+
+    @property
+    def nang(self) -> int:
+        return self.prob_s11.shape[-1] - 1
+
+
+class HostModel(NamedTuple):
+    """Host-side context kept around the device model."""
+    para: Para
+    wl: WavelengthGrid
+    dust: DustModel
+    stars: StarModel
+    thermal: thermal_mod.ThermalTables
+    rho_dust: np.ndarray
+
+
+def build_model(para: Para, dtype=jnp.float32,
+                cache_dir: str | None = ".mcfost_tpu_cache"):
+    """Build the full device model for the thermal MC step."""
+    wl = log_wavelength_grid(para.wavelengths.n_lambda,
+                             para.wavelengths.lambda_min,
+                             para.wavelengths.lambda_max)
+    grid = build_cylindrical_grid(para, dtype=dtype)
+    r_grid = np.asarray(grid.r_grid, np.float64)
+    z_grid = np.asarray(grid.z_grid, np.float64)
+    volume = np.asarray(grid.volume, np.float64)
+
+    rho = density_mod.compute_dust_density(para, r_grid, z_grid, volume)
+    dust = build_dust_model(para, wl, cache_dir=cache_dir)
+    stars = build_star_model(para, wl)
+    therm = thermal_mod.build_thermal_tables(
+        wl, dust.kappa_abs, n_T=para.n_T, T_min=para.T_min, T_max=para.T_max)
+    em_cdf, l_tot = thermal_mod.emission_cdf(wl, stars.E_stars)
+
+    K, L = dust.tab_g.shape
+    A = dust.prob_s11.shape[-1]
+
+    f = lambda a: jnp.asarray(a, dtype)
+    model = Model(
+        grid=grid,
+        kappa_factor=f(rho),
+        volume=f(volume),
+        kappa=f(dust.kappa[0]),
+        kappa_abs=f(dust.kappa_abs[0]),
+        albedo=f(dust.albedo[0]),
+        g_cell=f(dust.g_cell[0]),
+        ksca_cdf=f(dust.ksca_cdf[0]),
+        prob_s11=f(dust.prob_s11.reshape(K * L, A)),
+        tab_s12=f(dust.tab_s12.reshape(K * L, A)),
+        tab_s33=f(dust.tab_s33.reshape(K * L, A)),
+        tab_s34=f(dust.tab_s34.reshape(K * L, A)),
+        tab_g=f(dust.tab_g),
+        tab_temp=f(therm.tab_temp),
+        log_qcool=f(therm.log_qcool[0]),
+        kdb_dt_cdf=f(therm.kdb_dt_cdf[0]),
+        star_pos=f(stars.pos),
+        star_r=f(stars.radius),
+        cdf_star=f(stars.cdf_star),
+        emission_cdf=f(em_cdf),
+        frac_e_stars=f(np.ones(L)),   # cold disk: all emission from stars
+        prob_e_cell=f(np.zeros(grid.n_cells + 1)),
+        l_tot=f(l_tot),
+    )
+    host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
+                     thermal=therm, rho_dust=rho)
+    return model, host

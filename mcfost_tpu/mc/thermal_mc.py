@@ -1,0 +1,338 @@
+"""Fused thermal Monte Carlo kernel (Bjorkman & Wood immediate reemission).
+
+TPU-native re-design of the reference's packet loop (propagate_packet,
+src/dust_transfer.f90:957-1211 + physical_length, optical_depth.f90:21-182):
+instead of per-photon recursion, a fixed-width SoA batch of packets advances
+in lock-step inside one ``lax.while_loop``.  Each iteration performs, fully
+masked and branch-free, for every lane:
+
+1. refill: dead lanes are re-emitted from the source CDFs while the photon
+   budget lasts (replaces the OpenMP dynamic packet loop,
+   dust_transfer.f90:563-603);
+2. one cell-wall crossing (`cross_cell`) with optical-depth bookkeeping and
+   the kappa*J path-length tally as a scatter-add (save_radiation_field,
+   radiation_field.f90:31-55);
+3. exit capture into the MC SED bins (capteur, output.f90:294-395);
+4. interaction: Mie/HG scattering with Stokes update, or absorption with
+   immediate reemission at a wavelength drawn from the temperature-corrected
+   kappa dB/dT CDF (im_reemission_LTE, thermal_emission.f90:710-771).
+
+All CDF inversions are explicit batched bisections (see mc/sampling.py).
+The per-device tally arrays mirror the reference's per-thread tallies
+(xKJ_abs, sed) and are psum-reduced across devices by the caller.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grids import cylindrical as cyl
+from .model import Model
+from .sampling import bisect_cdf, cdapres, isotropic_direction, update_stokes
+
+
+class MCState(NamedTuple):
+    x: jax.Array; y: jax.Array; z: jax.Array
+    u: jax.Array; v: jax.Array; w: jax.Array
+    sI: jax.Array; sQ: jax.Array; sU: jax.Array; sV: jax.Array
+    ilam: jax.Array            # (B,) i32
+    ri: jax.Array; zj: jax.Array
+    tau_rem: jax.Array
+    alive: jax.Array           # (B,) bool
+    emitted: jax.Array         # scalar i32
+    xkj: jax.Array             # (n_cells,) kappa*J path tally
+    nabs: jax.Array            # (n_cells,) absorption counts
+    sed: jax.Array             # (L, n_capt) MC SED
+    it: jax.Array              # scalar i32
+
+
+class MCResult(NamedTuple):
+    xkj: jax.Array
+    nabs: jax.Array
+    sed: jax.Array
+    emitted: jax.Array
+    n_iters: jax.Array
+    n_lost: jax.Array          # lanes still alive at the iteration cap
+
+
+def _emit(model: Model, rands, dtype):
+    """Draw fresh packets for every lane (masked-in by the caller).
+
+    Emission physics: wavelength from the global emission CDF
+    (select_wl_em, thermal_emission.f90:364-400); star vs disk by
+    frac_E_stars (emit_packet, dust_transfer.f90:876-944); star packets
+    launched from the stellar surface with cosine-law directions
+    (emit_packet_uniform_sphere, stars.f90:108-169)."""
+    r_lam, r_sd, r1, r2, r3, r4, r5, r6 = rands
+    L = model.n_lambda
+
+    ilam = bisect_cdf(lambda k: model.emission_cdf[k], L, r_lam) - 1
+
+    from_star = r_sd <= model.frac_e_stars[ilam]
+
+    # --- star emission (single- or multi-star via cdf_star)
+    S = model.star_r.shape[0]
+    if S == 1:
+        i_star = jnp.zeros_like(ilam)
+    else:
+        i_star = bisect_cdf(lambda k: model.cdf_star[ilam, k], S, r1) - 1
+    zn = 2.0 * r2 - 1.0
+    srw = jnp.sqrt(jnp.maximum(1.0 - zn * zn, 0.0))
+    arg = jnp.pi * (2.0 * r3 - 1.0)
+    nx, ny, nz = srw * jnp.cos(arg), srw * jnp.sin(arg), zn
+    cospsi = jnp.sqrt(r4)
+    phi = 2.0 * jnp.pi * r5
+    us, vs, ws = cdapres(cospsi, phi, nx, ny, nz)
+    rs = model.star_r[i_star] * (1.0 + 1e-6)
+    xs = nx * rs + model.star_pos[i_star, 0]
+    ys = ny * rs + model.star_pos[i_star, 1]
+    zs = nz * rs + model.star_pos[i_star, 2]
+
+    # --- disk thermal emission (SED/image steps; prob_e_cell is zeros in
+    # step 1 so this branch is never selected then)
+    n_cells = model.volume.shape[0]
+    icell_d = bisect_cdf(lambda k: model.prob_e_cell[k], n_cells, r1) - 1
+    ri_d = (icell_d % model.grid.n_rad) + 1
+    zj_d = (icell_d // model.grid.n_rad) + 1
+    xd, yd, zd = cyl.pos_in_cell(model.grid, ri_d, zj_d, r2, r3, r4)
+    ud, vd, wd = isotropic_direction(r5, r6)
+
+    x = jnp.where(from_star, xs, xd)
+    y = jnp.where(from_star, ys, yd)
+    z = jnp.where(from_star, zs, zd)
+    u = jnp.where(from_star, us, ud)
+    v = jnp.where(from_star, vs, vd)
+    w = jnp.where(from_star, ws, wd)
+    ri, zj = cyl.index_cell(model.grid, x, y, z)
+    ri = jnp.where(from_star, ri, ri_d.astype(jnp.int32))
+    zj = jnp.where(from_star, zj, zj_d.astype(jnp.int32))
+    return x, y, z, u, v, w, ilam.astype(jnp.int32), ri, zj, from_star
+
+
+def _tau_draw(r):
+    """Optical-depth target (dust_transfer.f90:1010-1017)."""
+    r = jnp.clip(r, 0.0, 1.0 - 1e-7)
+    return jnp.where(r > 1e-6, -jnp.log1p(-r), r)
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "n_capt", "max_iters",
+                                             "pola", "mono"))
+def run_thermal_mc(model: Model, key, n_packets: int,
+                   batch: int = 16384, n_capt: int = 10,
+                   max_iters: int = 300000, pola: bool = True,
+                   mono: bool = False) -> MCResult:
+    """Run the thermal MC until ``n_packets`` have been emitted and died.
+
+    mono=False: thermal step (etape 1) with B&W reemission.
+    mono=True: monochromatic observable step — forced scattering with albedo
+    weighting (dust_transfer.f90:1065-1077); model.prob_e_cell /
+    frac_e_stars must describe the per-wavelength emission split.
+    """
+    dtype = model.kappa.dtype
+    grid = model.grid
+    n_cells = grid.n_cells
+    L = model.n_lambda
+    nang = model.nang
+    B = batch
+
+    zf = jnp.zeros(B, dtype)
+    zi = jnp.zeros(B, jnp.int32)
+    state = MCState(
+        x=zf, y=zf, z=zf, u=zf, v=zf, w=zf + 1.0,
+        sI=zf, sQ=zf, sU=zf, sV=zf,
+        ilam=zi, ri=zi, zj=zi + 1, tau_rem=zf,
+        alive=jnp.zeros(B, bool),
+        emitted=jnp.zeros((), jnp.int32),
+        xkj=jnp.zeros(n_cells, dtype),
+        nabs=jnp.zeros(n_cells, dtype),
+        sed=jnp.zeros((L, n_capt), dtype),
+        it=jnp.zeros((), jnp.int32),
+    )
+    n_budget = jnp.asarray(n_packets, jnp.int32)
+    # luminosity carried by each packet (repartition_wl_em,
+    # thermal_emission.f90:344-356)
+    l_packet = model.l_tot / jnp.asarray(n_packets, dtype)
+
+    def cond(s: MCState):
+        return ((s.it < max_iters)
+                & (jnp.any(s.alive) | (s.emitted < n_budget)))
+
+    def body(s: MCState):
+        key_it = jax.random.fold_in(key, s.it)
+        R = jax.random.uniform(key_it, (15, B), dtype)
+
+        # ---- 1. refill dead lanes while budget lasts
+        need = ~s.alive
+        rank = jnp.cumsum(need.astype(jnp.int32))
+        do_emit = need & (rank <= (n_budget - s.emitted))
+        emitted = s.emitted + jnp.sum(do_emit.astype(jnp.int32))
+
+        ex, ey, ez, eu, ev, ew, eilam, eri, ezj, _ = _emit(
+            model, R[:8], dtype)
+        sel = lambda a, b: jnp.where(do_emit, a, b)
+        x = sel(ex, s.x); y = sel(ey, s.y); z = sel(ez, s.z)
+        u = sel(eu, s.u); v = sel(ev, s.v); w = sel(ew, s.w)
+        ilam = sel(eilam, s.ilam)
+        ri = sel(eri, s.ri); zj = sel(ezj, s.zj)
+        sI = sel(jnp.ones(B, dtype), s.sI)
+        sQ = sel(zf, s.sQ); sU = sel(zf, s.sU); sV = sel(zf, s.sV)
+        tau_rem = sel(_tau_draw(R[8]), s.tau_rem)
+        alive = s.alive | do_emit
+
+        # ---- star kill: packets crossing the cavity that hit the star die
+        # (physical_length star test, optical_depth.f90:91-97 via
+        # intersect_stars, stars.f90:812)
+        in_cavity = alive & (ri == 0)
+        px = x - model.star_pos[0, 0]
+        py = y - model.star_pos[0, 1]
+        pz = z - model.star_pos[0, 2]
+        t_ca = -(px * u + py * v + pz * w)
+        d2 = px * px + py * py + pz * pz - t_ca * t_ca
+        hit_star = in_cavity & (t_ca > 0) & (d2 < model.star_r[0] ** 2)
+        alive = alive & ~hit_star
+
+        # ---- 2. one wall crossing with tau bookkeeping
+        inside = cyl.is_inside(grid, ri, zj)
+        flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
+        opac = jnp.where(inside, model.kappa[ilam] * model.kappa_factor[flat],
+                         0.0)
+        x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
+                                                 ri, zj)
+        dtau = l * opac
+        interact = alive & (dtau > tau_rem)
+        l_eff = jnp.where(interact, tau_rem / jnp.maximum(opac, 1e-30), l)
+
+        # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
+        # it cancels against Qcool for uniform dust)
+        dep_w = jnp.where(alive & inside, model.kappa_abs[ilam] * l_eff * sI,
+                          0.0)
+        xkj = s.xkj.at[flat].add(dep_w)
+
+        x = jnp.where(interact, x + l_eff * u, jnp.where(alive, x1, x))
+        y = jnp.where(interact, y + l_eff * v, jnp.where(alive, y1, y))
+        z = jnp.where(interact, z + l_eff * w, jnp.where(alive, z1, z))
+        ri = jnp.where(interact | ~alive, ri, ri1)
+        zj = jnp.where(interact | ~alive, zj, zj1)
+        tau_rem = jnp.where(interact, 0.0,
+                            jnp.maximum(tau_rem - dtau, 0.0))
+
+        # ---- 3. exits -> MC SED capture (capteur, output.f90:294-395)
+        exited = alive & ~interact & cyl.has_exited(grid, ri, zj, z)
+        wfold = jnp.abs(w)   # central symmetry fold
+        capt = jnp.clip(((1.0 - wfold) * n_capt).astype(jnp.int32),
+                        0, n_capt - 1)
+        sed_idx = ilam * n_capt + capt
+        sed = s.sed.reshape(-1).at[sed_idx].add(
+            jnp.where(exited, sI, 0.0)).reshape(L, n_capt)
+        alive = alive & ~exited
+
+        # ---- 4. interactions
+        interact = interact & alive
+        if mono:
+            # forced scattering: weight by albedo, kill faint packets
+            alb = model.albedo[ilam]
+            sI = jnp.where(interact, sI * alb, sI)
+            sQ = jnp.where(interact, sQ * alb, sQ)
+            sU = jnp.where(interact, sU * alb, sU)
+            sV = jnp.where(interact, sV * alb, sV)
+            faint = interact & (sI < 1e-12)
+            alive = alive & ~faint
+            interact = interact & ~faint
+            do_scat = interact
+            do_abs = jnp.zeros_like(interact)
+        else:
+            do_scat = interact & (R[9] < model.albedo[ilam])
+            do_abs = interact & ~do_scat
+
+        # ---- 4a. scattering (propagate_packet scatter branch,
+        # dust_transfer.f90:1086-1153)
+        igrain = bisect_cdf(lambda k: model.ksca_cdf[ilam,
+                                                     jnp.maximum(k - 1, 0)]
+                            * (k > 0), model.tab_g.shape[0], R[10]) - 1
+        row = igrain * L + ilam
+        itheta = bisect_cdf(lambda k: model.prob_s11[row, k], nang, R[11])
+        thfac = jnp.pi / nang
+        c0 = jnp.cos((itheta - 1).astype(dtype) * thfac)
+        c1 = jnp.cos(itheta.astype(dtype) * thfac)
+        cospsi = c0 + R[12] * (c1 - c0)
+        phi = jnp.pi * (2.0 * R[13] - 1.0)
+        un, vn, wn = cdapres(cospsi, phi, u, v, w)
+        if pola:
+            frac = R[12]
+            m12 = (model.tab_s12[row, itheta] * frac
+                   + model.tab_s12[row, itheta - 1] * (1 - frac))
+            m33 = (model.tab_s33[row, itheta] * frac
+                   + model.tab_s33[row, itheta - 1] * (1 - frac))
+            m34 = (model.tab_s34[row, itheta] * frac
+                   + model.tab_s34[row, itheta - 1] * (1 - frac))
+            one = jnp.ones_like(m12)
+            nI, nQ, nU, nV = update_stokes(sI, sQ, sU, sV, u, v, w,
+                                           un, vn, wn, one, m12, m33, m34)
+        else:
+            nI, nQ, nU, nV = sI, sQ, sU, sV
+
+        # ---- 4b. absorption + immediate reemission (im_reemission_LTE,
+        # thermal_emission.f90:710-771; Temp_LTE :649-706)
+        qheat = xkj[flat] * l_packet / model.volume[flat]
+        logq = jnp.log(jnp.maximum(qheat, 1e-300))
+        n_T = model.tab_temp.shape[0]
+        ti = jnp.searchsorted(model.log_qcool, logq).astype(jnp.int32)
+        ti = jnp.clip(ti, 1, n_T - 1)
+        q0 = model.log_qcool[ti - 1]
+        q1 = model.log_qcool[ti]
+        frac_t2 = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30),
+                           0.0, 1.0)
+        frac_t1 = 1.0 - frac_t2
+
+        def cdf_interp(k):
+            km = jnp.maximum(k - 1, 0)
+            val = (frac_t1 * model.kdb_dt_cdf[ti - 1, km]
+                   + frac_t2 * model.kdb_dt_cdf[ti, km])
+            return val * (k > 0)
+
+        lam_new = bisect_cdf(cdf_interp, L, R[10]) - 1
+        ua, va, wa = isotropic_direction(R[11], R[13])
+        nabs = s.nabs.at[flat].add(jnp.where(do_abs, 1.0, 0.0))
+
+        # ---- merge interaction results
+        u = jnp.where(do_scat, un, jnp.where(do_abs, ua, u))
+        v = jnp.where(do_scat, vn, jnp.where(do_abs, va, v))
+        w = jnp.where(do_scat, wn, jnp.where(do_abs, wa, w))
+        sI = jnp.where(do_scat, nI, sI)
+        sQ = jnp.where(do_scat, nQ, jnp.where(do_abs, 0.0, sQ))
+        sU = jnp.where(do_scat, nU, jnp.where(do_abs, 0.0, sU))
+        sV = jnp.where(do_scat, nV, jnp.where(do_abs, 0.0, sV))
+        ilam = jnp.where(do_abs, lam_new.astype(jnp.int32), ilam)
+        tau_rem = jnp.where(interact, _tau_draw(R[14]), tau_rem)
+
+        return MCState(x=x, y=y, z=z, u=u, v=v, w=w,
+                       sI=sI, sQ=sQ, sU=sU, sV=sV,
+                       ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
+                       alive=alive, emitted=emitted, xkj=xkj, nabs=nabs,
+                       sed=sed, it=s.it + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return MCResult(xkj=final.xkj, nabs=final.nabs, sed=final.sed,
+                    emitted=final.emitted, n_iters=final.it,
+                    n_lost=jnp.sum(final.alive.astype(jnp.int32)))
+
+
+def final_temperature(model: Model, xkj, n_packets) -> jax.Array:
+    """Cell temperature from the summed kappa*J tally (Temp_finale via
+    Temp_LTE with id=0, thermal_emission.f90:649-706,870)."""
+    l_packet = model.l_tot / jnp.asarray(n_packets, xkj.dtype)
+    qheat = xkj * l_packet / model.volume
+    logq = jnp.log(jnp.maximum(qheat, 1e-300))
+    n_T = model.tab_temp.shape[0]
+    ti = jnp.clip(jnp.searchsorted(model.log_qcool, logq), 1, n_T - 1)
+    q0 = model.log_qcool[ti - 1]
+    q1 = model.log_qcool[ti]
+    frac = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30), 0.0, 1.0)
+    logT = (jnp.log(model.tab_temp[ti]) * frac
+            + jnp.log(model.tab_temp[ti - 1]) * (1.0 - frac))
+    t_min = model.tab_temp[0]
+    cold = logq < model.log_qcool[0]
+    return jnp.where(cold, t_min, jnp.exp(logT))

@@ -1,0 +1,83 @@
+"""Mie kernel validation against analytic limits and classic benchmark values."""
+import numpy as np
+
+from mcfost_tpu.dust.mie import mie_batch
+
+
+def test_rayleigh_limit():
+    m = 1.5 + 0.0j
+    x = np.array([1e-3])
+    out = mie_batch(x, np.array([m]))
+    lor = (m ** 2 - 1) / (m ** 2 + 2)
+    qsca_ray = 8.0 / 3.0 * x ** 4 * np.abs(lor) ** 2
+    assert np.allclose(out["qsca"], qsca_ray, rtol=1e-4)
+    assert abs(out["gsca"][0]) < 1e-3
+
+
+def _mie_direct(x, m):
+    """Independent oracle: a_n/b_n from scipy spherical Bessel functions."""
+    from scipy.special import spherical_jn, spherical_yn
+    nmax = int(x + 4 * x ** (1 / 3) + 2) + 10
+    n = np.arange(1, nmax + 1)
+    psi = x * spherical_jn(n, x)
+    psi1 = x * spherical_jn(n - 1, x)
+    chi = -x * spherical_yn(n, x)
+    chi1 = -x * spherical_yn(n - 1, x)
+    xi, xi1 = psi - 1j * chi, psi1 - 1j * chi1
+    mx = m * x
+    nmx = int(max(nmax, abs(mx)) + 16)
+    D = np.zeros(nmax + 2, complex)
+    Dn = 0.0
+    for k in range(nmx, 0, -1):
+        Dn = k / mx - 1 / (Dn + k / mx)
+        if k - 1 <= nmax + 1:
+            D[k - 1] = Dn
+    Dn = D[1:nmax + 1]
+    da, db = Dn / m + n / x, Dn * m + n / x
+    an = (da * psi - psi1) / (da * xi - xi1)
+    bn = (db * psi - psi1) / (db * xi - xi1)
+    qext = 2 / x ** 2 * np.sum((2 * n + 1) * (an + bn).real)
+    qsca = 2 / x ** 2 * np.sum((2 * n + 1) * (np.abs(an) ** 2 + np.abs(bn) ** 2))
+    return qext, qsca
+
+
+def test_against_direct_bessel_solution():
+    # x=10, m=1.5 canonical value 2.8820 (Wiscombe/van de Hulst)
+    out = mie_batch(np.array([10.0]), np.array([1.5 + 0.0j]))
+    assert np.isclose(out["qext"][0], 2.8820, rtol=1e-3)
+    for x, m in [(1.0, 1.5 + 0.0j), (1.0, 1.5 + 0.5j), (3.0, 1.33 + 0.01j),
+                 (25.0, 1.7 + 0.1j), (100.0, 1.4 + 0.001j)]:
+        qe, qs = _mie_direct(x, m)
+        out = mie_batch(np.array([x]), np.array([m]))
+        assert np.isclose(out["qext"][0], qe, rtol=1e-5), (x, m)
+        assert np.isclose(out["qsca"][0], qs, rtol=1e-5), (x, m)
+
+
+def test_geometric_limit():
+    out = mie_batch(np.array([3000.0]), np.array([1.5 + 0.05j]))
+    assert np.isclose(out["qext"][0], 2.0, rtol=0.05)
+    assert 0 < out["qsca"][0] < out["qext"][0]
+
+
+def test_phase_function_normalisation():
+    # integral of s11 sin(theta) dtheta must equal Qsca with the reference's
+    # normalisation (src/scattering.f90:665-675 verification comment)
+    for x, m in [(0.5, 1.5 + 0.01j), (5.0, 1.7 + 0.3j), (50.0, 1.4 + 0.001j)]:
+        out = mie_batch(np.array([x]), np.array([m]), nang=721)
+        th = out["theta"]
+        norm = np.trapezoid(out["s11"][0] * np.sin(th), th)
+        assert np.isclose(norm, out["qsca"][0], rtol=2e-2), (x, m)
+
+
+def test_energy_and_batch_consistency():
+    # batch results identical to single calls
+    xs = np.array([0.01, 0.5, 3.0, 40.0, 300.0])
+    ms = np.array([1.5 + 0.1j] * 5)
+    batch = mie_batch(xs, ms)
+    for i, x in enumerate(xs):
+        single = mie_batch(np.array([x]), ms[i:i + 1])
+        assert np.isclose(batch["qext"][i], single["qext"][0], rtol=1e-12)
+        assert np.allclose(batch["s11"][i], single["s11"][0], rtol=1e-10)
+    assert np.all(batch["qext"] >= batch["qsca"])
+    assert np.all(batch["qsca"] > 0)
+    assert np.all((batch["gsca"] > -1) & (batch["gsca"] < 1))
