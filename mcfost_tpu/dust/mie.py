@@ -17,7 +17,53 @@ caller.
 """
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+
 import numpy as np
+
+_NATIVE = None
+
+
+def _load_native():
+    """Load (building if needed) the native C++ Mie kernel (native/mie.cpp);
+    returns None if unavailable so the NumPy path is used."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE if _NATIVE is not False else None
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    so = os.path.join(here, "native", "libmie.so")
+    if not os.path.isfile(so):
+        try:
+            subprocess.run(["make", "-C", os.path.join(here, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            _NATIVE = False
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.mie_batch_c.restype = ctypes.c_int
+        lib.mie_batch_c.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+        ]
+        _NATIVE = lib
+        return lib
+    except Exception:
+        _NATIVE = False
+        return None
 
 
 def _mie_chunk(x: np.ndarray, m: np.ndarray, mu: np.ndarray):
@@ -133,6 +179,18 @@ def mie_batch(x: np.ndarray, m: np.ndarray, nang: int = 181):
     P = x.shape[0]
     theta = np.linspace(0.0, np.pi, nang)
     mu = np.cos(theta)
+
+    lib = _load_native()
+    if lib is not None:
+        qext = np.zeros(P); qsca = np.zeros(P); gsca = np.zeros(P)
+        s11 = np.zeros((P, nang)); s12 = np.zeros((P, nang))
+        s33 = np.zeros((P, nang)); s34 = np.zeros((P, nang))
+        lib.mie_batch_c(P, np.ascontiguousarray(x),
+                        np.ascontiguousarray(m.real),
+                        np.ascontiguousarray(m.imag), nang,
+                        qext, qsca, gsca, s11, s12, s33, s34)
+        return dict(qext=qext, qsca=qsca, gsca=gsca,
+                    s11=s11, s12=s12, s33=s33, s34=s34, theta=theta)
 
     nstop = np.floor(x + 4.0 * x ** (1.0 / 3.0) + 2.0).astype(np.int64)
     order = np.argsort(nstop)

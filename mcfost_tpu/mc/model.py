@@ -50,8 +50,8 @@ class Model(NamedTuple):
     cdf_star: jax.Array        # (L, S+1)
     emission_cdf: jax.Array    # (L+1,) step-1 packet-wavelength CDF
     frac_e_stars: jax.Array    # (L,) star fraction of emission at lambda
-    prob_e_cell: jax.Array     # (n_cells+1,) disk-cell emission CDF per the
-                               # active wavelength (step 2) or zeros (step 1)
+    prob_e_cell: jax.Array     # (L, n_cells+1) per-wavelength disk-cell
+                               # emission CDF (zeros in step 1)
     l_tot: jax.Array           # scalar: total source luminosity (internal
                                # units); L_packet = l_tot / n_packets
 
@@ -122,7 +122,7 @@ def build_model(para: Para, dtype=jnp.float32,
         cdf_star=f(stars.cdf_star),
         emission_cdf=f(em_cdf),
         frac_e_stars=f(np.ones(L)),   # cold disk: all emission from stars
-        prob_e_cell=f(np.zeros(grid.n_cells + 1)),
+        prob_e_cell=f(np.zeros((L, grid.n_cells + 1))),
         l_tot=f(l_tot),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,

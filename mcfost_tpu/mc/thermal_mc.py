@@ -42,10 +42,12 @@ class MCState(NamedTuple):
     ri: jax.Array; zj: jax.Array
     tau_rem: jax.Array
     alive: jax.Array           # (B,) bool
+    fstar: jax.Array           # (B,) bool: packet emitted by a star
+    fscat: jax.Array           # (B,) bool: packet has scattered
     emitted: jax.Array         # scalar i32
     xkj: jax.Array             # (n_cells,) kappa*J path tally
     nabs: jax.Array            # (n_cells,) absorption counts
-    sed: jax.Array             # (L, n_capt) MC SED
+    sed: jax.Array             # (L, n_capt, 8) MC SED: I,Q,U,V + 4 contribs
     it: jax.Array              # scalar i32
 
 
@@ -58,7 +60,7 @@ class MCResult(NamedTuple):
     n_lost: jax.Array          # lanes still alive at the iteration cap
 
 
-def _emit(model: Model, rands, dtype):
+def _emit(model: Model, rands, dtype, lam_forced=None):
     """Draw fresh packets for every lane (masked-in by the caller).
 
     Emission physics: wavelength from the global emission CDF
@@ -69,7 +71,10 @@ def _emit(model: Model, rands, dtype):
     r_lam, r_sd, r1, r2, r3, r4, r5, r6 = rands
     L = model.n_lambda
 
-    ilam = bisect_cdf(lambda k: model.emission_cdf[k], L, r_lam) - 1
+    if lam_forced is None:
+        ilam = bisect_cdf(lambda k: model.emission_cdf[k], L, r_lam) - 1
+    else:
+        ilam = lam_forced
 
     from_star = r_sd <= model.frac_e_stars[ilam]
 
@@ -94,7 +99,8 @@ def _emit(model: Model, rands, dtype):
     # --- disk thermal emission (SED/image steps; prob_e_cell is zeros in
     # step 1 so this branch is never selected then)
     n_cells = model.volume.shape[0]
-    icell_d = bisect_cdf(lambda k: model.prob_e_cell[k], n_cells, r1) - 1
+    icell_d = bisect_cdf(lambda k: model.prob_e_cell[ilam, k],
+                         n_cells, r1) - 1
     ri_d = (icell_d % model.grid.n_rad) + 1
     zj_d = (icell_d // model.grid.n_rad) + 1
     xd, yd, zd = cyl.pos_in_cell(model.grid, ri_d, zj_d, r2, r3, r4)
@@ -145,10 +151,12 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         sI=zf, sQ=zf, sU=zf, sV=zf,
         ilam=zi, ri=zi, zj=zi + 1, tau_rem=zf,
         alive=jnp.zeros(B, bool),
+        fstar=jnp.zeros(B, bool),
+        fscat=jnp.zeros(B, bool),
         emitted=jnp.zeros((), jnp.int32),
         xkj=jnp.zeros(n_cells, dtype),
         nabs=jnp.zeros(n_cells, dtype),
-        sed=jnp.zeros((L, n_capt), dtype),
+        sed=jnp.zeros((L, n_capt, 8), dtype),
         it=jnp.zeros((), jnp.int32),
     )
     n_budget = jnp.asarray(n_packets, jnp.int32)
@@ -170,8 +178,16 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         do_emit = need & (rank <= (n_budget - s.emitted))
         emitted = s.emitted + jnp.sum(do_emit.astype(jnp.int32))
 
-        ex, ey, ez, eu, ev, ew, eilam, eri, ezj, _ = _emit(
-            model, R[:8], dtype)
+        if mono:
+            # observables step: deterministic round-robin wavelength so each
+            # lambda gets an equal packet budget (replaces the reference's
+            # per-wavelength etapes, dust_transfer.f90:381-415)
+            ordinal = s.emitted + rank - 1
+            lam_forced = (ordinal % L).astype(jnp.int32)
+        else:
+            lam_forced = None
+        ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar = _emit(
+            model, R[:8], dtype, lam_forced)
         sel = lambda a, b: jnp.where(do_emit, a, b)
         x = sel(ex, s.x); y = sel(ey, s.y); z = sel(ez, s.z)
         u = sel(eu, s.u); v = sel(ev, s.v); w = sel(ew, s.w)
@@ -179,6 +195,8 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         ri = sel(eri, s.ri); zj = sel(ezj, s.zj)
         sI = sel(jnp.ones(B, dtype), s.sI)
         sQ = sel(zf, s.sQ); sU = sel(zf, s.sU); sV = sel(zf, s.sV)
+        fstar = sel(efstar, s.fstar)
+        fscat = sel(jnp.zeros(B, bool), s.fscat)
         tau_rem = sel(_tau_draw(R[8]), s.tau_rem)
         alive = s.alive | do_emit
 
@@ -225,8 +243,22 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         capt = jnp.clip(((1.0 - wfold) * n_capt).astype(jnp.int32),
                         0, n_capt - 1)
         sed_idx = ilam * n_capt + capt
-        sed = s.sed.reshape(-1).at[sed_idx].add(
-            jnp.where(exited, sI, 0.0)).reshape(L, n_capt)
+        # U changes sign under the central-symmetry fold
+        # (capteur, output.f90:328-340)
+        uf = jnp.where(w < 0, -sU, sU)
+        ex_w = jnp.where(exited, sI, 0.0)
+        contrib = jnp.stack([
+            jnp.where(exited, sI, 0.0),
+            jnp.where(exited, sQ, 0.0),
+            jnp.where(exited, uf, 0.0),
+            jnp.where(exited, sV, 0.0),
+            jnp.where(fstar & ~fscat, ex_w, 0.0),
+            jnp.where(fstar & fscat, ex_w, 0.0),
+            jnp.where(~fstar & ~fscat, ex_w, 0.0),
+            jnp.where(~fstar & fscat, ex_w, 0.0),
+        ], axis=-1)                                   # (B, 8)
+        sed = s.sed.reshape(-1, 8).at[sed_idx].add(contrib).reshape(
+            L, n_capt, 8)
         alive = alive & ~exited
 
         # ---- 4. interactions
@@ -307,11 +339,14 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         sV = jnp.where(do_scat, nV, jnp.where(do_abs, 0.0, sV))
         ilam = jnp.where(do_abs, lam_new.astype(jnp.int32), ilam)
         tau_rem = jnp.where(interact, _tau_draw(R[14]), tau_rem)
+        fscat = jnp.where(do_scat, True, jnp.where(do_abs, False, fscat))
+        fstar = jnp.where(do_abs, False, fstar)
 
         return MCState(x=x, y=y, z=z, u=u, v=v, w=w,
                        sI=sI, sQ=sQ, sU=sU, sV=sV,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
-                       alive=alive, emitted=emitted, xkj=xkj, nabs=nabs,
+                       alive=alive, fstar=fstar, fscat=fscat,
+                       emitted=emitted, xkj=xkj, nabs=nabs,
                        sed=sed, it=s.it + 1)
 
     final = jax.lax.while_loop(cond, body, state)

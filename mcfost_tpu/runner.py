@@ -56,7 +56,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
               f"{int(res.n_iters)} steps, lost {int(res.n_lost)}")
 
     T = np.asarray(thermal_mc.final_temperature(model, res.xkj, int(res.emitted)))
-    sed = np.asarray(res.sed, np.float64)          # (L, n_capt)
+    sed = np.asarray(res.sed[..., 0], np.float64)  # (L, n_capt) Stokes I
 
     # outputs
     data_dir = os.path.join(root_dir, "data_th")

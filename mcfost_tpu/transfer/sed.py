@@ -1,0 +1,106 @@
+"""Step-2 observables: monochromatic MC SED over all wavelengths at once.
+
+The reference runs one MC stage ("etape") per wavelength sequentially
+(dust_transfer.f90:381-835).  TPU-native redesign: since the monochromatic
+stages are mutually independent (forced scattering, no B&W coupling), ALL
+wavelengths run simultaneously in one fused kernel invocation — packet lanes
+carry their own wavelength, assigned round-robin so each wavelength receives
+an equal budget.
+
+Emission split per wavelength follows repartition_energie
+(thermal_emission.f90:1771-1949): stellar emission vs thermal disk emission
+from the step-1 temperature, with the disk-cell CDF; flux calibration
+follows E_totale / ecriture_sed(2) (thermal_emission.f90:1915-1926,
+output.f90:3081-3110).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from .. import constants as cst
+from ..config.para import Para
+from ..io.fits import write_fits
+from ..mc.model import Model, HostModel
+from ..mc import thermal_mc
+from ..physics.stars import bb_shape
+
+
+def sed_emission_tables(model: Model, host: HostModel, T_cells: np.ndarray):
+    """Per-wavelength emission quantities from the step-1 temperature.
+
+    Returns (frac_e_stars (L,), prob_e_cell (L, n_cells+1), E_totale (L,))."""
+    wl = host.wl
+    L = wl.n
+    kabs = np.asarray(model.kappa_abs, np.float64)      # per unit density
+    rho = host.rho_dust
+    V = np.asarray(model.volume, np.float64)
+    E_star = host.stars.E_stars
+
+    # E_cell(l, cell) = 4 kappa_abs(l) rho V B_shape(l, T)
+    # (repartition_energie, thermal_emission.f90:1814-1830)
+    wl_m = wl.lam * 1e-6
+    cst_wl = cst.thermal_const / np.maximum(
+        np.outer(np.ones(L), T_cells) * wl_m[:, None], 1e-30)
+    ok = cst_wl < 500.0
+    planck = np.where(ok, 1.0 / (wl_m[:, None] ** 5
+                                 * (np.exp(np.minimum(cst_wl, 500.0)) - 1.0)),
+                      0.0)
+    E_cell = 4.0 * kabs[:, None] * (rho * V)[None, :] * planck   # (L, C)
+    E_disk = E_cell.sum(1)
+
+    frac = E_star / np.maximum(E_star + E_disk, 1e-300)
+    cdf = np.concatenate([np.zeros((L, 1)), np.cumsum(E_cell, axis=1)], axis=1)
+    tot = np.maximum(cdf[:, -1:], 1e-300)
+    prob_e_cell = cdf / tot
+
+    # flux calibration at the observer distance
+    # (E_totale, thermal_emission.f90:1915-1926, l_sym_centrale branch)
+    n_capt, n_phi = 10, 1
+    surface = 4 * np.pi * (cst.pc_to_AU * host.para.maps.distance) ** 2
+    e_totale = (2.0 * np.pi * cst.hp * cst.c_light ** 2 / surface
+                * (E_star + E_disk) * n_capt * n_phi)
+    return frac, prob_e_cell, e_totale
+
+
+def run_mc_sed(model: Model, host: HostModel, T_cells: np.ndarray,
+               key, n_per_lambda: int = 10000, batch: int = 16384,
+               n_capt: int = 10, max_iters: int = 300000):
+    """Run the all-wavelength monochromatic MC and return the calibrated SED.
+
+    Returns dict with 'sed' (L, n_capt, 9): lambda.F_lambda W/m^2 for
+    I,Q,U,V + star/star_scat/disk/disk_scat contributions + photon counts."""
+    frac, prob_e_cell, e_totale = sed_emission_tables(model, host, T_cells)
+    dtype = model.kappa.dtype
+    import jax.numpy as jnp
+    model2 = model._replace(
+        frac_e_stars=jnp.asarray(frac, dtype),
+        prob_e_cell=jnp.asarray(prob_e_cell, dtype))
+
+    L = host.wl.n
+    n_packets = n_per_lambda * L
+    res = thermal_mc.run_thermal_mc(model2, key, n_packets, batch=batch,
+                                    n_capt=n_capt, max_iters=max_iters,
+                                    mono=True)
+    sed_raw = np.asarray(res.sed, np.float64)           # (L, n_capt, 8)
+    n_sent = np.full(L, n_per_lambda, np.float64)
+    factor = (e_totale / n_sent) * host.wl.lam * 1e-6   # -> lambda F_lambda
+    out = np.zeros((L, n_capt, 9))
+    out[..., :8] = sed_raw * factor[:, None, None]
+    out[..., 8] = sed_raw[..., 0] * 0 + n_sent[:, None] / n_capt
+    return {"sed": out, "raw": sed_raw, "e_totale": e_totale, "res": res}
+
+
+def write_sed_mc(path_dir: str, host: HostModel, sed: np.ndarray):
+    """Write sed_mc.fits.gz [n_lambda, N_thet, N_phi, 9]
+    (ecriture_sed(2), output.f90:3081-3130)."""
+    os.makedirs(path_dir, exist_ok=True)
+    L, n_capt, ncol = sed.shape
+    arr = sed.transpose(2, 1, 0)[:, None, :, :]         # (9, n_phi=1, capt, L)
+    arr = np.ascontiguousarray(arr.reshape(ncol, 1, n_capt, L))
+    write_fits(os.path.join(path_dir, "sed_mc.fits.gz"),
+               arr.astype(np.float32),
+               extensions=[host.wl.lam.astype(np.float64)],
+               keywords={"BUNIT": "W.m-2"})
