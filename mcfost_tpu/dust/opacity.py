@@ -120,6 +120,13 @@ class DustModel:
     albedo: np.ndarray         # (P, L)
     g_cell: np.ndarray         # (P, L) mean asymmetry parameter
     ksca_cdf: np.ndarray       # (P, L, K) CDF over grain for scatterer draw
+    # cell-mean Mueller tables for ray-tracing (calc_local_scattering_matrices,
+    # dust_prop.f90:1086-1199): s11_rt normalised so the scattered energy over
+    # the sphere is 1 (dust_prop.f90:1169-1171); s12/s33/s34 as ratios to s11
+    s11_rt: Optional[np.ndarray] = None   # (P, L, A)
+    s12_rt: Optional[np.ndarray] = None   # (P, L, A)
+    s33_rt: Optional[np.ndarray] = None   # (P, L, A)
+    s34_rt: Optional[np.ndarray] = None   # (P, L, A)
     kappa_factor: Optional[np.ndarray] = None  # (n_cells,) rho/rho_ref
     uniform: bool = True
 
@@ -221,6 +228,26 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
     tot = np.maximum(ksca_cdf[..., -1:], 1e-300)
     ksca_cdf = ksca_cdf / tot
 
+    # --- cell-mean Mueller tables for ray-tracing
+    # (calc_local_scattering_matrices, dust_prop.f90:1098-1171):
+    # sum_k s11_k(theta) * S_k * n_k, then normalised by k_sca and
+    # dtheta/(2 pi) so the scattered energy over the sphere is 1
+    # our s11 is Qsca-normalised (1/(0.5 x^2) factor), so s11*S_grain
+    # integrates over the sphere to C_sca
+    s11_sum = (s11 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
+    s12_sum = (s12 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
+    s33_sum = (s33 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
+    s34_sum = (s34 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
+    k_sca_tot = (c_sca * dens[:, None]).sum(0)      # (L,)
+    s11_safe2 = np.where(s11_sum > 0, s11_sum, 1.0)
+    s12_rt = s12_sum / s11_safe2
+    s33_rt = s33_sum / s11_safe2
+    s34_rt = s34_sum / s11_safe2
+    s11_rt = (s11_sum / np.maximum(k_sca_tot[:, None], 1e-300)
+              * (dtheta / (2.0 * np.pi)))
+    s11_rt = s11_rt[None]
+    s12_rt = s12_rt[None]; s33_rt = s33_rt[None]; s34_rt = s34_rt[None]
+
     # kappa in AU^-1 (for the reference cell; kappa_factor applied per cell)
     kappa = kappa * cst.opacity_norm_fact
     kabs = kabs * cst.opacity_norm_fact
@@ -231,4 +258,6 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         tab_s11=tab_s11, tab_s12=tab_s12, tab_s33=tab_s33, tab_s34=tab_s34,
         prob_s11=prob_s11,
         kappa=kappa, kappa_abs=kabs, albedo=albedo, g_cell=g_cell,
-        ksca_cdf=ksca_cdf, uniform=True)
+        ksca_cdf=ksca_cdf,
+        s11_rt=s11_rt, s12_rt=s12_rt, s33_rt=s33_rt, s34_rt=s34_rt,
+        uniform=True)

@@ -54,6 +54,14 @@ class Model(NamedTuple):
                                # emission CDF (zeros in step 1)
     l_tot: jax.Array           # scalar: total source luminosity (internal
                                # units); L_packet = l_tot / n_packets
+    # ray-tracing tables (cell-mean phase matrices, normalised so scattered
+    # energy over the sphere is 1; dust_prop.f90:1098-1171) and observer
+    # directions (init_directions_ray_tracing, dust_ray_tracing.f90:234-300)
+    s11_rt: jax.Array          # (L, A)
+    s12_rt: jax.Array          # (L, A)
+    s33_rt: jax.Array          # (L, A)
+    s34_rt: jax.Array          # (L, A)
+    rt_dirs: jax.Array         # (nRT, 3) unit vectors toward observers
 
     @property
     def n_lambda(self) -> int:
@@ -76,6 +84,35 @@ class HostModel(NamedTuple):
     stars: StarModel
     thermal: thermal_mod.ThermalTables
     rho_dust: np.ndarray
+
+
+def rt_directions(para: Para) -> np.ndarray:
+    """Observer unit vectors for the RT inclinations/azimuths
+    (init_directions_ray_tracing, dust_ray_tracing.f90:234-300): inclinations
+    evenly spaced in cos(i) between imin and imax; phi=0 along -y."""
+    m = para.maps
+    if m.n_incl == 1:
+        incl = np.array([m.imin])
+    else:
+        cmin, cmax = np.cos(np.deg2rad(m.imin)), np.cos(np.deg2rad(m.imax))
+        if m.centered:
+            f = (np.arange(m.n_incl) + 0.5) / m.n_incl
+        else:
+            f = np.arange(m.n_incl) / (m.n_incl - 1.0)
+        incl = np.rad2deg(np.arccos(cmin + f * (cmax - cmin)))
+    if m.n_az_angles == 1:
+        az = np.array([m.az_min])
+    else:
+        az = m.az_min + np.arange(m.n_az_angles) / (m.n_az_angles - 1.0) \
+            * (m.az_max - m.az_min)
+    dirs = []
+    for a in az:
+        for i in incl:
+            uv = max(np.sin(np.deg2rad(abs(i))), 1e-20)
+            w = np.cos(np.deg2rad(i))
+            dirs.append([uv * np.sin(np.deg2rad(a)),
+                         -uv * np.cos(np.deg2rad(a)), w])
+    return np.array(dirs)
 
 
 def build_model(para: Para, dtype=jnp.float32,
@@ -124,6 +161,11 @@ def build_model(para: Para, dtype=jnp.float32,
         frac_e_stars=f(np.ones(L)),   # cold disk: all emission from stars
         prob_e_cell=f(np.zeros((L, grid.n_cells + 1))),
         l_tot=f(l_tot),
+        s11_rt=f(dust.s11_rt[0]),
+        s12_rt=f(dust.s12_rt[0]),
+        s33_rt=f(dust.s33_rt[0]),
+        s34_rt=f(dust.s34_rt[0]),
+        rt_dirs=f(rt_directions(para)),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho)

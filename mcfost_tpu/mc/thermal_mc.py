@@ -48,6 +48,8 @@ class MCState(NamedTuple):
     xkj: jax.Array             # (n_cells,) kappa*J path tally
     nabs: jax.Array            # (n_cells,) absorption counts
     sed: jax.Array             # (L, n_capt, 8) MC SED: I,Q,U,V + 4 contribs
+    xi: jax.Array              # RT1 scattered-intensity tally
+                               # (L*n_cells*n_az_rt*2, nRT, 6) or (1,1,1)
     it: jax.Array              # scalar i32
 
 
@@ -58,6 +60,7 @@ class MCResult(NamedTuple):
     emitted: jax.Array
     n_iters: jax.Array
     n_lost: jax.Array          # lanes still alive at the iteration cap
+    xi: jax.Array = None       # RT1 tally when rt was enabled
 
 
 def _emit(model: Model, rands, dtype, lam_forced=None):
@@ -124,13 +127,50 @@ def _tau_draw(r):
     return jnp.where(r > 1e-6, -jnp.log1p(-r), r)
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "n_capt", "max_iters",
-                                             "pola", "mono"))
-def run_thermal_mc(model: Model, key, n_packets: int,
-                   batch: int = 16384, n_capt: int = 10,
-                   max_iters: int = 300000, pola: bool = True,
-                   mono: bool = False) -> MCResult:
-    """Run the thermal MC until ``n_packets`` have been emitted and died.
+def init_state(model: Model, batch: int, n_capt: int = 10,
+               rt: bool = False, n_az_rt: int = 45) -> MCState:
+    """Fresh all-dead MC state (lanes are populated by refill).
+
+    rt=True allocates the RT1 scattered-intensity tally
+    (xI_scatt, reference dust_ray_tracing.f90:33): per (wavelength, cell,
+    azimuth bin, z-sign) and per (observer direction, Stokes/contrib type)."""
+    dtype = model.kappa.dtype
+    n_cells = model.grid.n_cells
+    L = model.n_lambda
+    B = batch
+    # NB: every field gets its own buffer (donation forbids aliased args)
+    zf = lambda: jnp.zeros(B, dtype)
+    zi = lambda: jnp.zeros(B, jnp.int32)
+    return MCState(
+        x=zf(), y=zf(), z=zf(), u=zf(), v=zf(), w=jnp.ones(B, dtype),
+        sI=zf(), sQ=zf(), sU=zf(), sV=zf(),
+        ilam=zi(), ri=zi(), zj=jnp.ones(B, jnp.int32), tau_rem=zf(),
+        alive=jnp.zeros(B, bool),
+        fstar=jnp.zeros(B, bool),
+        fscat=jnp.zeros(B, bool),
+        emitted=jnp.zeros((), jnp.int32),
+        xkj=jnp.zeros(n_cells, dtype),
+        nabs=jnp.zeros(n_cells, dtype),
+        sed=jnp.zeros((L, n_capt, 8), dtype),
+        xi=(jnp.zeros((L * n_cells * n_az_rt * 2,
+                       model.rt_dirs.shape[0], 6), dtype)
+            if rt else jnp.zeros((1, 1, 1), dtype)),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
+                                             "rt", "n_az_rt"),
+                   donate_argnums=(2,))
+def advance(model: Model, key, state: MCState, n_packets,
+            n_iters: int = 2000, pola: bool = True,
+            mono: bool = False, rt: bool = False,
+            n_az_rt: int = 45) -> MCState:
+    """Advance the MC by at most ``n_iters`` lock-step iterations.
+
+    Device executions are kept short (the host driver loops) so single XLA
+    invocations stay well under infrastructure deadlines and progress can be
+    reported.  State is donated: the loop runs in place on device.
 
     mono=False: thermal step (etape 1) with B&W reemission.
     mono=True: monochromatic observable step — forced scattering with albedo
@@ -142,30 +182,18 @@ def run_thermal_mc(model: Model, key, n_packets: int,
     n_cells = grid.n_cells
     L = model.n_lambda
     nang = model.nang
-    B = batch
-
+    B = state.x.shape[0]
+    n_capt = state.sed.shape[1]
     zf = jnp.zeros(B, dtype)
-    zi = jnp.zeros(B, jnp.int32)
-    state = MCState(
-        x=zf, y=zf, z=zf, u=zf, v=zf, w=zf + 1.0,
-        sI=zf, sQ=zf, sU=zf, sV=zf,
-        ilam=zi, ri=zi, zj=zi + 1, tau_rem=zf,
-        alive=jnp.zeros(B, bool),
-        fstar=jnp.zeros(B, bool),
-        fscat=jnp.zeros(B, bool),
-        emitted=jnp.zeros((), jnp.int32),
-        xkj=jnp.zeros(n_cells, dtype),
-        nabs=jnp.zeros(n_cells, dtype),
-        sed=jnp.zeros((L, n_capt, 8), dtype),
-        it=jnp.zeros((), jnp.int32),
-    )
+
     n_budget = jnp.asarray(n_packets, jnp.int32)
     # luminosity carried by each packet (repartition_wl_em,
     # thermal_emission.f90:344-356)
-    l_packet = model.l_tot / jnp.asarray(n_packets, dtype)
+    l_packet = model.l_tot / n_budget.astype(dtype)
+    it_end = state.it + n_iters
 
     def cond(s: MCState):
-        return ((s.it < max_iters)
+        return ((s.it < it_end)
                 & (jnp.any(s.alive) | (s.emitted < n_budget)))
 
     def body(s: MCState):
@@ -228,6 +256,73 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         dep_w = jnp.where(alive & inside, model.kappa_abs[ilam] * l_eff * sI,
                           0.0)
         xkj = s.xkj.at[flat].add(dep_w)
+
+        # ---- RT1 scattered-intensity tally (calc_xI_scatt(_pola),
+        # dust_ray_tracing.f90:480-632; angles in angles_scatt_rt1 :409-476)
+        if rt:
+            from .sampling import rotation_to_frame
+            xm = x + 0.5 * l_eff * u
+            ym = y + 0.5 * l_eff * v
+            zm = z + 0.5 * l_eff * w
+            phi_pos = jnp.arctan2(xm, ym)
+            kphi = jnp.clip((jnp.mod(phi_pos, 2.0 * jnp.pi)
+                             / (2.0 * jnp.pi) * n_az_rt).astype(jnp.int32),
+                            0, n_az_rt - 1)
+            psup = jnp.where(zm > 0.0, 0, 1)
+            base = ((ilam * n_cells + flat) * n_az_rt + kphi) * 2 + psup
+            valid = (alive & inside).astype(dtype) * l_eff
+            xi = s.xi
+            n_rt = model.rt_dirs.shape[0]
+            for i_rt in range(n_rt):
+                do0 = model.rt_dirs[i_rt, 0]
+                do1 = model.rt_dirs[i_rt, 1]
+                do2 = model.rt_dirs[i_rt, 2]
+                cos_sc = u * do0 + v * do1 + w * do2
+                itr = jnp.clip(jnp.round(
+                    jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
+                    * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
+                s11c = model.s11_rt[ilam, itr]
+                if pola:
+                    _, v1pj, v1pk = rotation_to_frame(u, v, w,
+                                                      -do0, -do1, -do2)
+                    xnyp = jnp.sqrt(jnp.maximum(
+                        v1pj * v1pj + v1pk * v1pk, 0.0))
+                    costhet = jnp.where(xnyp < 1e-10, 1.0,
+                                        -v1pj / jnp.maximum(xnyp, 1e-30))
+                    theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
+                    theta = jnp.where(theta >= jnp.pi, 0.0, theta) \
+                        + 0.5 * jnp.pi
+                    omega = jnp.where(v1pk < 0.0, -2.0 * theta, 2.0 * theta)
+                    cosw = jnp.cos(omega)
+                    sinw = jnp.sin(omega)
+                    # Mueller elements with the reference's RT sign
+                    # convention (calc_xI_scatt_pola :576-584)
+                    sm12 = -s11c * model.s12_rt[ilam, itr]
+                    sm33 = -s11c * model.s33_rt[ilam, itr]
+                    sm34 = -s11c * model.s34_rt[ilam, itr]
+                    sm44 = sm33          # s44 = s33 for Mie spheres
+                    c2 = cosw * sQ - sinw * sU
+                    c3 = sinw * sQ + cosw * sU
+                    d1 = s11c * sI + sm12 * c2
+                    d2 = sm12 * sI + s11c * c2
+                    d3 = sm33 * c3 - sm34 * sV
+                    d4 = sm34 * c3 + sm44 * sV
+                    S1o = d1
+                    S2o = -cosw * d2 - sinw * d3
+                    S3o = -sinw * d2 + cosw * d3
+                    S4o = d4
+                else:
+                    S1o = s11c * sI
+                    S2o = jnp.zeros_like(S1o)
+                    S3o = jnp.zeros_like(S1o)
+                    S4o = jnp.zeros_like(S1o)
+                fs = fstar.astype(dtype)
+                vals = jnp.stack([S1o, S2o, S3o, S4o,
+                                  S1o * fs, S1o * (1.0 - fs)],
+                                 axis=-1) * valid[:, None]
+                xi = xi.at[base, i_rt].add(vals)
+        else:
+            xi = s.xi
 
         x = jnp.where(interact, x + l_eff * u, jnp.where(alive, x1, x))
         y = jnp.where(interact, y + l_eff * v, jnp.where(alive, y1, y))
@@ -347,12 +442,35 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
                        alive=alive, fstar=fstar, fscat=fscat,
                        emitted=emitted, xkj=xkj, nabs=nabs,
-                       sed=sed, it=s.it + 1)
+                       sed=sed, xi=xi, it=s.it + 1)
 
-    final = jax.lax.while_loop(cond, body, state)
-    return MCResult(xkj=final.xkj, nabs=final.nabs, sed=final.sed,
-                    emitted=final.emitted, n_iters=final.it,
-                    n_lost=jnp.sum(final.alive.astype(jnp.int32)))
+    return jax.lax.while_loop(cond, body, state)
+
+
+def run_thermal_mc(model: Model, key, n_packets: int,
+                   batch: int = 16384, n_capt: int = 10,
+                   max_iters: int = 1000000, pola: bool = True,
+                   mono: bool = False, iters_per_call: int = 2000,
+                   rt: bool = False, n_az_rt: int = 45,
+                   progress=None) -> MCResult:
+    """Run the MC to completion by chunked device calls (see `advance`)."""
+    state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt)
+    done_iters = 0
+    while done_iters < max_iters:
+        state = advance(model, key, state, n_packets,
+                        n_iters=min(iters_per_call, max_iters - done_iters),
+                        pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt)
+        done_iters = int(state.it)
+        emitted = int(state.emitted)
+        n_alive = int(jnp.sum(state.alive))
+        if progress is not None:
+            progress(done_iters, emitted, n_alive)
+        if emitted >= n_packets and n_alive == 0:
+            break
+    return MCResult(xkj=state.xkj, nabs=state.nabs, sed=state.sed,
+                    emitted=state.emitted, n_iters=state.it,
+                    n_lost=jnp.sum(state.alive.astype(jnp.int32)),
+                    xi=state.xi)
 
 
 def final_temperature(model: Model, xkj, n_packets) -> jax.Array:

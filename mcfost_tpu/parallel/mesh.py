@@ -3,10 +3,14 @@
 TPU-native replacement for the reference's OpenMP threading
 (dust_transfer.f90:533-605): photon packets are data-parallel across a
 `jax.sharding.Mesh`; each device runs the fused MC kernel on its own lane
-block with an independent RNG key and *private tally arrays*, which are then
-`psum`-reduced over ICI — the exact analogue of the reference's per-thread
-trailing-dimension tallies summed at the end
+block with an independent RNG key and *private tally arrays*, which are
+`psum`-reduced over ICI at the end — the exact analogue of the reference's
+per-thread trailing-dimension tallies summed after the loop
 (radiation_field.f90:20-23, thermal_emission.f90:668).
+
+Device executions are chunked (mc.thermal_mc.advance) and driven by a host
+loop, so single XLA invocations stay short; the MC state lives on device
+between chunks, sharded over the ``dp`` axis.
 
 Axes:
 * ``dp`` — packet data parallelism (always);
@@ -35,33 +39,61 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(devs, (axis,))
 
 
+def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool):
+    """Build the shard_mapped per-chunk advance: every device evolves its own
+    MCState block (leading axis = device)."""
+
+    def dev_fn(model, key, state, n_budget):
+        # strip the leading per-device axis
+        key = key[0]
+        n_budget = n_budget[0]
+        st = jax.tree.map(lambda a: a[0], state)
+        st = thermal_mc.advance(model, key, st, n_budget, n_iters=n_iters,
+                                pola=pola, mono=mono)
+        return jax.tree.map(lambda a: a[None], st)
+
+    return jax.shard_map(
+        dev_fn, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False)
+
+
 def run_thermal_mc_sharded(model: Model, key, n_packets: int,
                            mesh: Mesh, batch_per_device: int = 16384,
-                           n_capt: int = 10, max_iters: int = 300000,
-                           pola: bool = True, mono: bool = False):
-    """Run the thermal MC across all devices of ``mesh``; returns globally
-    reduced tallies (same structure as run_thermal_mc's MCResult)."""
+                           n_capt: int = 10, max_iters: int = 1000000,
+                           pola: bool = True, mono: bool = False,
+                           iters_per_call: int = 2000,
+                           progress=None) -> thermal_mc.MCResult:
+    """Run the MC across all devices of ``mesh``; returns globally reduced
+    tallies (same structure as run_thermal_mc's MCResult)."""
     n_dev = mesh.devices.size
     n_per_dev = int(np.ceil(n_packets / n_dev))
     keys = jax.random.split(key, n_dev)
+    budgets = jnp.full((n_dev,), n_per_dev, jnp.int32)
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P("dp")),
-        out_specs=P(),
-        check_vma=False)
-    def _run(m, k):
-        res = thermal_mc.run_thermal_mc(
-            m, k[0], n_per_dev, batch=batch_per_device, n_capt=n_capt,
-            max_iters=max_iters, pola=pola, mono=mono)
-        # psum the per-device private tallies over ICI
-        return thermal_mc.MCResult(
-            xkj=jax.lax.psum(res.xkj, "dp"),
-            nabs=jax.lax.psum(res.nabs, "dp"),
-            sed=jax.lax.psum(res.sed, "dp"),
-            emitted=jax.lax.psum(res.emitted, "dp"),
-            n_iters=jax.lax.pmax(res.n_iters, "dp"),
-            n_lost=jax.lax.psum(res.n_lost, "dp"),
-        )
+    # per-device states stacked on a sharded leading axis
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape),
+        thermal_mc.init_state(model, batch_per_device, n_capt))
 
-    return _run(model, keys)
+    adv = _sharded_advance(mesh, iters_per_call, pola, mono)
+    done = 0
+    while done < max_iters:
+        state = adv(model, keys, state, budgets)
+        done = int(jnp.max(state.it))
+        emitted = int(jnp.sum(state.emitted))
+        n_alive = int(jnp.sum(state.alive))
+        if progress is not None:
+            progress(done, emitted, n_alive)
+        if emitted >= n_per_dev * n_dev and n_alive == 0:
+            break
+
+    return thermal_mc.MCResult(
+        xkj=jnp.sum(state.xkj, axis=0),
+        nabs=jnp.sum(state.nabs, axis=0),
+        sed=jnp.sum(state.sed, axis=0),
+        emitted=jnp.sum(state.emitted),
+        n_iters=jnp.max(state.it),
+        n_lost=jnp.sum(state.alive.astype(jnp.int32)),
+    )

@@ -67,7 +67,8 @@ def sed_emission_tables(model: Model, host: HostModel, T_cells: np.ndarray):
 
 def run_mc_sed(model: Model, host: HostModel, T_cells: np.ndarray,
                key, n_per_lambda: int = 10000, batch: int = 16384,
-               n_capt: int = 10, max_iters: int = 300000):
+               n_capt: int = 10, max_iters: int = 300000,
+               rt: bool = False, n_az_rt: int = 45):
     """Run the all-wavelength monochromatic MC and return the calibrated SED.
 
     Returns dict with 'sed' (L, n_capt, 9): lambda.F_lambda W/m^2 for
@@ -83,14 +84,15 @@ def run_mc_sed(model: Model, host: HostModel, T_cells: np.ndarray,
     n_packets = n_per_lambda * L
     res = thermal_mc.run_thermal_mc(model2, key, n_packets, batch=batch,
                                     n_capt=n_capt, max_iters=max_iters,
-                                    mono=True)
+                                    mono=True, rt=rt, n_az_rt=n_az_rt)
     sed_raw = np.asarray(res.sed, np.float64)           # (L, n_capt, 8)
     n_sent = np.full(L, n_per_lambda, np.float64)
     factor = (e_totale / n_sent) * host.wl.lam * 1e-6   # -> lambda F_lambda
     out = np.zeros((L, n_capt, 9))
     out[..., :8] = sed_raw * factor[:, None, None]
     out[..., 8] = sed_raw[..., 0] * 0 + n_sent[:, None] / n_capt
-    return {"sed": out, "raw": sed_raw, "e_totale": e_totale, "res": res}
+    return {"sed": out, "raw": sed_raw, "e_totale": e_totale, "res": res,
+            "n_sent": n_sent}
 
 
 def write_sed_mc(path_dir: str, host: HostModel, sed: np.ndarray):

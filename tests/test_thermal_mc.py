@@ -45,7 +45,7 @@ def test_energy_conservation(thin_setup):
     assert int(res.n_lost) == 0
     # all packets exit with unit energy (B&W conserves packet energy;
     # star-hit losses are < 1e-3 for an optically thin disk)
-    assert np.isclose(float(res.sed.sum()), 4000, rtol=2e-3)
+    assert np.isclose(float(res.sed[..., 0].sum()), 4000, rtol=2e-3)
 
 
 def test_optically_thin_temperature(thin_setup):
@@ -92,7 +92,7 @@ def test_thick_disk_runs_and_cools_midplane():
     res = run_thermal_mc(model, jax.random.PRNGKey(3), 30000,
                          batch=8192, max_iters=100000)
     assert int(res.n_lost) == 0
-    assert np.isclose(float(res.sed.sum()), float(res.emitted), rtol=5e-3)
+    assert np.isclose(float(res.sed[..., 0].sum()), float(res.emitted), rtol=5e-3)
     T = np.asarray(final_temperature(model, res.xkj, int(res.emitted))).reshape(10, 20)
     # inner-region midplane vs upper layers
     mid_inner = T[0, 1:6].mean()
