@@ -73,27 +73,26 @@ def main(argv=None):
 
     import jax
     import numpy as np
-    from .runner import run_thermal
-    from .transfer.sed import run_mc_sed, write_sed_mc
+    from .runner import run_thermal, run_sed_step
 
     t_start = time.time()
+    if img_lambda is not None:
+        # image mode reuses the previous thermal run's temperature
+        # (reference -img flow, dust_transfer.f90:223)
+        from .runner import run_image
+        print(f"mcfost_tpu: image at {img_lambda} micron")
+        run_image(para, img_lambda, root_dir=root_dir, seed=seed)
+        print(f"total: {time.time()-t_start:.1f}s")
+        return 0
+
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
 
     if do_sed and para.wavelengths.compute_sed:
-        print("mcfost_tpu: MC SED")
-        key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
-        t0 = time.time()
-        out = run_mc_sed(model, host, T, key,
-                         n_per_lambda=max(int(para.photons.n_lambda), 2000))
-        print(f"  SED: {time.time()-t0:.1f}s")
-        write_sed_mc(os.path.join(root_dir, "data_th"), host, out["sed"])
-
-    if img_lambda is not None:
-        print(f"mcfost_tpu: image mode at {img_lambda} micron "
-              "(ray-traced images land in a later milestone)")
+        print("mcfost_tpu: SED step (MC + ray-traced)")
+        run_sed_step(para, model, host, T, root_dir=root_dir, seed=seed)
 
     print(f"total: {time.time()-t_start:.1f}s")
     return 0

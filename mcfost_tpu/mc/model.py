@@ -116,11 +116,18 @@ def rt_directions(para: Para) -> np.ndarray:
 
 
 def build_model(para: Para, dtype=jnp.float32,
-                cache_dir: str | None = ".mcfost_tpu_cache"):
-    """Build the full device model for the thermal MC step."""
-    wl = log_wavelength_grid(para.wavelengths.n_lambda,
-                             para.wavelengths.lambda_min,
-                             para.wavelengths.lambda_max)
+                cache_dir: str | None = ".mcfost_tpu_cache",
+                img_lambda: float | None = None):
+    """Build the full device model.  img_lambda switches to a
+    single-wavelength grid for image mode (reference init_lambda mono
+    branch, wavelengths.f90:41-45)."""
+    from ..physics.wavelengths import mono_wavelength_grid
+    if img_lambda is not None:
+        wl = mono_wavelength_grid(img_lambda)
+    else:
+        wl = log_wavelength_grid(para.wavelengths.n_lambda,
+                                 para.wavelengths.lambda_min,
+                                 para.wavelengths.lambda_max)
     grid = build_cylindrical_grid(para, dtype=dtype)
     r_grid = np.asarray(grid.r_grid, np.float64)
     z_grid = np.asarray(grid.z_grid, np.float64)

@@ -80,3 +80,95 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                extensions=[wl.lam.astype(np.float64)],
                keywords={"BUNIT": "W.m-2"})
     return T, sed_th, model, host, res
+
+
+def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
+                 seed: int | None = None, batch: int = 16384,
+                 n_az_rt: int = 45, verbose: bool = True):
+    """Step 2: MC SED + ray-traced SED; writes sed_mc.fits.gz and
+    sed_rt.fits.gz (reference output contract: docs/outputs.rst:7-47)."""
+    import jax
+    from .transfer.sed import run_mc_sed, write_sed_mc
+    from .transfer.raytrace import sed_rt as sed_rt_fn
+
+    key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
+    n_per_lambda = max(int(para.photons.n_lambda), 2000)
+    t0 = time.time()
+    out = run_mc_sed(model, host, T, key, n_per_lambda=n_per_lambda,
+                     batch=batch, rt=True, n_az_rt=n_az_rt)
+    if verbose:
+        print(f"  SED MC: {time.time()-t0:.1f}s "
+              f"({int(out['res'].emitted)} packets)")
+    data_dir = os.path.join(root_dir, "data_th")
+    write_sed_mc(data_dir, host, out["sed"])
+
+    t0 = time.time()
+    rt = sed_rt_fn(model, host, out["res"].xi, T, out["n_sent"],
+                   n_az_rt=n_az_rt)
+    if verbose:
+        print(f"  SED RT: {time.time()-t0:.1f}s")
+    # sed_rt.fits.gz: [n_lambda, n_incl, n_az, n_contrib] + HDU2 lambda
+    # (ecriture_sed_ray_tracing, output.f90:1271)
+    n_incl = para.maps.n_incl
+    n_az = para.maps.n_az_angles
+    L = host.wl.n
+    arr = rt.reshape(L, n_az, n_incl, -1).transpose(3, 1, 2, 0)
+    write_fits(os.path.join(data_dir, "sed_rt.fits.gz"),
+               np.ascontiguousarray(arr).astype(np.float32),
+               extensions=[host.wl.lam.astype(np.float64)],
+               keywords={"BUNIT": "W.m-2"})
+    return out, rt
+
+
+def run_image(para: Para, img_lambda: float, root_dir: str = ".",
+              seed: int | None = None, batch: int = 16384,
+              n_az_rt: int = 45, verbose: bool = True):
+    """Image mode (-img <lambda>): monochromatic MC + ray-traced map.
+
+    The temperature is reused from a previous thermal run
+    (lect_Temperature, reference input.f90:198; dust_transfer.f90:223)."""
+    import jax
+    from .io.fits import read_fits
+    from .transfer.sed import run_mc_sed
+    from .transfer.image import image_rt
+
+    model, host = build_model(para, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"), img_lambda=img_lambda)
+
+    tfile = os.path.join(root_dir, "data_th", "Temperature.fits.gz")
+    if os.path.isfile(tfile):
+        T = read_fits(tfile)[0][1].astype(np.float64).reshape(-1)
+    else:
+        if verbose:
+            print("  no Temperature.fits.gz found: running thermal step")
+        T, _, mth, hth, _ = run_thermal(para, root_dir=root_dir, seed=seed,
+                                        batch=batch, verbose=verbose)
+        T = T.reshape(-1)
+
+    key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 2)
+    n_packets = int(para.photons.n_image)
+    t0 = time.time()
+    out = run_mc_sed(model, host, T, key, n_per_lambda=n_packets,
+                     batch=batch, rt=True, n_az_rt=n_az_rt)
+    if verbose:
+        print(f"  image MC: {time.time()-t0:.1f}s "
+              f"({int(out['res'].emitted)} packets)")
+
+    t0 = time.time()
+    img = image_rt(model, host, out["res"].xi, T, out["n_sent"],
+                   n_az_rt=n_az_rt)
+    if verbose:
+        print(f"  image RT: {time.time()-t0:.1f}s")
+
+    # RT.fits.gz: [contrib, az, incl, ny, nx]
+    # (ecriture_map_ray_tracing, output.f90:798; docs/outputs.rst:52-77)
+    n_incl, n_az = para.maps.n_incl, para.maps.n_az_angles
+    n_rt, ny, nx, ntype = img.shape
+    arr = img.reshape(n_az, n_incl, ny, nx, ntype).transpose(4, 0, 1, 2, 3)
+    data_dir = os.path.join(root_dir, f"data_{img_lambda:g}")
+    os.makedirs(data_dir, exist_ok=True)
+    write_fits(os.path.join(data_dir, "RT.fits.gz"),
+               np.ascontiguousarray(arr).astype(np.float32),
+               keywords={"BUNIT": "W.m-2.pixel-1",
+                         "LAMBDA": float(img_lambda)})
+    return img
