@@ -305,3 +305,22 @@ def pos_in_cell(grid: CylGrid, ri, zj, rand1, rand2, rand3):
     zsign = jnp.where(rand2 > 0.5, 1.0, -1.0)
     phi = 2.0 * jnp.pi * rand3
     return r * jnp.cos(phi), r * jnp.sin(phi), zsign * zabs
+
+
+def distance_to_closest_wall(grid: CylGrid, ri, zj, x, y, z):
+    """Distance from a point to the nearest wall of its cell
+    (reference distance_to_closest_wall_cyl, cylindrical_grid.f90:1179-1226).
+    The 2D midplane counts as a wall (conservative for MRW spheres)."""
+    dtype = x.dtype
+    n_rad, nz = grid.n_rad, grid.nz
+    ric = jnp.clip(ri, 1, n_rad)
+    zjc = jnp.clip(zj, 1, nz)
+    r = jnp.sqrt(x * x + y * y)
+    s1 = grid.r_lim[ric] - r
+    s2 = r - grid.r_lim[ric - 1]
+    dz = grid.zmax[ric - 1] / nz
+    za = jnp.abs(z)
+    s3 = zjc.astype(dtype) * dz - za
+    s4 = za - (zjc.astype(dtype) - 1.0) * dz
+    return jnp.maximum(jnp.minimum(jnp.minimum(s1, s2),
+                                   jnp.minimum(s3, s4)), 0.0)

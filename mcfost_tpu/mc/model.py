@@ -62,6 +62,14 @@ class Model(NamedTuple):
     s33_rt: jax.Array          # (L, A)
     s34_rt: jax.Array          # (L, A)
     rt_dirs: jax.Array         # (nRT, 3) unit vectors toward observers
+    dark_zone: jax.Array       # (n_cells,) bool: diffusion-approximation
+                               # zone; packets reflect at its boundary
+                               # (optical_depth.f90:104-112)
+    # Modified-Random-Walk tables (Min et al. 2009; reference src/MRW.f90
+    # has the machinery wired but disabled — implemented fully here)
+    kappa_ross: jax.Array      # (n_T,) Rosseland-mean extinction / unit rho
+    kappa_absp: jax.Array      # (n_T,) Planck-mean absorption / unit rho
+    zeta_inv: jax.Array        # (Nz,) inverse CDF of Min+09 eq. 7
 
     @property
     def n_lambda(self) -> int:
@@ -84,6 +92,49 @@ class HostModel(NamedTuple):
     stars: StarModel
     thermal: thermal_mod.ThermalTables
     rho_dust: np.ndarray
+
+
+def _rosseland(wl, kappa_ext, tab_temp):
+    from ..physics.diffusion import rosseland_kappa
+    return rosseland_kappa(wl.lam, wl.dlam, kappa_ext, tab_temp)
+
+
+def _planck_mean(wl, kappa_abs, tab_temp):
+    """Planck-mean absorption per unit density at each table temperature."""
+    import numpy as _np
+    from .. import constants as _c
+    wl_m = wl.lam * 1e-6
+    dwl = wl.dlam * 1e-6
+    xx = _c.thermal_const / _np.maximum(tab_temp[:, None] * wl_m[None, :],
+                                        1e-30)
+    ok = xx < 500.0
+    B = _np.where(ok, 1.0 / (wl_m[None, :] ** 5
+                             * (_np.exp(_np.minimum(xx, 500.0)) - 1.0)), 0.0)
+    num = (B * kappa_abs[None, :] * dwl[None, :]).sum(1)
+    den = _np.maximum((B * dwl[None, :]).sum(1), 1e-300)
+    return num / den
+
+
+def _zeta_inverse_table(n_tab: int = 1024):
+    """Inverse of the Min et al. 2009 eq. 7 cumulative:
+      P(y) = 2 sum_n (-1)^(n+1) y^(n^2)
+    tabulated so that y = zeta_inv[int(rand * n_tab)]
+    (reference initialize_cumulative_zeta, src/MRW.f90:16-53)."""
+    import numpy as _np
+    y = _np.linspace(0.0, 1.0, 20001)[:-1]
+    P = _np.zeros_like(y)
+    term = _np.ones_like(y)
+    for j in range(1, 200):
+        term = y ** (j * j)
+        P += term if j % 2 == 1 else -term
+        if term.max() < 1e-16:
+            break
+    P = _np.clip(2.0 * P, 0.0, 1.0)
+    P[0] = 0.0
+    targets = (_np.arange(n_tab) + 0.5) / n_tab
+    idx = _np.searchsorted(P, targets)
+    idx = _np.clip(idx, 1, len(y) - 1)
+    return y[idx]
 
 
 def rt_directions(para: Para) -> np.ndarray:
@@ -173,6 +224,10 @@ def build_model(para: Para, dtype=jnp.float32,
         s33_rt=f(dust.s33_rt[0]),
         s34_rt=f(dust.s34_rt[0]),
         rt_dirs=f(rt_directions(para)),
+        dark_zone=jnp.zeros(grid.n_cells, bool),
+        kappa_ross=f(_rosseland(wl, dust.kappa[0], therm.tab_temp)),
+        kappa_absp=f(_planck_mean(wl, dust.kappa_abs[0], therm.tab_temp)),
+        zeta_inv=f(_zeta_inverse_table()),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho)

@@ -50,6 +50,7 @@ class MCState(NamedTuple):
     sed: jax.Array             # (L, n_capt, 8) MC SED: I,Q,U,V + 4 contribs
     xi: jax.Array              # RT1 scattered-intensity tally
                                # (L*n_cells*n_az_rt*2, nRT, 6) or (1,1,1)
+    age: jax.Array             # (B,) i32 iterations since lane emission
     it: jax.Array              # scalar i32
 
 
@@ -155,17 +156,20 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
         xi=(jnp.zeros((L * n_cells * n_az_rt * 2,
                        model.rt_dirs.shape[0], 6), dtype)
             if rt else jnp.zeros((1, 1, 1), dtype)),
+        age=jnp.zeros(B, jnp.int32),
         it=jnp.zeros((), jnp.int32),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
-                                             "rt", "n_az_rt"),
+                                             "rt", "n_az_rt", "mrw",
+                                             "mrw_gamma"),
                    donate_argnums=(2,))
 def advance(model: Model, key, state: MCState, n_packets,
             n_iters: int = 2000, pola: bool = True,
             mono: bool = False, rt: bool = False,
-            n_az_rt: int = 45) -> MCState:
+            n_az_rt: int = 45, mrw: bool = True,
+            mrw_gamma: float = 2.0) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -225,6 +229,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         sQ = sel(zf, s.sQ); sU = sel(zf, s.sU); sV = sel(zf, s.sV)
         fstar = sel(efstar, s.fstar)
         fscat = sel(jnp.zeros(B, bool), s.fscat)
+        age = jnp.where(do_emit, 0, s.age)
         tau_rem = sel(_tau_draw(R[8]), s.tau_rem)
         alive = s.alive | do_emit
 
@@ -245,16 +250,53 @@ def advance(model: Model, key, state: MCState, n_packets,
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
         opac = jnp.where(inside, model.kappa[ilam] * model.kappa_factor[flat],
                          0.0)
+
+        # ---- Modified Random Walk (Min et al. 2009; the reference has it
+        # wired but disabled, src/MRW.f90 + dust_transfer.f90:1024-1041):
+        # deep in an optically thick cell, replace the many-interaction
+        # random walk by one diffusion step to a sphere of radius d, with
+        # the expected absorbed energy deposited at the Planck-mean opacity.
+        n_T = model.tab_temp.shape[0]
+        if mrw and not mono:
+            d_wall = cyl.distance_to_closest_wall(grid, ri, zj, x, y, z)
+            qheat0 = s.xkj[flat] * l_packet / model.volume[flat]
+            ti0 = jnp.clip(jnp.searchsorted(
+                model.log_qcool,
+                jnp.log(jnp.maximum(qheat0, 1e-300))).astype(jnp.int32),
+                1, n_T - 1)
+            rkross = model.kappa_ross[ti0] * model.kappa_factor[flat]
+            do_mrw = alive & inside & (d_wall * rkross > mrw_gamma)
+            # sphere-exit point and diffusion path length
+            mu_u, mu_v, mu_w = isotropic_direction(R[1], R[2])
+            nztab = model.zeta_inv.shape[0]
+            yv = model.zeta_inv[jnp.clip((R[3] * nztab).astype(jnp.int32),
+                                         0, nztab - 1)]
+            ct = (-jnp.log(jnp.maximum(yv, 1e-12))
+                  * (3.0 / jnp.pi ** 2) * d_wall * d_wall * rkross)
+            dep_mrw = model.kappa_absp[ti0] * ct * sI
+            x_mrw = x + 0.999 * d_wall * mu_u
+            y_mrw = y + 0.999 * d_wall * mu_v
+            z_mrw = z + 0.999 * d_wall * mu_w
+            # escape direction: cosine law about the sphere normal
+            u_mrw, v_mrw, w_mrw = cdapres(jnp.sqrt(R[4]),
+                                          2.0 * jnp.pi * R[5],
+                                          mu_u, mu_v, mu_w)
+        else:
+            do_mrw = jnp.zeros(B, bool)
+            dep_mrw = jnp.zeros(B, dtype)
         x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
                                                  ri, zj)
         dtau = l * opac
-        interact = alive & (dtau > tau_rem)
+        interact = alive & ~do_mrw & (dtau > tau_rem)
         l_eff = jnp.where(interact, tau_rem / jnp.maximum(opac, 1e-30), l)
+        l_eff = jnp.where(do_mrw, 0.0, l_eff)
 
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
-        # it cancels against Qcool for uniform dust)
+        # it cancels against Qcool for uniform dust); MRW lanes deposit the
+        # expected diffusion-walk absorption instead
         dep_w = jnp.where(alive & inside, model.kappa_abs[ilam] * l_eff * sI,
                           0.0)
+        dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
         xkj = s.xkj.at[flat].add(dep_w)
 
         # ---- RT1 scattered-intensity tally (calc_xI_scatt(_pola),
@@ -324,16 +366,34 @@ def advance(model: Model, key, state: MCState, n_packets,
         else:
             xi = s.xi
 
-        x = jnp.where(interact, x + l_eff * u, jnp.where(alive, x1, x))
-        y = jnp.where(interact, y + l_eff * v, jnp.where(alive, y1, y))
-        z = jnp.where(interact, z + l_eff * w, jnp.where(alive, z1, z))
-        ri = jnp.where(interact | ~alive, ri, ri1)
-        zj = jnp.where(interact | ~alive, zj, zj1)
+        # dark-zone boundary: reflect the packet instead of entering
+        # (physical_length, optical_depth.f90:104-112)
+        flat1 = jnp.clip(cyl.flat_index(grid, ri1, zj1), 0, n_cells - 1)
+        into_dark = (alive & ~interact & ~do_mrw
+                     & cyl.is_inside(grid, ri1, zj1)
+                     & model.dark_zone[flat1] & ~model.dark_zone[flat])
+        u = jnp.where(into_dark, -u, u)
+        v = jnp.where(into_dark, -v, v)
+        w = jnp.where(into_dark, -w, w)
+        stay = interact | into_dark | do_mrw
+        x = jnp.where(stay, jnp.where(interact, x + l_eff * u, x),
+                      jnp.where(alive, x1, x))
+        y = jnp.where(stay, jnp.where(interact, y + l_eff * v, y),
+                      jnp.where(alive, y1, y))
+        z = jnp.where(stay, jnp.where(interact, z + l_eff * w, z),
+                      jnp.where(alive, z1, z))
+        if mrw and not mono:
+            x = jnp.where(do_mrw, x_mrw, x)
+            y = jnp.where(do_mrw, y_mrw, y)
+            z = jnp.where(do_mrw, z_mrw, z)
+        ri = jnp.where(stay | ~alive, ri, ri1)
+        zj = jnp.where(stay | ~alive, zj, zj1)
         tau_rem = jnp.where(interact, 0.0,
                             jnp.maximum(tau_rem - dtau, 0.0))
 
         # ---- 3. exits -> MC SED capture (capteur, output.f90:294-395)
-        exited = alive & ~interact & cyl.has_exited(grid, ri, zj, z)
+        exited = (alive & ~interact & ~do_mrw
+                  & cyl.has_exited(grid, ri, zj, z))
         wfold = jnp.abs(w)   # central symmetry fold
         capt = jnp.clip(((1.0 - wfold) * n_capt).astype(jnp.int32),
                         0, n_capt - 1)
@@ -405,7 +465,6 @@ def advance(model: Model, key, state: MCState, n_packets,
         # thermal_emission.f90:710-771; Temp_LTE :649-706)
         qheat = xkj[flat] * l_packet / model.volume[flat]
         logq = jnp.log(jnp.maximum(qheat, 1e-300))
-        n_T = model.tab_temp.shape[0]
         ti = jnp.searchsorted(model.log_qcool, logq).astype(jnp.int32)
         ti = jnp.clip(ti, 1, n_T - 1)
         q0 = model.log_qcool[ti - 1]
@@ -436,15 +495,50 @@ def advance(model: Model, key, state: MCState, n_packets,
         tau_rem = jnp.where(interact, _tau_draw(R[14]), tau_rem)
         fscat = jnp.where(do_scat, True, jnp.where(do_abs, False, fscat))
         fstar = jnp.where(do_abs, False, fstar)
+        if mrw and not mono:
+            # MRW exit: fresh wavelength from the local reemission CDF,
+            # cosine direction off the diffusion sphere, unpolarised
+            u = jnp.where(do_mrw, u_mrw, u)
+            v = jnp.where(do_mrw, v_mrw, v)
+            w = jnp.where(do_mrw, w_mrw, w)
+            ilam = jnp.where(do_mrw, lam_new.astype(jnp.int32), ilam)
+            sQ = jnp.where(do_mrw, 0.0, sQ)
+            sU = jnp.where(do_mrw, 0.0, sU)
+            sV = jnp.where(do_mrw, 0.0, sV)
+            tau_rem = jnp.where(do_mrw, _tau_draw(R[6]), tau_rem)
+            fscat = jnp.where(do_mrw, False, fscat)
+            fstar = jnp.where(do_mrw, False, fstar)
 
         return MCState(x=x, y=y, z=z, u=u, v=v, w=w,
                        sI=sI, sQ=sQ, sU=sU, sV=sV,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
                        alive=alive, fstar=fstar, fscat=fscat,
                        emitted=emitted, xkj=xkj, nabs=nabs,
-                       sed=sed, xi=xi, it=s.it + 1)
+                       sed=sed, xi=xi,
+                       age=jnp.where(alive, age + 1, age),
+                       it=s.it + 1)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def _compact(state: MCState, b_small: int) -> MCState:
+    """Pack the surviving lanes of a mostly-dead batch into a smaller batch.
+
+    Straggler drain: once the photon budget is spent, a handful of
+    deep-random-walk packets force full-width iterations; compaction keeps
+    only the survivors so the tail runs at a fraction of the cost.  Tally
+    arrays are carried over unchanged."""
+    B = state.x.shape[0]
+    idx = jnp.nonzero(state.alive, size=b_small, fill_value=0)[0]
+    valid = jnp.arange(b_small) < jnp.sum(state.alive.astype(jnp.int32))
+
+    def take(a):
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == B:
+            return a[idx]
+        return a
+
+    out = MCState(*[take(f) for f in state])
+    return out._replace(alive=out.alive & valid)
 
 
 def run_thermal_mc(model: Model, key, n_packets: int,
@@ -452,24 +546,46 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    max_iters: int = 1000000, pola: bool = True,
                    mono: bool = False, iters_per_call: int = 2000,
                    rt: bool = False, n_az_rt: int = 45,
+                   compact_tail: bool = True, mrw: bool = True,
+                   mrw_gamma: float = 2.0, age_cap: int = 100000,
                    progress=None) -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
     state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt)
     done_iters = 0
+    b_cur = batch
+    n_killed = 0
     while done_iters < max_iters:
         state = advance(model, key, state, n_packets,
                         n_iters=min(iters_per_call, max_iters - done_iters),
-                        pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt)
+                        pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
+                        mrw=mrw, mrw_gamma=mrw_gamma)
         done_iters = int(state.it)
         emitted = int(state.emitted)
         n_alive = int(jnp.sum(state.alive))
         if progress is not None:
             progress(done_iters, emitted, n_alive)
+        if n_alive > 0 and done_iters > 0:
+            # straggler safety valve: a packet random-walking for an
+            # extreme number of steps is killed and reported as lost
+            # (bias bound: n_lost / n_packets; the reference has no such
+            # cap but also no lock-step cost for stragglers)
+            overage = state.alive & (state.age > age_cap)
+            n_over = int(jnp.sum(overage))
+            if n_over:
+                state = state._replace(alive=state.alive & ~overage)
+                n_killed += n_over
+                n_alive -= n_over
+        if (compact_tail and emitted >= n_packets and n_alive > 0
+                and b_cur > 1024 and n_alive <= b_cur // 8):
+            b_new = max(1024, 1 << (int(n_alive - 1).bit_length()))
+            if b_new < b_cur:
+                state = _compact(state, b_new)
+                b_cur = b_new
         if emitted >= n_packets and n_alive == 0:
             break
     return MCResult(xkj=state.xkj, nabs=state.nabs, sed=state.sed,
                     emitted=state.emitted, n_iters=state.it,
-                    n_lost=jnp.sum(state.alive.astype(jnp.int32)),
+                    n_lost=jnp.sum(state.alive.astype(jnp.int32)) + n_killed,
                     xi=state.xi)
 
 

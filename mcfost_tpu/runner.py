@@ -36,6 +36,21 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
               f"({model.grid.n_cells} cells, {model.n_lambda} wavelengths, "
               f"{model.n_grains} grain sizes)")
 
+    # dark zone + diffusion approximation (reference default
+    # lapprox_diffusion=.true., init_mcfost.f90:60; tau threshold 1500 at
+    # the first wavelength > 0.81 micron, dust_transfer.f90:316-333)
+    from .physics.diffusion import (compute_dark_zone, diffusion_fill_dark,
+                                    threshold_lambda_index)
+    t0 = time.time()
+    ilam_th = threshold_lambda_index(host.wl.lam)
+    dark = compute_dark_zone(model, ilam_th)
+    if dark.any():
+        import jax.numpy as jnp
+        model = model._replace(dark_zone=jnp.asarray(dark))
+        if verbose:
+            print(f"  dark zone: {int(dark.sum())} cells "
+                  f"({time.time()-t0:.1f}s)")
+
     n_packets = int(para.photons.n_eq_th)
     key = jax.random.PRNGKey(seed if seed is not None else para.seed)
 
@@ -56,6 +71,8 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
               f"{int(res.n_iters)} steps, lost {int(res.n_lost)}")
 
     T = np.asarray(thermal_mc.final_temperature(model, res.xkj, int(res.emitted)))
+    if dark.any():
+        T = diffusion_fill_dark(model, host, T, dark)
     sed = np.asarray(res.sed[..., 0], np.float64)  # (L, n_capt) Stokes I
 
     # outputs
