@@ -100,3 +100,23 @@ def test_thick_disk_runs_and_cools_midplane():
     assert surf_inner > mid_inner
     # temperature decreases outward in the midplane
     assert T[0, 2] > T[0, -1]
+
+
+def test_mrw_matches_plain_walk():
+    """Modified Random Walk vs plain walk on a thick disk: the observable
+    photosphere temperatures must agree (Min et al. 2009 validation)."""
+    para = small_para(dust_mass=3e-3)
+    para.grid.nz = 12
+    model, host = build_model(para, cache_dir="/tmp/mcfost_tpu_test_cache")
+    Ts = {}
+    for mrw in (False, True):
+        res = run_thermal_mc(model, jax.random.PRNGKey(4), 6000, batch=8192,
+                             max_iters=400000, mrw=mrw)
+        assert int(res.n_lost) == 0
+        Ts[mrw] = np.asarray(final_temperature(
+            model, res.xkj, int(res.emitted))).reshape(12, 20)
+    # compare the upper layers (photosphere) where statistics are good
+    surf_a, surf_b = Ts[False][8:], Ts[True][8:]
+    good = surf_a > 20.0
+    rel = np.abs(surf_b[good] - surf_a[good]) / surf_a[good]
+    assert np.median(rel) < 0.05, np.median(rel)
