@@ -1,0 +1,70 @@
+"""Geometry dispatch: one traversal interface over all grid types.
+
+The reference binds procedure pointers at runtime (setup_grid,
+grid.f90:273-367: cross_cell, pos_em_cell, move_to_grid, index_cell,
+test_exit_grid).  Here the dispatch is static at trace time on the pytree
+type, so each jitted kernel specialises to its grid with zero overhead.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import cylindrical as _cyl
+from . import spherical as _sph
+from .cylindrical import CylGrid
+from .spherical import SphGrid
+
+
+def _mod(grid):
+    return _sph if isinstance(grid, SphGrid) else _cyl
+
+
+def cross_cell(grid, x, y, z, u, v, w, ri, zj):
+    return _mod(grid).cross_cell(grid, x, y, z, u, v, w, ri, zj)
+
+
+def index_cell(grid, x, y, z):
+    return _mod(grid).index_cell(grid, x, y, z)
+
+
+def pos_in_cell(grid, ri, zj, r1, r2, r3):
+    return _mod(grid).pos_in_cell(grid, ri, zj, r1, r2, r3)
+
+
+def flat_index(grid, ri, zj):
+    return _mod(grid).flat_index(grid, ri, zj)
+
+
+def is_inside(grid, ri, zj):
+    return _mod(grid).is_inside(grid, ri, zj)
+
+
+def has_exited(grid, ri, zj, z):
+    return _mod(grid).has_exited(grid, ri, zj, z)
+
+
+def distance_to_closest_wall(grid, ri, zj, x, y, z):
+    return _mod(grid).distance_to_closest_wall(grid, ri, zj, x, y, z)
+
+
+def move_to_grid(grid, x, y, z, u, v, w):
+    """Advance rays from outside to the model boundary; dispatched:
+    cylinder+slab for cylindrical (move_to_grid_cyl), outer sphere for
+    spherical (move_to_grid_sph, spherical_grid.f90)."""
+    if isinstance(grid, SphGrid):
+        dtype = x.dtype
+        big = jnp.asarray(1.0e30, dtype)
+        cm = 1.0 - (1e-6 if dtype == jnp.float64 else 2e-4)
+        R2 = grid.r_lim2[-1] * cm
+        b = x * u + y * v + z * w
+        c = x * x + y * y + z * z - R2
+        delta = b * b - c
+        rac = jnp.sqrt(jnp.maximum(delta, 0.0))
+        s1 = -b - rac
+        hit = (delta > 0.0) & (s1 > 0.0)
+        s1 = jnp.where(hit, s1, 0.0)
+        x1, y1, z1 = x + s1 * u, y + s1 * v, z + s1 * w
+        ri, tj = _sph.index_cell(grid, x1, y1, z1)
+        return x1, y1, z1, ri, tj, hit
+    from ..transfer.raytrace import _move_to_grid
+    return _move_to_grid(grid, x, y, z, u, v, w)

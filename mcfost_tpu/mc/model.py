@@ -18,6 +18,7 @@ from .. import constants as cst
 from ..config.para import Para
 from ..dust.opacity import DustModel, build_dust_model
 from ..grids.cylindrical import CylGrid, build_cylindrical_grid
+from ..grids.spherical import SphGrid, build_spherical_grid
 from ..physics import density as density_mod
 from ..physics import thermal as thermal_mod
 from ..physics.stars import StarModel, build_star_model
@@ -179,7 +180,10 @@ def build_model(para: Para, dtype=jnp.float32,
         wl = log_wavelength_grid(para.wavelengths.n_lambda,
                                  para.wavelengths.lambda_min,
                                  para.wavelengths.lambda_max)
-    grid = build_cylindrical_grid(para, dtype=dtype)
+    if para.grid.geometry == 2:
+        grid = build_spherical_grid(para, dtype=dtype)
+    else:
+        grid = build_cylindrical_grid(para, dtype=dtype)
     r_grid = np.asarray(grid.r_grid, np.float64)
     z_grid = np.asarray(grid.z_grid, np.float64)
     volume = np.asarray(grid.volume, np.float64)

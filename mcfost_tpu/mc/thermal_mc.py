@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..grids import cylindrical as cyl
+from ..grids import geometry as cyl
 from .model import Model
 from .sampling import bisect_cdf, cdapres, isotropic_direction, update_stokes
 

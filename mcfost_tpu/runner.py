@@ -43,7 +43,13 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                                     threshold_lambda_index)
     t0 = time.time()
     ilam_th = threshold_lambda_index(host.wl.lam)
-    dark = compute_dark_zone(model, ilam_th)
+    if para.grid.geometry == 1:
+        dark = compute_dark_zone(model, ilam_th)
+    else:
+        # reference: no dark zone for spherical grids
+        # (dust_transfer.f90:326-329)
+        import numpy as _np
+        dark = _np.zeros(model.grid.n_cells, bool)
     if dark.any():
         import jax.numpy as jnp
         model = model._replace(dark_zone=jnp.asarray(dark))

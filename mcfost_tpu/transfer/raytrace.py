@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as cst
-from ..grids import cylindrical as cyl
+from ..grids import geometry as cyl
 from ..mc.model import Model, HostModel
 from ..physics.stars import bb_shape
 
@@ -170,7 +170,7 @@ def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
     n_cells = grid.n_cells
     n_az_rt = eps.shape[2]
 
-    x, y, z, ri, zj, hit = _move_to_grid(grid, x0, y0, z0, u, v, w)
+    x, y, z, ri, zj, hit = cyl.move_to_grid(grid, x0, y0, z0, u, v, w)
 
     N = x.shape[0]
     out = jnp.zeros((N, N_TYPE), dtype)
