@@ -133,7 +133,8 @@ class MoleculeSettings:
     lte: bool = True
     v_turb: float = 0.05
     v_turb_unit: str = "cs"        # "km/s" or "cs"
-    molecules: List["Molecule"] = field(default_factory=list)
+    molecules: List["Molecule"] = field(
+        default_factory=lambda: [Molecule()])
 
 
 @dataclass

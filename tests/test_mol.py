@@ -1,0 +1,109 @@
+"""Molecular line transfer validation.
+
+* built-in CO model against known spectroscopy (nu(1-0), A(1-0));
+* LTE populations against direct Boltzmann ratios;
+* optically thin line flux against the analytic total line luminosity
+  (sum over cells of n_u A h nu V / 4 pi d^2);
+* Keplerian kinematics: the red/blue channel asymmetry flips sides.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mcfost_tpu import constants as cst
+from mcfost_tpu.config.para import Para
+from mcfost_tpu.mc.model import build_model
+from mcfost_tpu.physics.molecules import builtin_co, lte_populations
+from mcfost_tpu.transfer.mol import MolRT, gas_number_density, mol_cube
+
+
+def test_builtin_co_spectroscopy():
+    co = builtin_co()
+    # CO J=1-0: 115.2712 GHz, A = 7.203e-8 s^-1
+    assert np.isclose(co.freq[0], 115.2712e9, rtol=1e-3)
+    assert np.isclose(co.Aul[0], 7.2e-8, rtol=0.05)
+    # CO J=2-1: 230.538 GHz
+    assert np.isclose(co.freq[1], 230.538e9, rtol=1e-3)
+    # A(2-1) ~ 6.91e-7
+    assert np.isclose(co.Aul[1], 6.91e-7, rtol=0.05)
+
+
+def test_lte_populations_boltzmann():
+    co = builtin_co()
+    T = np.array([50.0])
+    n = np.array([1.0])
+    pop = lte_populations(co, T, n)[0]
+    assert np.isclose(pop.sum(), 1.0)
+    # check n2/n1 against the Boltzmann factor on level energies
+    dE = (co.level_energy[2] - co.level_energy[1]) * 1.602176634e-19
+    expect = co.g[2] / co.g[1] * np.exp(-dE / (cst.kb * 50.0))
+    assert np.isclose(pop[2] / pop[1], expect, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    para = Para()
+    para.grid.n_rad, para.grid.nz, para.grid.n_rad_in = 16, 8, 2
+    para.wavelengths.n_lambda = 16
+    para.zones[0].dust_mass = 1e-9        # thin continuum AND thin lines
+    para.mol.molecules[0].abundance = 1e-6
+    para.maps.nx = para.maps.ny = 81
+    para.maps.n_incl = 2
+    para.maps.imax = 60.0
+    for sp in para.dust[0]:
+        sp.n_grains = 10
+        sp.amax = 10.0
+    model, host = build_model(para, cache_dir="/tmp/mcfost_tpu_test_cache")
+    T = np.full(model.grid.n_cells, 30.0)
+    return para, model, host, T
+
+
+def test_thin_line_flux(setup):
+    para, model, host, T = setup
+    cube, cont, rt = mol_cube(model, host, T, root_dir="/tmp/mol_run",
+                              verbose=False)
+    # analytic: total line flux [W/m^2] = sum n_u A h nu V / (4 pi d^2)
+    co = rt.mol
+    n_mol = gas_number_density(host) * para.mol.molecules[0].abundance
+    pops = lte_populations(co, T, n_mol)
+    V_m3 = np.asarray(model.grid.volume, np.float64) * cst.AU3_to_m3
+    d2_m = (para.maps.distance * cst.pc_to_AU * cst.AU_to_m) ** 2
+    m = para.mol.molecules[0]
+    vgrid = np.linspace(m.vmin * 1e3, m.vmax * 1e3, m.n_speed)
+    dv = vgrid[1] - vgrid[0]
+    for t, itr in enumerate([tr - 1 for tr in m.transitions[:2]]):
+        up = co.trans_up[itr]
+        lum = (pops[:, up] * co.Aul[itr] * cst.hp * co.freq[itr]
+               * V_m3).sum()
+        expect = lum / (4 * np.pi * d2_m)
+        # cube is nu.F_nu per channel; line flux = sum (cube/nu) dnu
+        # = sum cube * dv / c  (after continuum subtraction)
+        for i_rt in range(cube.shape[0]):
+            chans = cube[i_rt, :, t].sum(axis=(1, 2))
+            contl = cont[i_rt, t].sum()
+            flux = ((chans - contl) * dv / cst.c_light).sum()
+            assert np.isclose(flux, expect, rtol=0.15), (
+                t, i_rt, flux / expect)
+
+
+def test_keplerian_channel_asymmetry(setup):
+    para, model, host, T = setup
+    cube, cont, rt = mol_cube(model, host, T, root_dir="/tmp/mol_run",
+                              verbose=False)
+    # inclined view (i_rt=1, 60 deg): blue channel flux concentrated on one
+    # side of the image, red on the other; the blue-red difference cancels
+    # the (flat) continuum and CMB backgrounds exactly
+    nv = cube.shape[1]
+    # channels at ~ +/-2 km/s: emitted by a broad swath of the outer disk
+    ch = 4
+    diff = cube[1, nv // 2 - ch, 0] - cube[1, nv // 2 + ch, 0]   # (ny, nx)
+    nx = diff.shape[1]
+    dl = diff[:, :nx // 2].sum()
+    dr = diff[:, nx // 2:].sum()
+    assert dl * dr < 0, (dl, dr)    # opposite sides
+    # the channel's line signal splits cleanly between the two sides
+    assert abs(dl) > 0.2 * np.abs(diff).sum(), (dl, np.abs(diff).sum())
+    # face-on view: line symmetric around the central channel
+    chans0 = cube[0, :, 0].sum(axis=(1, 2))
+    line0 = chans0 - chans0[[0, -1]].mean()
+    assert line0[nv // 2] > 0.5 * line0.max()
