@@ -9,6 +9,7 @@ Implemented modes (subset growing toward the reference's ~190 flags,
 docs/options.rst):
   (none)        thermal MC + temperature + MC SED (etape 1 + SED step)
   -img <lam>    monochromatic image at <lam> micron (MC observables)
+  -mol          molecular line cubes (LTE populations, Tgas = Tdust)
   -seed <n>     RNG seed
   -root_dir <d> output root directory
   -n_rad/-nz/-n_az <n>  grid overrides
@@ -39,6 +40,8 @@ def main(argv=None):
     root_dir = "."
     seed = None
     do_sed = True
+    do_mol = False
+    do_diag = []
     img_lambda = None
     n_per_lambda = None
 
@@ -61,6 +64,14 @@ def main(argv=None):
             i += 1; para.photons.n_lambda = float(argv[i])
         elif a == "-img":
             i += 1; img_lambda = float(argv[i])
+        elif a == "-mol":
+            do_mol = True
+        elif a == "-disk_struct":
+            do_diag.append("disk")
+        elif a == "-dust_prop":
+            do_diag.append("dust")
+        elif a == "-tau_map":
+            do_diag.append("tau")
         elif a == "-no_sed":
             do_sed = False
         elif a == "-iso":
@@ -85,14 +96,48 @@ def main(argv=None):
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
+    if do_diag and not (do_sed or do_mol):
+        # diagnostics-only modes don't need the MC
+        from .mc.model import build_model
+        from .io import diagnostics as diag
+        model, host = build_model(para, cache_dir=os.path.join(
+            root_dir, ".mcfost_tpu_cache"))
+        if "disk" in do_diag:
+            diag.write_disk_struct(model, host, root_dir)
+        if "dust" in do_diag:
+            diag.write_dust_prop(model, host, root_dir)
+        if "tau" in do_diag:
+            from .physics.diffusion import threshold_lambda_index
+            diag.write_tau_map(model, host,
+                               threshold_lambda_index(host.wl.lam), root_dir)
+        print(f"total: {time.time()-t_start:.1f}s")
+        return 0
+
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
+    if do_diag:
+        from .io import diagnostics as diag
+        if "disk" in do_diag:
+            diag.write_disk_struct(model, host, root_dir)
+        if "dust" in do_diag:
+            diag.write_dust_prop(model, host, root_dir)
+        if "tau" in do_diag:
+            from .physics.diffusion import threshold_lambda_index
+            diag.write_tau_map(model, host,
+                               threshold_lambda_index(host.wl.lam), root_dir)
 
     if do_sed and para.wavelengths.compute_sed:
         print("mcfost_tpu: SED step (MC + ray-traced)")
         run_sed_step(para, model, host, T, root_dir=root_dir, seed=seed)
+
+    if do_mol:
+        from .transfer.mol import mol_cube
+        print("mcfost_tpu: molecular line transfer (LTE)")
+        t0 = time.time()
+        mol_cube(model, host, T, root_dir=root_dir)
+        print(f"  lines: {time.time()-t0:.1f}s")
 
     print(f"total: {time.time()-t_start:.1f}s")
     return 0

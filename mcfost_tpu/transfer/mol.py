@@ -47,7 +47,8 @@ class MolRT:
     def __init__(self, model: Model, host: HostModel, mol: MoleculeData,
                  T_gas: np.ndarray, itrans: np.ndarray,
                  abundance: float, v_turb: float, v_turb_unit: str = "km/s",
-                 star_mass: float | None = None):
+                 star_mass: float | None = None,
+                 pops: np.ndarray | None = None):
         dtype = model.kappa.dtype
         para = host.para
         n_cells = model.grid.n_cells
@@ -56,7 +57,8 @@ class MolRT:
         nt = len(self.itrans)
 
         n_mol = gas_number_density(host) * abundance
-        pops = lte_populations(mol, T_gas, n_mol)     # (C, nlev)
+        if pops is None:
+            pops = lte_populations(mol, T_gas, n_mol)     # (C, nlev)
 
         up = mol.trans_up[self.itrans]
         low = mol.trans_low[self.itrans]
@@ -218,7 +220,8 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
 
 
 def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
-             root_dir: str = ".", n_vpoints: int = 8, verbose: bool = True):
+             root_dir: str = ".", n_vpoints: int = 8, verbose: bool = True,
+             pops: np.ndarray | None = None):
     """Full -mol LTE pipeline: channel-map cubes for the parameter file's
     ray-tracing transitions, written as lines.fits.gz
     (emission_line_map, mol_transfer.f90:484-; docs/outputs.rst:80-96)."""
@@ -228,7 +231,7 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
     itrans = np.array([t - 1 for t in m.transitions[:m.n_lines_rt]])
     rt = MolRT(model, host, mol, T_gas, itrans,
                abundance=m.abundance, v_turb=para.mol.v_turb,
-               v_turb_unit=para.mol.v_turb_unit)
+               v_turb_unit=para.mol.v_turb_unit, pops=pops)
 
     nv = m.n_speed
     tab_speed = jnp.asarray(
