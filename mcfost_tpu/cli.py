@@ -44,6 +44,10 @@ def main(argv=None):
     do_diag = []
     img_lambda = None
     n_per_lambda = None
+    output_j = False
+    output_uv = False
+    phantom_file = None
+    do_atom = False
 
     i = 0
     while i < len(argv):
@@ -64,8 +68,12 @@ def main(argv=None):
             i += 1; para.photons.n_lambda = float(argv[i])
         elif a == "-img":
             i += 1; img_lambda = float(argv[i])
+        elif a == "-phantom":
+            i += 1; phantom_file = argv[i]
         elif a == "-mol":
             do_mol = True
+        elif a == "-atom":
+            do_atom = True
         elif a == "-disk_struct":
             do_diag.append("disk")
         elif a == "-dust_prop":
@@ -74,6 +82,10 @@ def main(argv=None):
             do_diag.append("tau")
         elif a == "-no_sed":
             do_sed = False
+        elif a == "-output_J":
+            output_j = True
+        elif a == "-output_UV_field":
+            output_uv = True
         elif a == "-iso":
             para.iso_scattering = True
         elif a == "-hg":
@@ -113,9 +125,17 @@ def main(argv=None):
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
+    if phantom_file is not None:
+        from .runner import run_phantom
+        print(f"mcfost_tpu: Voronoi thermal MC from {phantom_file}")
+        run_phantom(para, phantom_file, root_dir=root_dir, seed=seed)
+        print(f"total: {time.time()-t_start:.1f}s")
+        return 0
+
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
-        para, root_dir=root_dir, seed=seed)
+        para, root_dir=root_dir, seed=seed,
+        output_j=output_j, output_uv=output_uv)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
     if do_diag:
         from .io import diagnostics as diag
@@ -138,6 +158,13 @@ def main(argv=None):
         t0 = time.time()
         mol_cube(model, host, T, root_dir=root_dir)
         print(f"  lines: {time.time()-t0:.1f}s")
+
+    if do_atom:
+        from .gas.atom_transfer import atom_cube
+        print("mcfost_tpu: atomic line transfer (H, NLTE)")
+        t0 = time.time()
+        atom_cube(model, host, T.reshape(-1), root_dir=root_dir)
+        print(f"  atomic lines: {time.time()-t0:.1f}s")
 
     print(f"total: {time.time()-t_start:.1f}s")
     return 0

@@ -46,6 +46,8 @@ class MCState(NamedTuple):
     fscat: jax.Array           # (B,) bool: packet has scattered
     emitted: jax.Array         # scalar i32
     xkj: jax.Array             # (n_cells,) kappa*J path tally
+    xj: jax.Array              # (L*n_cells,) per-lambda path tally
+                               # (xJ_abs, radiation_field.f90:20) or (1,)
     nabs: jax.Array            # (n_cells,) absorption counts
     sed: jax.Array             # (L, n_capt, 8) MC SED: I,Q,U,V + 4 contribs
     xi: jax.Array              # RT1 scattered-intensity tally
@@ -62,6 +64,7 @@ class MCResult(NamedTuple):
     n_iters: jax.Array
     n_lost: jax.Array          # lanes still alive at the iteration cap
     xi: jax.Array = None       # RT1 tally when rt was enabled
+    xj: jax.Array = None       # per-lambda J tally when jtally was enabled
 
 
 def _emit(model: Model, rands, dtype, lam_forced=None):
@@ -105,8 +108,7 @@ def _emit(model: Model, rands, dtype, lam_forced=None):
     n_cells = model.volume.shape[0]
     icell_d = bisect_cdf(lambda k: model.prob_e_cell[ilam, k],
                          n_cells, r1) - 1
-    ri_d = (icell_d % model.grid.n_rad) + 1
-    zj_d = (icell_d // model.grid.n_rad) + 1
+    ri_d, zj_d = cyl.cell_from_flat(model.grid, icell_d)
     xd, yd, zd = cyl.pos_in_cell(model.grid, ri_d, zj_d, r2, r3, r4)
     ud, vd, wd = isotropic_direction(r5, r6)
 
@@ -129,7 +131,8 @@ def _tau_draw(r):
 
 
 def init_state(model: Model, batch: int, n_capt: int = 10,
-               rt: bool = False, n_az_rt: int = 45) -> MCState:
+               rt: bool = False, n_az_rt: int = 45,
+               jtally: bool = False) -> MCState:
     """Fresh all-dead MC state (lanes are populated by refill).
 
     rt=True allocates the RT1 scattered-intensity tally
@@ -151,6 +154,8 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
         fscat=jnp.zeros(B, bool),
         emitted=jnp.zeros((), jnp.int32),
         xkj=jnp.zeros(n_cells, dtype),
+        xj=(jnp.zeros(L * n_cells, dtype) if jtally
+            else jnp.zeros(1, dtype)),
         nabs=jnp.zeros(n_cells, dtype),
         sed=jnp.zeros((L, n_capt, 8), dtype),
         xi=(jnp.zeros((L * n_cells * n_az_rt * 2,
@@ -163,13 +168,13 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
                                              "rt", "n_az_rt", "mrw",
-                                             "mrw_gamma"),
+                                             "mrw_gamma", "jtally"),
                    donate_argnums=(2,))
 def advance(model: Model, key, state: MCState, n_packets,
             n_iters: int = 2000, pola: bool = True,
             mono: bool = False, rt: bool = False,
             n_az_rt: int = 45, mrw: bool = True,
-            mrw_gamma: float = 2.0) -> MCState:
+            mrw_gamma: float = 2.0, jtally: bool = False) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -291,6 +296,19 @@ def advance(model: Model, key, state: MCState, n_packets,
         l_eff = jnp.where(interact, tau_rem / jnp.maximum(opac, 1e-30), l)
         l_eff = jnp.where(do_mrw, 0.0, l_eff)
 
+        # Voronoi grids have no stellar cavity: stars sit inside cells, so
+        # the segment itself is tested against the star sphere
+        # (intersect_stars along the step, optical_depth.f90:91-97)
+        if cyl.is_voronoi(grid):
+            pxs = x - model.star_pos[0, 0]
+            pys = y - model.star_pos[0, 1]
+            pzs = z - model.star_pos[0, 2]
+            t_ca2 = -(pxs * u + pys * v + pzs * w)
+            d2s = pxs * pxs + pys * pys + pzs * pzs - t_ca2 * t_ca2
+            seg_hit = (alive & (t_ca2 > 0) & (t_ca2 < l_eff)
+                       & (d2s < model.star_r[0] ** 2))
+            alive = alive & ~seg_hit
+
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
         # it cancels against Qcool for uniform dust); MRW lanes deposit the
         # expected diffusion-walk absorption instead
@@ -298,6 +316,14 @@ def advance(model: Model, key, state: MCState, n_packets,
                           0.0)
         dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
         xkj = s.xkj.at[flat].add(dep_w)
+
+        # per-lambda mean-intensity path tally (xJ_abs,
+        # radiation_field.f90:60-66): sum of l * Stokes I per (cell, lambda)
+        if jtally:
+            xj = s.xj.at[ilam * n_cells + flat].add(
+                jnp.where(alive & inside, l_eff * sI, 0.0))
+        else:
+            xj = s.xj
 
         # ---- RT1 scattered-intensity tally (calc_xI_scatt(_pola),
         # dust_ray_tracing.f90:480-632; angles in angles_scatt_rt1 :409-476)
@@ -513,7 +539,7 @@ def advance(model: Model, key, state: MCState, n_packets,
                        sI=sI, sQ=sQ, sU=sU, sV=sV,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
                        alive=alive, fstar=fstar, fscat=fscat,
-                       emitted=emitted, xkj=xkj, nabs=nabs,
+                       emitted=emitted, xkj=xkj, xj=xj, nabs=nabs,
                        sed=sed, xi=xi,
                        age=jnp.where(alive, age + 1, age),
                        it=s.it + 1)
@@ -548,9 +574,10 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    rt: bool = False, n_az_rt: int = 45,
                    compact_tail: bool = True, mrw: bool = True,
                    mrw_gamma: float = 2.0, age_cap: int = 100000,
-                   progress=None) -> MCResult:
+                   jtally: bool = False, progress=None) -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
-    state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt)
+    state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt,
+                       jtally=jtally)
     done_iters = 0
     b_cur = batch
     n_killed = 0
@@ -558,7 +585,7 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         state = advance(model, key, state, n_packets,
                         n_iters=min(iters_per_call, max_iters - done_iters),
                         pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
-                        mrw=mrw, mrw_gamma=mrw_gamma)
+                        mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally)
         done_iters = int(state.it)
         emitted = int(state.emitted)
         n_alive = int(jnp.sum(state.alive))
@@ -586,7 +613,27 @@ def run_thermal_mc(model: Model, key, n_packets: int,
     return MCResult(xkj=state.xkj, nabs=state.nabs, sed=state.sed,
                     emitted=state.emitted, n_iters=state.it,
                     n_lost=jnp.sum(state.alive.astype(jnp.int32)) + n_killed,
-                    xi=state.xi)
+                    xi=state.xi, xj=state.xj)
+
+
+def mean_intensity(model: Model, wl_dlam_um, xj, n_packets):
+    """Per-cell mean specific intensity J_lambda (L, n_cells) in
+    W m^-2 m^-1 sr^-1 from the per-lambda path tally
+    (J = sum l E_packet / (4 pi V), reference output.f90:2243-2330).
+
+    wl_dlam_um: (L,) wavelength-bin widths [micron]."""
+    import numpy as np
+
+    from .. import constants as cst
+
+    n_cells = model.grid.n_cells
+    L = model.n_lambda
+    l_packet = float(model.l_tot) / float(n_packets)      # W per packet
+    xj2 = np.asarray(xj, np.float64).reshape(L, n_cells)
+    V_m3 = np.asarray(model.volume, np.float64) * cst.AU3_to_m3
+    dlam_m = np.asarray(wl_dlam_um, np.float64) * 1e-6
+    return (xj2 * l_packet * cst.AU_to_m
+            / (4.0 * np.pi * V_m3[None, :] * dlam_m[:, None]))
 
 
 def final_temperature(model: Model, xkj, n_packets) -> jax.Array:

@@ -39,7 +39,8 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(devs, (axis,))
 
 
-def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool):
+def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
+                     jtally: bool = False):
     """Build the shard_mapped per-chunk advance: every device evolves its own
     MCState block (leading axis = device)."""
 
@@ -49,7 +50,7 @@ def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool):
         n_budget = n_budget[0]
         st = jax.tree.map(lambda a: a[0], state)
         st = thermal_mc.advance(model, key, st, n_budget, n_iters=n_iters,
-                                pola=pola, mono=mono)
+                                pola=pola, mono=mono, jtally=jtally)
         return jax.tree.map(lambda a: a[None], st)
 
     return jax.shard_map(
@@ -64,6 +65,7 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
                            n_capt: int = 10, max_iters: int = 1000000,
                            pola: bool = True, mono: bool = False,
                            iters_per_call: int = 2000,
+                           jtally: bool = False,
                            progress=None) -> thermal_mc.MCResult:
     """Run the MC across all devices of ``mesh``; returns globally reduced
     tallies (same structure as run_thermal_mc's MCResult)."""
@@ -75,9 +77,10 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
     # per-device states stacked on a sharded leading axis
     state = jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape),
-        thermal_mc.init_state(model, batch_per_device, n_capt))
+        thermal_mc.init_state(model, batch_per_device, n_capt,
+                              jtally=jtally))
 
-    adv = _sharded_advance(mesh, iters_per_call, pola, mono)
+    adv = _sharded_advance(mesh, iters_per_call, pola, mono, jtally)
     done = 0
     while done < max_iters:
         state = adv(model, keys, state, budgets)
@@ -96,4 +99,5 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
         emitted=jnp.sum(state.emitted),
         n_iters=jnp.max(state.it),
         n_lost=jnp.sum(state.alive.astype(jnp.int32)),
+        xj=jnp.sum(state.xj, axis=0),
     )

@@ -24,9 +24,30 @@ from .mc import thermal_mc
 from .parallel.mesh import make_mesh, run_thermal_mc_sharded
 
 
+def _grain_ranges(para: Para):
+    """Grain-size index ranges per (zone, species) in build_grain_sizes
+    order (mirrors the index bookkeeping of grains.f90:35-37)."""
+    out, k0 = [], 0
+    for iz, species in enumerate(para.dust):
+        for sp in species:
+            out.append((iz, sp, slice(k0, k0 + sp.n_grains)))
+            k0 += sp.n_grains
+    return out
+
+
+def _material_family(name: str) -> str:
+    n = name.lower()
+    if "pah" in n:
+        return "PAH"
+    if "gra" in n or "carbon" in n or "ac_" in n:
+        return "graphite"
+    return "silicate"
+
+
 def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 batch: int = 16384, n_capt: int = 10,
-                use_all_devices: bool = True, verbose: bool = True):
+                use_all_devices: bool = True, verbose: bool = True,
+                output_j: bool = False, output_uv: bool = False):
     """Execute the thermal MC step; returns (T_cells, sed_th, model, host)."""
     t0 = time.time()
     model, host = build_model(para, cache_dir=os.path.join(
@@ -60,15 +81,22 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
     n_packets = int(para.photons.n_eq_th)
     key = jax.random.PRNGKey(seed if seed is not None else para.seed)
 
+    # per-(cell,lambda) J tally needed for non-equilibrium grain heating
+    # (methods 2/3) and the J / UV-field diagnostic outputs
+    jtally = (output_j or output_uv
+              or any(sp.heating_method in (2, 3)
+                     for _, sp, _ in _grain_ranges(para)))
+
     t0 = time.time()
     devs = jax.devices()
     if use_all_devices and len(devs) > 1:
         mesh = make_mesh(devs)
         res = run_thermal_mc_sharded(model, key, n_packets, mesh,
-                                     batch_per_device=batch, n_capt=n_capt)
+                                     batch_per_device=batch, n_capt=n_capt,
+                                     jtally=jtally)
     else:
         res = thermal_mc.run_thermal_mc(model, key, n_packets, batch=batch,
-                                        n_capt=n_capt)
+                                        n_capt=n_capt, jtally=jtally)
     res.xkj.block_until_ready()
     dt = time.time() - t0
     if verbose:
@@ -102,7 +130,118 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                sed_th.T[None, :, :].astype(np.float32),       # (n_phi, n_capt, L)
                extensions=[wl.lam.astype(np.float64)],
                keywords={"BUNIT": "W.m-2"})
+
+    # ---- non-equilibrium grain heating + J-field diagnostics -------------
+    if jtally:
+        from .physics import stochastic as stoch
+        J = thermal_mc.mean_intensity(model, wl.dlam, res.xj,
+                                      int(res.emitted))        # (L, C)
+        if output_j:
+            # J.fits.gz: lambda.J_lambda per cell (ecriture_J,
+            # output.f90:2243-2330)
+            write_fits(os.path.join(data_dir, "J.fits.gz"),
+                       (J * (wl.lam * 1e-6)[:, None]).reshape(
+                           wl.n, nz, n_rad).astype(np.float32),
+                       extensions=[wl.lam.astype(np.float64)],
+                       keywords={"BUNIT": "W.m-2.sr-1"})
+        if output_uv:
+            # UV field 91.2-250 nm in Habing units
+            # (ecriture_UV_field, output.f90:2371-2450)
+            sel = (wl.lam >= 0.0912) & (wl.lam <= 0.25)
+            uv = (4.0 * np.pi
+                  * (J[sel] * (wl.dlam[sel] * 1e-6)[:, None]).sum(0)
+                  / 5.29e-14)                      # Habing 1968 [W m^-2]
+            write_fits(os.path.join(data_dir, "UV_field.fits.gz"),
+                       uv.reshape(nz, n_rad).astype(np.float32),
+                       keywords={"BUNIT": "Habing"})
+
+        J_cells = J.T                                          # (C, L)
+        for iz, sp, ksl in _grain_ranges(para):
+            if sp.heating_method == 2:
+                # RE + nLTE: per-grain-size equilibrium temperature
+                # (Temp_finale_nLTE, thermal_emission.f90:932-1012)
+                t0 = time.time()
+                T_sz = stoch.equilibrium_temperature_per_size(
+                    host.dust.c_abs[ksl], J_cells, wl.lam)     # (K, C)
+                write_fits(os.path.join(data_dir, "Temperature_nLTE.fits.gz"),
+                           T_sz.reshape(-1, nz, n_rad).astype(np.float32),
+                           extensions=[host.dust.grains.r_grain[ksl]
+                                       .astype(np.float64)],
+                           keywords={"BUNIT": "K"})
+                if verbose:
+                    print(f"  nLTE grain temperatures: {time.time()-t0:.1f}s")
+            elif sp.heating_method == 3:
+                # nRE stochastic heating: P(T) per grain size
+                # (Temp_nRE, thermal_emission.f90:1018-1437)
+                t0 = time.time()
+                fam = _material_family(
+                    sp.components[0].optical_indices_file)
+                sizes = host.dust.grains.r_grain[ksl]
+                rho_b = host.dust.grains.rho1g[ksl]
+                probs, res_flags = [], []
+                for j, k in enumerate(range(ksl.start, ksl.stop)):
+                    tab = stoch.build_nre_tables(
+                        float(sizes[j]), host.dust.c_abs[k], wl.lam,
+                        fam, float(rho_b[j]))
+                    P, is_re, _ = stoch.solve_temperature_distribution(
+                        tab, J_cells)
+                    probs.append(P)
+                    res_flags.append(is_re)
+                proba = np.stack(probs)                        # (K, C, M)
+                write_fits(os.path.join(data_dir, "Proba_Tdust.fits.gz"),
+                           proba.transpose(0, 2, 1).reshape(
+                               len(sizes), -1, nz, n_rad).astype(np.float32),
+                           extensions=[tab.T_bins.astype(np.float64),
+                                       sizes.astype(np.float64)],
+                           keywords={"BUNIT": "probability"})
+                if verbose:
+                    nre_frac = 1.0 - np.mean(np.stack(res_flags))
+                    print(f"  stochastic heating P(T): {len(sizes)} sizes, "
+                          f"{100*nre_frac:.0f}% non-RE cells "
+                          f"({time.time()-t0:.1f}s)")
     return T, sed_th, model, host, res
+
+
+def run_phantom(para: Para, dump_path: str, root_dir: str = ".",
+                seed: int | None = None, batch: int = 16384,
+                n_capt: int = 10, verbose: bool = True):
+    """Thermal MC on a Voronoi mesh built from a Phantom dump
+    (the reference's -phantom flow: read_phantom -> SPH_to_Voronoi ->
+    thermal MC, src/SPH2mcfost.f90:18-132).
+
+    Writes data_th/Temperature.fits.gz with one temperature per particle
+    (flat, like the reference's Voronoi output)."""
+    from .io.phantom import read_phantom
+
+    t0 = time.time()
+    sph = read_phantom(dump_path)
+    if verbose:
+        print(f"  phantom dump: {sph.xyz.shape[0]} particles, "
+              f"{sph.star_xyz.shape[0]} sinks ({time.time()-t0:.1f}s)")
+    t0 = time.time()
+    model, host = build_model(para, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"), sph=sph)
+    if verbose:
+        print(f"  Voronoi model: {model.grid.n_cells} cells "
+              f"({time.time()-t0:.1f}s)")
+
+    n_packets = int(para.photons.n_eq_th)
+    key = jax.random.PRNGKey(seed if seed is not None else para.seed)
+    t0 = time.time()
+    res = thermal_mc.run_thermal_mc(model, key, n_packets, batch=batch,
+                                    n_capt=n_capt, mrw=False)
+    res.xkj.block_until_ready()
+    if verbose:
+        dt = time.time() - t0
+        print(f"  thermal MC: {int(res.emitted)} packets in {dt:.2f}s "
+              f"({int(res.emitted)/dt:.0f} packets/s)")
+    T = np.asarray(thermal_mc.final_temperature(model, res.xkj,
+                                                int(res.emitted)))
+    data_dir = os.path.join(root_dir, "data_th")
+    os.makedirs(data_dir, exist_ok=True)
+    write_fits(os.path.join(data_dir, "Temperature.fits.gz"),
+               T.astype(np.float32), keywords={"BUNIT": "K"})
+    return T, model, host, res
 
 
 def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
