@@ -11,46 +11,84 @@ import jax.numpy as jnp
 
 from . import cylindrical as _cyl
 from . import spherical as _sph
+from . import voronoi as _vor
 from .cylindrical import CylGrid
 from .spherical import SphGrid
+from .voronoi import VoronoiGrid
 
 
 def _mod(grid):
     return _sph if isinstance(grid, SphGrid) else _cyl
 
 
+def is_voronoi(grid) -> bool:
+    return isinstance(grid, VoronoiGrid)
+
+
 def cross_cell(grid, x, y, z, u, v, w, ri, zj):
+    if is_voronoi(grid):
+        x1, y1, z1, inext, l = _vor.cross_cell(grid, x, y, z, u, v, w, ri)
+        return x1, y1, z1, inext, jnp.ones_like(zj), l
     return _mod(grid).cross_cell(grid, x, y, z, u, v, w, ri, zj)
 
 
 def index_cell(grid, x, y, z):
+    if is_voronoi(grid):
+        ic = _vor.locate(grid, x, y, z)
+        return ic, jnp.ones_like(ic)
     return _mod(grid).index_cell(grid, x, y, z)
 
 
 def pos_in_cell(grid, ri, zj, r1, r2, r3):
+    if is_voronoi(grid):
+        return _vor.pos_in_cell(grid, ri, r1, r2, r3)
     return _mod(grid).pos_in_cell(grid, ri, zj, r1, r2, r3)
 
 
 def flat_index(grid, ri, zj):
+    if is_voronoi(grid):
+        return _vor.flat_index(grid, ri)
     return _mod(grid).flat_index(grid, ri, zj)
 
 
 def is_inside(grid, ri, zj):
+    if is_voronoi(grid):
+        return _vor.is_inside(grid, ri)
     return _mod(grid).is_inside(grid, ri, zj)
 
 
 def has_exited(grid, ri, zj, z):
+    if is_voronoi(grid):
+        return _vor.has_exited(grid, ri)
     return _mod(grid).has_exited(grid, ri, zj, z)
 
 
+def cell_from_flat(grid, icell):
+    """Flat cell index -> (ri, zj) index pair for packet emission."""
+    ic = icell.astype(jnp.int32)
+    if is_voronoi(grid):
+        return ic + 1, jnp.ones_like(ic)
+    return (ic % grid.n_rad) + 1, (ic // grid.n_rad) + 1
+
+
 def distance_to_closest_wall(grid, ri, zj, x, y, z):
+    if is_voronoi(grid):
+        i0 = _vor.flat_index(grid, ri)
+        s = grid.seeds[i0]
+        d_seed = jnp.sqrt((x - s[:, 0]) ** 2 + (y - s[:, 1]) ** 2
+                          + (z - s[:, 2]) ** 2)
+        return jnp.maximum(grid.inradius[i0] - d_seed, 0.0)
     return _mod(grid).distance_to_closest_wall(grid, ri, zj, x, y, z)
 
 
 def move_to_grid(grid, x, y, z, u, v, w):
     """Advance rays from outside to the model boundary; dispatched:
     cylinder+slab for cylindrical (move_to_grid_cyl), outer sphere for
-    spherical (move_to_grid_sph, spherical_grid.f90)."""
+    spherical (move_to_grid_sph, spherical_grid.f90), bounding box for
+    Voronoi."""
+    if is_voronoi(grid):
+        x1, y1, z1, ic, hit = _vor.move_to_grid(grid, x, y, z, u, v, w)
+        return x1, y1, z1, ic, jnp.ones_like(ic), hit
     if isinstance(grid, SphGrid):
         dtype = x.dtype
         big = jnp.asarray(1.0e30, dtype)

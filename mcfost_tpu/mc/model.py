@@ -169,10 +169,12 @@ def rt_directions(para: Para) -> np.ndarray:
 
 def build_model(para: Para, dtype=jnp.float32,
                 cache_dir: str | None = ".mcfost_tpu_cache",
-                img_lambda: float | None = None):
+                img_lambda: float | None = None, sph=None):
     """Build the full device model.  img_lambda switches to a
     single-wavelength grid for image mode (reference init_lambda mono
-    branch, wavelengths.f90:41-45)."""
+    branch, wavelengths.f90:41-45).  sph (an io.phantom.SPHModel) selects
+    a Voronoi mesh built from the particles instead of the para-file
+    analytic grid (the reference auto-selects Voronoi with -phantom)."""
     from ..physics.wavelengths import mono_wavelength_grid
     if img_lambda is not None:
         wl = mono_wavelength_grid(img_lambda)
@@ -180,17 +182,35 @@ def build_model(para: Para, dtype=jnp.float32,
         wl = log_wavelength_grid(para.wavelengths.n_lambda,
                                  para.wavelengths.lambda_min,
                                  para.wavelengths.lambda_max)
-    if para.grid.geometry == 2:
+    if sph is not None:
+        from ..grids.sph import sph_to_voronoi
+        vor = sph_to_voronoi(sph)
+        grid = vor.grid
+        volume = np.asarray(grid.volume, np.float64)
+        rho = vor.rho_dust
+    elif para.grid.geometry == 2:
         grid = build_spherical_grid(para, dtype=dtype)
     else:
         grid = build_cylindrical_grid(para, dtype=dtype)
-    r_grid = np.asarray(grid.r_grid, np.float64)
-    z_grid = np.asarray(grid.z_grid, np.float64)
-    volume = np.asarray(grid.volume, np.float64)
-
-    rho = density_mod.compute_dust_density(para, r_grid, z_grid, volume)
+    if sph is None:
+        r_grid = np.asarray(grid.r_grid, np.float64)
+        z_grid = np.asarray(grid.z_grid, np.float64)
+        volume = np.asarray(grid.volume, np.float64)
+        rho = density_mod.compute_dust_density(para, r_grid, z_grid, volume)
     dust = build_dust_model(para, wl, cache_dir=cache_dir)
     stars = build_star_model(para, wl)
+    if sph is not None and sph.star_xyz.shape[0] > 0:
+        # sink particles become stars at their positions (sinks -> stars,
+        # read_phantom.f90 phantom_2_mcfost); spectral properties follow
+        # the para-file star, luminosity split evenly between sinks
+        import dataclasses
+        S = sph.star_xyz.shape[0]
+        cdf = np.tile(np.concatenate(
+            [[0.0], np.arange(1, S + 1) / S])[None, :], (wl.n, 1))
+        stars = dataclasses.replace(
+            stars, pos=np.asarray(sph.star_xyz, np.float64),
+            radius=np.repeat(stars.radius[:1], S),
+            teff=np.repeat(stars.teff[:1], S), cdf_star=cdf)
     therm = thermal_mod.build_thermal_tables(
         wl, dust.kappa_abs, n_T=para.n_T, T_min=para.T_min, T_max=para.T_max)
     em_cdf, l_tot = thermal_mod.emission_cdf(wl, stars.E_stars)
