@@ -1,0 +1,609 @@
+"""Atomic line transfer: gas state, MALI NLTE loop, channel maps & spectra.
+
+Covers the reference's -atom pipeline (atom_line_transfer,
+src/gas/atom_transfer.f90:1092-; nlte_loop_mali :123-881): build the gas
+state on the disk model (T_gas = T_dust, Keplerian velocities), solve the
+LTE ionization/excitation state (electron density + Saha-Boltzmann),
+optionally iterate the NLTE populations with a MALI (diagonal
+approximate-operator) scheme, then ray-trace velocity-resolved channel
+maps and disk-integrated spectra for the requested lines.
+
+TPU-native design:
+* the formal solution for *all cells x rays x lines x velocity channels*
+  advances in one `lax.while_loop` (the reference integrates one ray per
+  OpenMP thread, integ_ray_atom, optical_depth.f90:1095-1211);
+* Voigt profiles are evaluated on device with the branch-free Humlicek
+  approximation for the whole tensor at once;
+* the SEE solve is one batched linear solve over all cells
+  (see_atom's per-cell LU, gas/see.f90:320-460);
+* the MALI diagonal operator is accumulated from the first
+  path-segment of each ray exactly where the reference accumulates its
+  psi operator (labs branch of integ_ray_atom).
+
+Continuum radiative rates use the mean continuum intensity from star +
+dust thermal emission (the dominant terms in a disk); gas continuum
+scattering feedback on J is neglected (Thomson/Rayleigh << dust).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cst
+from ..grids import geometry as geom
+from ..io.fits import write_fits
+from ..mc.model import Model, HostModel
+from .atom import AtomModel, get_atom, AMU_KG
+from .broadening import line_damping, voigt
+from .contopac import background_continuum
+from .electron import solve_ne
+from .lte import lte_pops, nh_minus
+from .see import collision_matrix, solve_see
+
+SQRT_PI = float(np.sqrt(np.pi))
+
+
+def bnu(T, nu):
+    """Planck B_nu [W m^-2 Hz^-1 sr^-1] (utils.f90 Bnu)."""
+    T = np.maximum(np.asarray(T, np.float64), 1e-3)
+    x = cst.hp * nu / (cst.kb * T)
+    return np.where(x < 600.0,
+                    2.0 * cst.hp * nu ** 3 / cst.c_light ** 2
+                    / np.maximum(np.exp(np.minimum(x, 600.0)) - 1.0,
+                                 1e-300),
+                    0.0)
+
+
+class GasState:
+    """Per-cell gas quantities for atomic RT (the reference's grid-level
+    T/nHtot/ne/vturb/velocity arrays, gas/atom_transfer.f90 init)."""
+
+    def __init__(self, model: Model, host: HostModel, T_gas: np.ndarray,
+                 v_turb_kms: float = 0.0):
+        para = host.para
+        self.T = np.maximum(np.asarray(T_gas, np.float64), 2.7)
+        g2d = para.zones[0].gas_to_dust
+        rho_gas = host.rho_dust * g2d                    # g/cm^3
+        mH = 1.008 * AMU_KG * 1e3                        # g
+        self.nHtot = rho_gas / (1.4 * mH) * 1e6          # m^-3 (He-corrected)
+        self.vturb = v_turb_kms * 1e3
+        self.ne = solve_ne(self.T, self.nHtot)
+
+        # Keplerian velocity field (same as the molecular module)
+        mstar = para.stars[0].mass
+        r = np.asarray(model.grid.r_grid, np.float64)
+        self.vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
+                            / np.maximum(r, 1e-10) / cst.AU_to_m)
+
+    def vth(self, atom: AtomModel) -> np.ndarray:
+        """Most-probable speed incl. microturbulence [m/s]."""
+        return np.sqrt(2.0 * cst.kb * self.T / (atom.weight * AMU_KG)
+                       + self.vturb ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Device tables
+# ---------------------------------------------------------------------------
+
+class AtomRT:
+    """Per-(cell, line) opacity/emissivity tables for the formal solver."""
+
+    def __init__(self, model: Model, host: HostModel, atom: AtomModel,
+                 gas: GasState, pops: np.ndarray, ilines: np.ndarray,
+                 T_dust: np.ndarray):
+        dtype = model.kappa.dtype
+        self.ilines = np.asarray(ilines, int)
+        nl = len(self.ilines)
+        li = atom.line_i[self.ilines]
+        lj = atom.line_j[self.ilines]
+        self.nu0 = cst.c_light / (atom.lambda0[self.ilines] * 1e-9)
+        self.lambda0 = atom.lambda0[self.ilines]
+
+        vth = gas.vth(atom)                               # (C,)
+        ni = pops[:, li]
+        nj = pops[:, lj]
+        # chi_nu = (h c / 4 pi) (ni Bij - nj Bji) H(a,x) / (sqrt(pi) vth)
+        pref = cst.hp * cst.c_light / (4.0 * np.pi)
+        chi0 = pref * (ni * atom.Bij[None, self.ilines]
+                       - nj * atom.Bji[None, self.ilines]) \
+            / (SQRT_PI * vth[:, None])
+        eta0 = pref * nj * atom.Aji[None, self.ilines] \
+            / (SQRT_PI * vth[:, None])
+        chi0 = np.maximum(chi0, 0.0)                      # no masers
+
+        adamp = line_damping(atom, gas.T, gas.ne,
+                             gas.nHtot * 0 + self._nh1(atom, pops, gas),
+                             vth)[:, self.ilines]
+
+        # background continuum at the line frequencies: dust + gas
+        lam_um = self.lambda0 * 1e-3                      # nm -> um
+        nH1 = self._nh1(atom, pops, gas)
+        nprot = self._nprot(atom, pops, gas)
+        nhmin = nh_minus(gas.T, gas.ne, nH1)
+        chi_gas, _sca = background_continuum(lam_um, gas.T, gas.ne,
+                                             nH1, nprot, nhmin)
+        kabs_d = np.exp(np.interp(
+            np.log(lam_um), np.log(host.wl.lam),
+            np.log(np.maximum(np.asarray(model.kappa_abs, np.float64),
+                              1e-300))))                  # per unit rho
+        chi_dust = kabs_d[None, :] * host.rho_dust[:, None]  # AU^-1
+        Bd = np.stack([bnu(T_dust, nu) for nu in self.nu0], 1)
+        Bg = np.stack([bnu(gas.T, nu) for nu in self.nu0], 1)
+        chi_gas_au = chi_gas * cst.AU_to_m
+        chi_c = chi_dust + chi_gas_au
+        eta_c = chi_dust * Bd + chi_gas_au * Bg
+
+        self.vth_j = jnp.asarray(vth, dtype)
+        self.chi0 = jnp.asarray(chi0 * cst.AU_to_m, dtype)   # AU^-1
+        self.eta0 = jnp.asarray(eta0 * cst.AU_to_m, dtype)
+        self.adamp = jnp.asarray(adamp, dtype)
+        self.chi_c = jnp.asarray(chi_c, dtype)
+        self.eta_c = jnp.asarray(eta_c, dtype)
+        self.vfield = jnp.asarray(gas.vkep, dtype)
+        star_b = bnu(np.full(nl, host.para.stars[0].teff), self.nu0)
+        self.star_bnu = jnp.asarray(star_b, dtype)
+
+    @staticmethod
+    def _nh1(atom, pops, gas):
+        if atom.id.upper() == "H":
+            return pops[:, 0]
+        return gas.nHtot * 0.9     # H mostly neutral elsewhere
+
+    @staticmethod
+    def _nprot(atom, pops, gas):
+        if atom.id.upper() == "H":
+            return pops[:, -1]
+        return gas.ne              # ~ proton density proxy
+
+
+# ---------------------------------------------------------------------------
+# Formal solver (device kernel)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nl", "nv", "max_steps",
+                                             "want_psi"))
+def integrate_atom_rays(model: Model, chi0, eta0, adamp, vth, chi_c, eta_c,
+                        vfield, star_bnu, tab_speed, x0, y0, z0, u, v, w,
+                        nl: int, nv: int, max_steps: int = 2000,
+                        want_psi: bool = False):
+    """Backward formal integration of N rays with nl lines x nv velocity
+    channels riding along (integ_ray_atom, optical_depth.f90:1095-1211).
+
+    Returns (I (N, nl, nv), Ic (N, nl), psi (N, nl, nv)) where psi is the
+    local (first-segment) 1-exp(-dtau) for the MALI diagonal."""
+    grid = model.grid
+    dtype = x0.dtype
+    n_cells = grid.n_cells
+
+    x, y, z, ri, zj, hit = geom.move_to_grid(grid, x0, y0, z0, u, v, w)
+    N = x.shape[0]
+    I = jnp.zeros((N, nl, nv), dtype)
+    Ic = jnp.zeros((N, nl), dtype)
+    tau = jnp.zeros((N, nl, nv), dtype)
+    tau_c = jnp.zeros((N, nl), dtype)
+    psi = jnp.zeros((N, nl, nv), dtype)
+    alive = hit & ~geom.has_exited(grid, ri, zj, z)
+
+    def body(st):
+        it, x, y, z, ri, zj, tau, tau_c, I, Ic, psi, alive = st
+        inside = geom.is_inside(grid, ri, zj)
+        flat = jnp.clip(geom.flat_index(grid, ri, zj), 0, n_cells - 1)
+        x1, y1, z1, ri1, zj1, l = geom.cross_cell(grid, x, y, z, u, v, w,
+                                                  ri, zj)
+
+        # projected Keplerian velocity at mid-segment
+        xm = x + 0.5 * l * u
+        ym = y + 0.5 * l * v
+        rr = jnp.sqrt(jnp.maximum(xm * xm + ym * ym, 1e-30))
+        vproj = vfield[flat] * (-ym * u + xm * v) / rr        # (N,)
+
+        xg = (tab_speed[None, :] - vproj[:, None]) \
+            / jnp.maximum(vth[flat][:, None], 1.0)            # (N, nv)
+        prof = voigt(adamp[flat][:, :, None],
+                     xg[:, None, :])                          # (N, nl, nv)
+
+        kc = chi_c[flat]                                      # (N, nl)
+        opac = chi0[flat][:, :, None] * prof + kc[:, :, None]
+        emis = eta0[flat][:, :, None] * prof + eta_c[flat][:, :, None]
+        dtau = l[:, None, None] * opac
+        Snu = emis / jnp.maximum(opac, 1e-30)
+        dtau_c = l[:, None] * kc
+        Snu_c = eta_c[flat] / jnp.maximum(kc, 1e-30)
+
+        ok = (alive & inside)[:, None, None]
+        I = I + jnp.where(ok, jnp.exp(-tau) * (-jnp.expm1(-dtau)) * Snu,
+                          0.0)
+        Ic = Ic + jnp.where(ok[:, :, 0],
+                            jnp.exp(-tau_c) * (-jnp.expm1(-dtau_c))
+                            * Snu_c, 0.0)
+        if want_psi:
+            psi = psi + jnp.where(ok & (it == 0)[None, None, None],
+                                  -jnp.expm1(-dtau), 0.0)
+        tau = tau + jnp.where(ok, dtau, 0.0)
+        tau_c = tau_c + jnp.where(ok[:, :, 0], dtau_c, 0.0)
+
+        x = jnp.where(alive, x1, x)
+        y = jnp.where(alive, y1, y)
+        z = jnp.where(alive, z1, z)
+        ri = jnp.where(alive, ri1, ri)
+        zj = jnp.where(alive, zj1, zj)
+
+        # star boundary: add the photospheric continuum
+        in_cav = ri == 0
+        t_ca = -(x * u + y * v + z * w)
+        d2 = x * x + y * y + z * z - t_ca * t_ca
+        hit_star = alive & in_cav & (t_ca > 0) \
+            & (d2 < model.star_r[0] ** 2)
+        I = I + jnp.where(hit_star[:, None, None],
+                          jnp.exp(-tau) * star_bnu[None, :, None], 0.0)
+        Ic = Ic + jnp.where(hit_star[:, None],
+                            jnp.exp(-tau_c) * star_bnu[None, :], 0.0)
+        alive = alive & ~geom.has_exited(grid, ri, zj, z) & ~hit_star
+        return it + 1, x, y, z, ri, zj, tau, tau_c, I, Ic, psi, alive
+
+    def cond(st):
+        return jnp.any(st[-1]) & (st[0] < max_steps)
+
+    st = (jnp.zeros((), jnp.int32), x, y, z, ri, zj, tau, tau_c, I, Ic,
+          psi, alive)
+    st = jax.lax.while_loop(cond, body, st)
+    return st[8], st[9], st[10]
+
+
+# ---------------------------------------------------------------------------
+# Continuum mean intensity & rates
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def integrate_cont_rays(model: Model, chi_c, eta_c, star_bnu_w,
+                        x0, y0, z0, u, v, w, max_steps: int = 2000):
+    """Continuum-only backward integration: I (N, W)."""
+    grid = model.grid
+    dtype = x0.dtype
+    n_cells = grid.n_cells
+    x, y, z, ri, zj, hit = geom.move_to_grid(grid, x0, y0, z0, u, v, w)
+    N, W = x.shape[0], chi_c.shape[1]
+    I = jnp.zeros((N, W), dtype)
+    tau = jnp.zeros((N, W), dtype)
+    alive = hit & ~geom.has_exited(grid, ri, zj, z)
+
+    def body(st):
+        it, x, y, z, ri, zj, tau, I, alive = st
+        inside = geom.is_inside(grid, ri, zj)
+        flat = jnp.clip(geom.flat_index(grid, ri, zj), 0, n_cells - 1)
+        x1, y1, z1, ri1, zj1, l = geom.cross_cell(grid, x, y, z, u, v, w,
+                                                  ri, zj)
+        kc = chi_c[flat]
+        dtau = l[:, None] * kc
+        Snu = eta_c[flat] / jnp.maximum(kc, 1e-30)
+        ok = (alive & inside)[:, None]
+        I = I + jnp.where(ok, jnp.exp(-tau) * (-jnp.expm1(-dtau)) * Snu,
+                          0.0)
+        tau = tau + jnp.where(ok, dtau, 0.0)
+        x = jnp.where(alive, x1, x)
+        y = jnp.where(alive, y1, y)
+        z = jnp.where(alive, z1, z)
+        ri = jnp.where(alive, ri1, ri)
+        zj = jnp.where(alive, zj1, zj)
+        in_cav = ri == 0
+        t_ca = -(x * u + y * v + z * w)
+        d2 = x * x + y * y + z * z - t_ca * t_ca
+        hit_star = alive & in_cav & (t_ca > 0) \
+            & (d2 < model.star_r[0] ** 2)
+        I = I + jnp.where(hit_star[:, None],
+                          jnp.exp(-tau) * star_bnu_w[None, :], 0.0)
+        alive = alive & ~geom.has_exited(grid, ri, zj, z) & ~hit_star
+        return it + 1, x, y, z, ri, zj, tau, I, alive
+
+    def cond(st):
+        return jnp.any(st[-1]) & (st[0] < max_steps)
+
+    st = (jnp.zeros((), jnp.int32), x, y, z, ri, zj, tau, I, alive)
+    st = jax.lax.while_loop(cond, body, st)
+    return st[7]
+
+
+def _fibonacci_sphere(n: int) -> np.ndarray:
+    i = np.arange(n) + 0.5
+    phi = np.pi * (1 + 5 ** 0.5) * i
+    mu = 1 - 2 * i / n
+    s = np.sqrt(1 - mu ** 2)
+    return np.stack([s * np.cos(phi), s * np.sin(phi), mu], 1)
+
+
+def continuum_mean_intensity(model: Model, host: HostModel,
+                             atom: AtomModel, gas: GasState,
+                             pops: np.ndarray, T_dust: np.ndarray,
+                             n_rays: int = 8):
+    """J_nu (C, W) on the union of the atom's photoionization grids,
+    from star + dust + gas thermal emission; returns (lam_um (W,), J)."""
+    dtype = model.kappa.dtype
+    # union wavelength grid: per continuum, log grid lambda0/30..lambda0
+    lams = []
+    for k in range(atom.n_cont):
+        l0 = atom.cont_lambda0[k] * 1e-3               # um
+        lams.append(np.geomspace(max(l0 / 30.0, 0.02), l0 * 0.9999, 16))
+    lam_um = np.unique(np.concatenate(lams))
+    W = lam_um.size
+
+    nH1 = AtomRT._nh1(atom, pops, gas)
+    nprot = AtomRT._nprot(atom, pops, gas)
+    nhmin = nh_minus(gas.T, gas.ne, nH1)
+    chi_gas, _ = background_continuum(lam_um, gas.T, gas.ne, nH1,
+                                      nprot, nhmin)
+    kabs_d = np.exp(np.interp(np.log(lam_um), np.log(host.wl.lam),
+                              np.log(np.maximum(
+                                  np.asarray(model.kappa_abs, np.float64),
+                                  1e-300))))
+    chi_dust = kabs_d[None, :] * host.rho_dust[:, None]
+    nu_w = cst.c_light / (lam_um * 1e-6)
+    Bd = bnu(T_dust[:, None], nu_w[None, :])
+    Bg = bnu(gas.T[:, None], nu_w[None, :])
+    chi_gas_au = chi_gas * cst.AU_to_m
+
+    # atom's own LTE b-f opacity (saturates the edges)
+    chi_bf = np.zeros((gas.T.shape[0], W))
+    for k in range(atom.n_cont):
+        l0 = atom.cont_lambda0[k] * 1e-3
+        sel = lam_um < l0
+        alpha = atom.alpha0[k] * (lam_um[sel] / l0) ** 3
+        stim = 1.0 - np.exp(-cst.hp * nu_w[None, sel]
+                            / (cst.kb * gas.T[:, None]))
+        chi_bf[:, sel] += pops[:, atom.cont_i[k]][:, None] \
+            * alpha[None, :] * stim
+    chi_bf_au = chi_bf * cst.AU_to_m
+
+    chi_c = chi_dust + chi_gas_au + chi_bf_au
+    eta_c = chi_dust * Bd + (chi_gas_au + chi_bf_au) * Bg
+    star_b = bnu(np.full(W, host.para.stars[0].teff), nu_w)
+
+    n_cells = model.grid.n_cells
+    x0 = model.grid.r_grid
+    y0 = jnp.zeros(n_cells, dtype)
+    z0 = model.grid.z_grid
+    J = np.zeros((n_cells, W))
+    dirs = _fibonacci_sphere(n_rays)
+    for d in dirs:
+        I = integrate_cont_rays(
+            model, jnp.asarray(chi_c, dtype), jnp.asarray(eta_c, dtype),
+            jnp.asarray(star_b, dtype), x0, y0, z0,
+            jnp.full(n_cells, d[0], dtype), jnp.full(n_cells, d[1], dtype),
+            jnp.full(n_cells, d[2], dtype))
+        J += np.asarray(I, np.float64)
+    return lam_um, J / n_rays
+
+
+def continuum_rates(atom: AtomModel, gas: GasState, nstar: np.ndarray,
+                    lam_um: np.ndarray, J: np.ndarray):
+    """Photoionization / recombination rates per continuum transition
+    (accumulate_radrates_mali continuum branch, gas/see.f90):
+      Rij = 4pi sum alpha J/(h nu) dnu
+      Rji = (ni*/nj*) 4pi sum alpha (2hnu^3/c^2 + J) e^(-hnu/kT)/(h nu) dnu
+    Returns (Rij (C,K), Rji (C,K))."""
+    C = gas.T.shape[0]
+    K = atom.n_cont
+    nu_w = cst.c_light / (lam_um * 1e-6)
+    # dnu per sample (positive, nu decreasing with lam increasing)
+    dnu = np.abs(np.gradient(nu_w))
+    Rij = np.zeros((C, K))
+    Rji = np.zeros((C, K))
+    kT = cst.kb * gas.T
+    for k in range(K):
+        l0 = atom.cont_lambda0[k] * 1e-3
+        sel = lam_um < l0
+        if not sel.any():
+            continue
+        alpha = atom.alpha0[k] * (lam_um[sel] / l0) ** 3
+        nu = nu_w[sel]
+        w = 4.0 * np.pi * alpha * dnu[sel] / (cst.hp * nu)
+        Rij[:, k] = (J[:, sel] * w[None, :]).sum(1)
+        ex = np.exp(-np.minimum(cst.hp * nu[None, :] / kT[:, None], 600.0))
+        twohnu3 = 2.0 * cst.hp * nu ** 3 / cst.c_light ** 2
+        ratio = nstar[:, atom.cont_i[k]] \
+            / np.maximum(nstar[:, atom.cont_j[k]], 1e-300)
+        Rji[:, k] = ratio * ((twohnu3[None, :] + J[:, sel]) * ex
+                             * w[None, :]).sum(1)
+    return Rij, Rji
+
+
+# ---------------------------------------------------------------------------
+# MALI loop
+# ---------------------------------------------------------------------------
+
+def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21):
+    """Profile-weighted mean intensity and MALI diagonal per (cell, line):
+    returns (Jbar (C, nl), Lambda* (C, nl))."""
+    dtype = model.kappa.dtype
+    n_cells = model.grid.n_cells
+    nl = len(rt.ilines)
+    vth_max = float(np.asarray(rt.vth_j).max())
+    tab_np = np.linspace(-4.0 * vth_max, 4.0 * vth_max, nv)
+    tab = jnp.asarray(tab_np, dtype)
+    x0 = model.grid.r_grid
+    y0 = jnp.zeros(n_cells, dtype)
+    z0 = model.grid.z_grid
+
+    jbar = np.zeros((n_cells, nl))
+    lstar = np.zeros((n_cells, nl))
+    wsum = np.zeros((n_cells, nl))
+    vth_np = np.asarray(rt.vth_j, np.float64)
+    a_np = np.asarray(rt.adamp, np.float64)
+    for d in _fibonacci_sphere(n_rays):
+        I, _Ic, psi = integrate_atom_rays(
+            model, rt.chi0, rt.eta0, rt.adamp, rt.vth_j, rt.chi_c,
+            rt.eta_c, rt.vfield, rt.star_bnu, tab,
+            x0, y0, z0,
+            jnp.full(n_cells, d[0], dtype), jnp.full(n_cells, d[1], dtype),
+            jnp.full(n_cells, d[2], dtype), nl=nl, nv=nv, want_psi=True)
+        I = np.asarray(I, np.float64)
+        psi = np.asarray(psi, np.float64)
+        # weights: the cell's own absorption profile at its rest frame
+        xg = tab_np[None, None, :] / vth_np[:, None, None]
+        import scipy.special as sps
+        H = np.real(sps.wofz(xg + 1j * a_np[:, :, None]))
+        jbar += (I * H).sum(-1)
+        lstar += (psi * H).sum(-1)
+        wsum += H.sum(-1)
+    wsum = np.maximum(wsum, 1e-300)
+    return jbar / wsum, lstar / wsum
+
+
+def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
+                   gas: GasState, T_dust: np.ndarray,
+                   max_iter: int = 50, tol: float = 1e-3,
+                   n_rays: int = 8, verbose: bool = False):
+    """MALI iteration to statistical equilibrium (nlte_loop_mali,
+    gas/atom_transfer.f90:123-881).  Returns (pops, n_iter, dM)."""
+    ntot = atom.abund * gas.nHtot
+    nstar = lte_pops(atom, gas.T, gas.ne, ntot)
+    pops = nstar.copy()
+    Cmat = collision_matrix(atom, gas.T, gas.ne, nstar)
+    all_lines = np.arange(atom.n_lines)
+
+    # continuum rates: star+dust dominated, computed once
+    lam_c, Jc = continuum_mean_intensity(model, host, atom, gas, pops,
+                                         T_dust, n_rays=n_rays)
+    Rc_ij, Rc_ji = continuum_rates(atom, gas, nstar, lam_c, Jc)
+
+    dM = np.inf
+    it = 0
+    for it in range(1, max_iter + 1):
+        rt = AtomRT(model, host, atom, gas, pops, all_lines, T_dust)
+        jbar, lst = jbar_lambda(model, rt, n_rays=n_rays)
+        lst = np.clip(lst, 0.0, 0.999)
+
+        # MALI-preconditioned line rates (Rybicki & Hummer 1992):
+        # Jeff = Jbar - Lambda* S_old
+        ni = pops[:, atom.line_i]
+        nj = pops[:, atom.line_j]
+        denom = np.maximum(ni * atom.Bij[None, :] - nj * atom.Bji[None, :],
+                           1e-300)
+        S_old = nj * atom.Aji[None, :] / denom
+        jeff = np.maximum(jbar - lst * S_old, 0.0)
+        Rij = atom.Bij[None, :] * jeff
+        Rji = atom.Aji[None, :] * (1.0 - lst) + atom.Bji[None, :] * jeff
+
+        pops, dM = solve_see(atom, ntot, Cmat, Rij, Rji, Rc_ij, Rc_ji,
+                             pops)
+        if verbose:
+            print(f"    MALI iter {it}: max dpop/pop = {dM:.2e}")
+        if dM < tol:
+            break
+    return pops, it, dM
+
+
+# ---------------------------------------------------------------------------
+# Observables (-atom mode)
+# ---------------------------------------------------------------------------
+
+def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
+              root_dir: str = ".", verbose: bool = True):
+    """Full -atom pipeline: gas state, (N)LTE populations, channel maps
+    for the parameter file's atomic lines + disk-integrated spectra
+    (setup_image_grid / emission_line_map, gas/atom_transfer.f90:1044,
+    1439; write_atomic_maps, output.f90)."""
+    para = host.para
+    if not para.atoms.atoms:
+        from ..config.para import Atom
+        para.atoms.atoms = [Atom()]
+    acfg = para.atoms.atoms[0]
+    atom = get_atom(acfg.filename)
+    gas = GasState(model, host, T_dust,
+                   v_turb_kms=para.mol.v_turb
+                   if para.mol.v_turb_unit.lower().startswith("km")
+                   else 0.0)
+    ntot = atom.abund * gas.nHtot
+    nstar = lte_pops(atom, gas.T, gas.ne, ntot)
+    if acfg.non_lte:
+        pops, nit, dm = nlte_pops_atom(model, host, atom, gas, T_dust,
+                                       verbose=verbose)
+        if verbose:
+            print(f"  NLTE populations converged: {nit} iter, "
+                  f"dM = {dm:.2e}")
+    else:
+        pops = nstar
+
+    # requested lines: (upper, lower) 1-based level pairs
+    ilines = []
+    for (jl, il) in acfg.lines:
+        j0, i0 = max(jl, il) - 1, min(jl, il) - 1
+        m = np.where((atom.line_i == i0) & (atom.line_j == j0))[0]
+        if m.size:
+            ilines.append(m[0])
+    if not ilines:
+        ilines = [np.argmax(atom.lambda0 * (atom.line_i == 1))]
+    ilines = np.asarray(ilines, int)
+
+    rt = AtomRT(model, host, atom, gas, pops, ilines, T_dust)
+    nl = len(ilines)
+    nv = acfg.n_points
+    vmax = acfg.vmax * 1e3
+    dtype = model.kappa.dtype
+    tab_speed = jnp.asarray(np.linspace(-vmax, vmax, nv), dtype)
+
+    dirs = np.asarray(model.rt_dirs, np.float64)
+    n_rt = dirs.shape[0]
+    npx, npy = para.maps.nx, para.maps.ny
+    pix = para.maps.map_size / max(npx, npy)
+    dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
+    rmax = float(np.asarray(model.grid.r_lim)[-1])
+
+    cube = np.zeros((n_rt, nv, nl, npy, npx))
+    cont = np.zeros((n_rt, nl, npy, npx))
+    for i_rt in range(n_rt):
+        u, v, w = dirs[i_rt]
+        az = np.arctan2(u, -v) if (abs(u) > 1e-10 or abs(v + 1) > 1e-10) \
+            else 0.0
+        xpl = np.array([np.cos(az), np.sin(az), 0.0])
+        ypl = -np.cross(xpl, [u, v, w])
+        center = np.array([u, v, w]) * 10.0 * rmax
+        corner = center - 0.5 * npx * pix * xpl - 0.5 * npy * pix * ypl
+        ix, iy = np.meshgrid(np.arange(npx) + 0.5, np.arange(npy) + 0.5,
+                             indexing="ij")
+        px = corner[0] + ix * pix * xpl[0] + iy * pix * ypl[0]
+        py = corner[1] + ix * pix * xpl[1] + iy * pix * ypl[1]
+        pz = corner[2] + ix * pix * xpl[2] + iy * pix * ypl[2]
+        n = px.size
+        I, Ic, _ = integrate_atom_rays(
+            model, rt.chi0, rt.eta0, rt.adamp, rt.vth_j, rt.chi_c,
+            rt.eta_c, rt.vfield, rt.star_bnu, tab_speed,
+            jnp.asarray(px.ravel(), dtype), jnp.asarray(py.ravel(), dtype),
+            jnp.asarray(pz.ravel(), dtype),
+            jnp.full(n, -u, dtype), jnp.full(n, -v, dtype),
+            jnp.full(n, -w, dtype), nl=nl, nv=nv)
+        I = np.asarray(I, np.float64).reshape(npx, npy, nl, nv)
+        Ic = np.asarray(Ic, np.float64).reshape(npx, npy, nl)
+        for t in range(nl):
+            fac = (pix ** 2 / dist2) * rt.nu0[t]      # nu.F_nu W/m2/pix
+            cube[i_rt, :, t] = I[:, :, t, :].transpose(2, 1, 0) * fac
+            cont[i_rt, t] = Ic[:, :, t].T * fac
+
+    n_incl, n_az = para.maps.n_incl, para.maps.n_az_angles
+    arr = cube.reshape(n_az, n_incl, nv, nl, npy, npx).transpose(
+        2, 3, 0, 1, 4, 5)
+    carr = cont.reshape(n_az, n_incl, nl, npy, npx).transpose(
+        2, 0, 1, 3, 4)
+    out_dir = os.path.join(root_dir, f"data_atom")
+    os.makedirs(out_dir, exist_ok=True)
+    write_fits(os.path.join(out_dir, "atomic_maps.fits.gz"),
+               np.ascontiguousarray(arr).astype(np.float32),
+               extensions=[np.ascontiguousarray(carr).astype(np.float32),
+                           rt.lambda0.astype(np.float64),
+                           np.asarray(tab_speed, np.float64)],
+               keywords={"BUNIT": "W.m-2.pixel-1"})
+    # disk-integrated spectrum per line (spectrum_1d,
+    # gas/atom_transfer.f90:1724)
+    flux = cube.sum((-1, -2))                         # (n_rt, nv, nl)
+    write_fits(os.path.join(out_dir, "flux.fits.gz"),
+               flux.astype(np.float64),
+               extensions=[rt.lambda0.astype(np.float64),
+                           np.asarray(tab_speed, np.float64)],
+               keywords={"BUNIT": "W.m-2"})
+    if verbose:
+        print(f"  atomic maps written: {out_dir}/atomic_maps.fits.gz "
+              f"({nv} channels x {nl} lines x {n_rt} directions)")
+    return cube, cont, rt, pops

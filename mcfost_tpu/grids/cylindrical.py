@@ -61,7 +61,9 @@ def build_cylindrical_grid(para: Para, dtype=jnp.float32) -> CylGrid:
     single-region model; multiple touching zones share the radial span.
     """
     n_rad, nz = para.grid.n_rad, para.grid.nz
-    n_rad_in = max(para.grid.n_rad_in, 1)
+    # the inner subdivision cannot exceed the radial grid itself (guards
+    # CLI overrides like -n_rad 16 with the para default n_rad_in=30)
+    n_rad_in = min(max(para.grid.n_rad_in, 1), max(n_rad - 1, 1))
     rmin, rmax = para.rmin, para.rmax
 
     # --- radial walls: log grid with power-law inner subdivision

@@ -1,0 +1,233 @@
+"""Atomic line transfer physics validation.
+
+The reference has no unit tests; these validate the gas subsystem against
+analytic atomic physics: Voigt vs the scipy Faddeeva oracle, Saha
+ionization, detailed balance of the SEE, and the end-to-end -atom
+pipeline."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mcfost_tpu import constants as cst
+from mcfost_tpu.gas.atom import (hydrogen_model, johnson_fosc, johnson_ce,
+                                 johnson_ci)
+from mcfost_tpu.gas.broadening import voigt
+from mcfost_tpu.gas.lte import lte_pops, saha_phi
+from mcfost_tpu.gas.electron import solve_ne
+from mcfost_tpu.gas.see import collision_matrix, solve_see
+from mcfost_tpu.gas.atom_transfer import bnu, continuum_rates, GasState
+
+
+def test_voigt_vs_scipy():
+    """Humlicek w4 vs scipy.special.wofz across all four regions."""
+    from scipy.special import wofz
+    a = np.array([1e-4, 1e-3, 0.01, 0.1, 0.5, 2.0, 20.0])
+    x = np.linspace(-40.0, 40.0, 401)
+    A, X = np.meshgrid(a, x, indexing="ij")
+    ours = np.asarray(voigt(jnp.asarray(A), jnp.asarray(X)))
+    ref = np.real(wofz(X + 1j * A))
+    assert np.max(np.abs(ours - ref)) < 2e-4
+
+
+def test_hydrogen_oscillator_strengths():
+    """Johnson 1972 fits vs exact H values (Wiese et al.): Ly-alpha
+    f=0.4162, H-alpha f=0.6407 — the fit is good to a few %."""
+    assert abs(johnson_fosc(1, 2) - 0.4162) / 0.4162 < 0.02
+    assert abs(johnson_fosc(2, 3) - 0.6407) / 0.6407 < 0.05
+    assert abs(johnson_fosc(1, 3) - 0.0791) / 0.0791 < 0.05
+
+
+def test_hydrogen_model_structure():
+    atom = hydrogen_model(5)
+    assert atom.n_levels == 6
+    assert atom.n_lines == 10            # C(5,2)
+    assert atom.n_cont == 5
+    # H-alpha wavelength 656.3 nm, Ly-alpha 121.6 nm
+    lam = atom.lambda0
+    ha = lam[(atom.line_i == 1) & (atom.line_j == 2)][0]
+    lya = lam[(atom.line_i == 0) & (atom.line_j == 1)][0]
+    assert abs(ha - 656.3) < 1.0
+    assert abs(lya - 121.57) < 0.2
+    # A(2->1) Ly-alpha ~ 4.70e8 1/s
+    alya = atom.Aji[(atom.line_i == 0) & (atom.line_j == 1)][0]
+    assert abs(alya - 4.70e8) / 4.70e8 < 0.05
+
+
+def test_saha_lte_pops():
+    """H ionization fraction from lte_pops matches the direct Saha
+    solution."""
+    atom = hydrogen_model(3)
+    T = np.array([6000.0, 10000.0, 20000.0])
+    ne = np.full(3, 1e19)
+    ntot = np.full(3, 1e20)
+    pops = lte_pops(atom, T, ne, ntot)
+    assert np.allclose(pops.sum(1), ntot, rtol=1e-10)
+    # direct Saha: np/n1 summed over bound Boltzmann factors
+    chi = 2.1798723611035e-18 * (1 - 1/1e9)  # ~ Rydberg
+    for k, t in enumerate(T):
+        phi = saha_phi(np.array([t]))[0]
+        n = np.arange(1, 4)
+        wb = 2.0 * n ** 2 * np.exp(-atom.E[:3] / (cst.kb * t))
+        wp = 1.0 * np.exp(-atom.E[3] / (cst.kb * t)) / (ne[k] * phi)
+        frac = wp / (wb.sum() + wp)
+        assert abs(pops[k, -1] / ntot[k] - frac) / max(frac, 1e-12) < 1e-8
+
+
+def test_electron_density_hot_limit():
+    """At 15000 K / 1e18 m^-3 both H and He are singly ionized (Saha at
+    low density): ne = (1 + A_He) nH."""
+    T = np.array([15000.0])
+    nH = np.array([1e18])
+    ne = solve_ne(T, nH)
+    assert abs(ne[0] / nH[0] - 1.0851) < 0.02
+
+
+def test_electron_density_metal_floor():
+    """At 1000 K, H is neutral; electrons come from alkalis/metals:
+    ne << nH but > 0."""
+    ne = solve_ne(np.array([1000.0]), np.array([1e18]))
+    assert 0 < ne[0] < 1e14
+
+
+def test_johnson_collision_magnitudes():
+    """Rate coefficients at 1e4 K have the expected order of magnitude
+    (~1e-14..1e-12 m^3/s for low transitions)."""
+    ce = johnson_ce(np.array([1e4]), 4)
+    ci = johnson_ci(np.array([1e4]), 4)
+    # Ly-alpha excitation ~ 2-5e-13 cm^3/s = 2-5e-19 m^3/s at 1e4 K
+    assert 5e-20 < ce[0, 0, 1] < 5e-18
+    assert ci[0, 0] > 0
+    assert np.all(ce >= 0) and np.all(ci >= 0)
+
+
+def test_see_detailed_balance():
+    """With J = B_nu(T) in every transition, the SEE solution equals the
+    Saha-Boltzmann populations (detailed balance)."""
+    atom = hydrogen_model(4)
+    C = 3
+    T = np.array([5000.0, 8000.0, 12000.0])
+    ne = np.full(C, 1e18)
+    ntot = np.full(C, 1e19)
+    nstar = lte_pops(atom, T, ne, ntot)
+
+    # line rates with J = B
+    nu0 = cst.c_light / (atom.lambda0 * 1e-9)
+    B = np.stack([bnu(T, nu) for nu in nu0], 1)          # (C, L)
+    Rij = atom.Bij[None, :] * B
+    Rji = atom.Aji[None, :] + atom.Bji[None, :] * B
+
+    # continuum rates with J = B on the integration grid
+    lam_um = np.geomspace(0.02, 0.09, 200)
+    nu_w = cst.c_light / (lam_um * 1e-6)
+    J = bnu(T[:, None], nu_w[None, :])
+
+    class _G:
+        pass
+    gas = _G()
+    gas.T = T
+    Rcij, Rcji = continuum_rates(atom, gas, nstar, lam_um, J)
+
+    Cmat = collision_matrix(atom, T, ne, nstar)
+    pops, _ = solve_see(atom, ntot, Cmat, Rij, Rji, Rcij, Rcji, nstar)
+    assert np.allclose(pops, nstar, rtol=2e-2)
+
+
+def test_see_two_level_radiative():
+    """Two-level atom, no collisions, fixed J: n2/n1 = B12 J/(A21+B21 J)."""
+    atom = hydrogen_model(2)
+    # keep only the one line; kill collisions and continua
+    atom.johnson_collisions = False
+    C = 1
+    T = np.array([8000.0])
+    ntot = np.array([1e15])
+    nstar = np.array([[1e15, 1.0, 1.0]])
+    J = 1e-10
+    Rij = np.array([[atom.Bij[0] * J]])
+    Rji = np.array([[atom.Aji[0] + atom.Bji[0] * J]])
+    Rcij = np.zeros((C, atom.n_cont))
+    Rcji = np.zeros((C, atom.n_cont))
+    Cmat = np.zeros((C, 3, 3))
+    pops, _ = solve_see(atom, ntot, Cmat, Rij, Rji, Rcij, Rcji, nstar)
+    expect = atom.Bij[0] * J / (atom.Aji[0] + atom.Bji[0] * J)
+    assert abs(pops[0, 1] / pops[0, 0] - expect) / expect < 1e-6
+
+
+def test_collision_dominated_lte():
+    """Collision-dominated gas (huge ne) with zero radiation relaxes the
+    SEE to Boltzmann ratios among bound levels."""
+    atom = hydrogen_model(3)
+    C = 1
+    T = np.array([10000.0])
+    ne = np.array([1e24])
+    ntot = np.array([1e20])
+    nstar = lte_pops(atom, T, ne, ntot)
+    Cmat = collision_matrix(atom, T, ne, nstar)
+    L, K = atom.n_lines, atom.n_cont
+    z = np.zeros((C, L))
+    zk = np.zeros((C, K))
+    pops, _ = solve_see(atom, ntot, Cmat, z, z, zk, zk, nstar)
+    # bound-level ratios should be Boltzmann
+    r_ours = pops[0, 1] / pops[0, 0]
+    r_lte = nstar[0, 1] / nstar[0, 0]
+    assert abs(r_ours - r_lte) / r_lte < 1e-3
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.mc.model import build_model
+    para = Para()
+    para.grid.n_rad, para.grid.nz, para.grid.n_rad_in = 10, 7, 2
+    para.wavelengths.n_lambda = 10
+    para.maps.nx = para.maps.ny = 16
+    for sp in para.dust[0]:
+        sp.n_grains = 4
+    model, host = build_model(para, cache_dir=".mcfost_tpu_cache")
+    return model, host
+
+
+def test_atom_cube_end_to_end(tiny_model, tmp_path):
+    """-atom pipeline runs: LTE H-alpha channel maps + spectra exist and
+    are finite; line-center flux differs from continuum."""
+    model, host = tiny_model
+    import os
+    from mcfost_tpu.config.para import Atom
+    from mcfost_tpu.gas.atom_transfer import atom_cube
+    T_dust = np.full(model.grid.n_cells, 300.0)
+    if not host.para.atoms.atoms:
+        host.para.atoms.atoms = [Atom()]
+    host.para.atoms.atoms[0].n_points = 11
+    host.para.atoms.atoms[0].vmax = 500.0
+    cube, cont, rt, pops = atom_cube(model, host, T_dust,
+                                     root_dir=str(tmp_path), verbose=False)
+    assert np.all(np.isfinite(cube))
+    assert np.all(np.isfinite(cont))
+    assert cube.max() > 0
+    assert os.path.exists(os.path.join(str(tmp_path), "data_atom",
+                                       "atomic_maps.fits.gz"))
+    assert os.path.exists(os.path.join(str(tmp_path), "data_atom",
+                                       "flux.fits.gz"))
+
+
+def test_nlte_hot_dense_approaches_lte(tiny_model):
+    """MALI loop on a small model: in a collision-dominated state the
+    NLTE populations stay near LTE (sanity anchor for the solver)."""
+    model, host = tiny_model
+    from mcfost_tpu.gas.atom import hydrogen_model
+    from mcfost_tpu.gas.atom_transfer import GasState, nlte_pops_atom
+    from mcfost_tpu.gas.lte import lte_pops
+    atom = hydrogen_model(3)
+    T_dust = np.full(model.grid.n_cells, 5000.0)
+    gas = GasState(model, host, T_dust)
+    # collision-dominated requires ne q21 >> A21 ~ 5e8/s: q21 ~ 1e-18
+    # m^3/s so ne = 1e28 m^-3
+    gas.ne = np.full(model.grid.n_cells, 1e28)
+    pops, nit, dm = nlte_pops_atom(model, host, atom, gas, T_dust,
+                                   max_iter=8, n_rays=4)
+    nstar = lte_pops(atom, gas.T, gas.ne, atom.abund * gas.nHtot)
+    # bound-level ratio close to Boltzmann in the dense cells
+    sel = gas.nHtot > np.percentile(gas.nHtot, 90)
+    r = pops[sel, 1] / np.maximum(pops[sel, 0], 1e-300)
+    rl = nstar[sel, 1] / np.maximum(nstar[sel, 0], 1e-300)
+    assert np.median(np.abs(r / rl - 1.0)) < 0.2
