@@ -48,6 +48,8 @@ def main(argv=None):
     output_uv = False
     phantom_file = None
     do_atom = False
+    hydro_spec = None
+    scale_length = 1.0
 
     i = 0
     while i < len(argv):
@@ -70,6 +72,22 @@ def main(argv=None):
             i += 1; img_lambda = float(argv[i])
         elif a == "-phantom":
             i += 1; phantom_file = argv[i]
+        elif a == "-gadget2":
+            i += 1; hydro_spec = ("gadget2", argv[i])
+        elif a == "-density_file":
+            i += 1; hydro_spec = ("density_file", argv[i])
+        elif a == "-sigma_file":
+            i += 1; hydro_spec = ("sigma_file", argv[i])
+        elif a == "-fargo3d":
+            hydro_spec = ("fargo3d", argv[i + 1], argv[i + 2]); i += 2
+        elif a in ("-athena++", "-athena"):
+            i += 1; hydro_spec = ("athena", argv[i])
+        elif a == "-idefix":
+            i += 1; hydro_spec = ("idefix", argv[i])
+        elif a == "-pluto":
+            hydro_spec = ("pluto", argv[i + 1], argv[i + 2]); i += 2
+        elif a == "-scale_length_units":
+            i += 1; scale_length = float(argv[i])
         elif a == "-mol":
             do_mol = True
         elif a == "-atom":
@@ -132,10 +150,49 @@ def main(argv=None):
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
+    hydro = None
+    if hydro_spec is not None:
+        from .io import hydro as hyd
+        kind = hydro_spec[0]
+        print(f"mcfost_tpu: reading {kind} model")
+        if kind == "gadget2":
+            from .runner import run_sph
+            sph = hyd.read_gadget2(hydro_spec[1],
+                                   scale_length_au=scale_length)
+            print(f"mcfost_tpu: Voronoi thermal MC from {hydro_spec[1]} "
+                  f"({sph.xyz.shape[0]} gas particles)")
+            run_sph(para, sph, root_dir=root_dir, seed=seed)
+            print(f"total: {time.time()-t_start:.1f}s")
+            return 0
+        elif kind == "density_file":
+            hydro = hyd.read_density_file(hydro_spec[1], para)
+        elif kind == "sigma_file":
+            sig = hyd.read_sigma_file(hydro_spec[1], para)
+            # defer rho build to the grid: pass a callable-free triple by
+            # precomputing on a throwaway grid
+            from .grids.cylindrical import build_cylindrical_grid
+            g = build_cylindrical_grid(para)
+            rho = hyd.density_from_sigma(
+                sig, para, np.asarray(g.r_grid, np.float64),
+                np.asarray(g.z_grid, np.float64))
+            hydro = (rho, None, None)
+        elif kind == "fargo3d":
+            hydro = hyd.read_fargo3d(hydro_spec[1], hydro_spec[2],
+                                     scale_length_au=scale_length)
+        elif kind == "athena":
+            hydro = hyd.read_athena(hydro_spec[1],
+                                    scale_length_au=scale_length)
+        elif kind == "idefix":
+            hydro = hyd.read_idefix(hydro_spec[1],
+                                    scale_length_au=scale_length)
+        elif kind == "pluto":
+            hydro = hyd.read_pluto(hydro_spec[1], int(hydro_spec[2]),
+                                   scale_length_au=scale_length)
+
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed,
-        output_j=output_j, output_uv=output_uv)
+        output_j=output_j, output_uv=output_uv, hydro=hydro)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
     if do_diag:
         from .io import diagnostics as diag

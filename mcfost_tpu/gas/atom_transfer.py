@@ -73,11 +73,17 @@ class GasState:
         self.vturb = v_turb_kms * 1e3
         self.ne = solve_ne(self.T, self.nHtot)
 
-        # Keplerian velocity field (same as the molecular module)
-        mstar = para.stars[0].mass
-        r = np.asarray(model.grid.r_grid, np.float64)
-        self.vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
-                            / np.maximum(r, 1e-10) / cst.AU_to_m)
+        # velocity field (C, 3) cylindrical: hydro velocities when the
+        # model came from a hydro dump, else Keplerian azimuthal
+        if getattr(host, "velocity", None) is not None:
+            self.vfield = np.asarray(host.velocity, np.float64)
+        else:
+            mstar = para.stars[0].mass
+            r = np.asarray(model.grid.r_grid, np.float64)
+            vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
+                           / np.maximum(r, 1e-10) / cst.AU_to_m)
+            self.vfield = np.zeros((r.shape[0], 3))
+            self.vfield[:, 1] = vkep
 
     def vth(self, atom: AtomModel) -> np.ndarray:
         """Most-probable speed incl. microturbulence [m/s]."""
@@ -143,7 +149,7 @@ class AtomRT:
         self.adamp = jnp.asarray(adamp, dtype)
         self.chi_c = jnp.asarray(chi_c, dtype)
         self.eta_c = jnp.asarray(eta_c, dtype)
-        self.vfield = jnp.asarray(gas.vkep, dtype)
+        self.vfield = jnp.asarray(gas.vfield, dtype)
         star_b = bnu(np.full(nl, host.para.stars[0].teff), self.nu0)
         self.star_bnu = jnp.asarray(star_b, dtype)
 
@@ -195,11 +201,14 @@ def integrate_atom_rays(model: Model, chi0, eta0, adamp, vth, chi_c, eta_c,
         x1, y1, z1, ri1, zj1, l = geom.cross_cell(grid, x, y, z, u, v, w,
                                                   ri, zj)
 
-        # projected Keplerian velocity at mid-segment
+        # projected velocity at mid-segment (cylindrical components)
         xm = x + 0.5 * l * u
         ym = y + 0.5 * l * v
         rr = jnp.sqrt(jnp.maximum(xm * xm + ym * ym, 1e-30))
-        vproj = vfield[flat] * (-ym * u + xm * v) / rr        # (N,)
+        cv = vfield[flat]                                     # (N, 3)
+        vproj = (cv[:, 0] * (xm * u + ym * v) / rr
+                 + cv[:, 1] * (-ym * u + xm * v) / rr
+                 + cv[:, 2] * w)                              # (N,)
 
         xg = (tab_speed[None, :] - vproj[:, None]) \
             / jnp.maximum(vth[flat][:, None], 1.0)            # (N, nv)

@@ -93,6 +93,11 @@ class HostModel(NamedTuple):
     stars: StarModel
     thermal: thermal_mod.ThermalTables
     rho_dust: np.ndarray
+    # hydro-model extras (io/hydro.py): gas density [g/cm^3] and
+    # cylindrical velocity components (C, 3) [m/s], None for analytic
+    # models (Keplerian velocities are then computed on the fly)
+    rho_gas: np.ndarray | None = None
+    velocity: np.ndarray | None = None
 
 
 def _rosseland(wl, kappa_ext, tab_temp):
@@ -169,12 +174,16 @@ def rt_directions(para: Para) -> np.ndarray:
 
 def build_model(para: Para, dtype=jnp.float32,
                 cache_dir: str | None = ".mcfost_tpu_cache",
-                img_lambda: float | None = None, sph=None):
+                img_lambda: float | None = None, sph=None,
+                hydro=None):
     """Build the full device model.  img_lambda switches to a
     single-wavelength grid for image mode (reference init_lambda mono
     branch, wavelengths.f90:41-45).  sph (an io.phantom.SPHModel) selects
     a Voronoi mesh built from the particles instead of the para-file
-    analytic grid (the reference auto-selects Voronoi with -phantom)."""
+    analytic grid (the reference auto-selects Voronoi with -phantom).
+    hydro (an io.hydro.StructuredHydro, or a (rho_dust, rho_gas, velocity)
+    per-cell triple) replaces the analytic density on the para grid —
+    the -density_file / -fargo3d / -athena++ / -idefix / -pluto path."""
     from ..physics.wavelengths import mono_wavelength_grid
     if img_lambda is not None:
         wl = mono_wavelength_grid(img_lambda)
@@ -192,11 +201,29 @@ def build_model(para: Para, dtype=jnp.float32,
         grid = build_spherical_grid(para, dtype=dtype)
     else:
         grid = build_cylindrical_grid(para, dtype=dtype)
+    rho_gas = None
+    velocity = None
     if sph is None:
         r_grid = np.asarray(grid.r_grid, np.float64)
         z_grid = np.asarray(grid.z_grid, np.float64)
         volume = np.asarray(grid.volume, np.float64)
-        rho = density_mod.compute_dust_density(para, r_grid, z_grid, volume)
+        if hydro is not None:
+            from ..io.hydro import StructuredHydro, regrid_to_model
+            if isinstance(hydro, StructuredHydro):
+                rho, rho_gas, velocity = regrid_to_model(
+                    hydro, r_grid, z_grid, None, volume,
+                    para.zones[0].dust_mass,
+                    gas_to_dust=para.zones[0].gas_to_dust)
+            else:
+                rho, rho_gas, velocity = hydro
+                # normalize to the zone dust mass like the analytic path
+                tot = (rho * volume).sum()
+                if tot > 0:
+                    rho = rho * (para.zones[0].dust_mass * cst.Msun_to_g
+                                 / (tot * cst.AU3_to_cm3))
+        else:
+            rho = density_mod.compute_dust_density(para, r_grid, z_grid,
+                                                   volume)
     dust = build_dust_model(para, wl, cache_dir=cache_dir)
     stars = build_star_model(para, wl)
     if sph is not None and sph.star_xyz.shape[0] > 0:
@@ -254,5 +281,6 @@ def build_model(para: Para, dtype=jnp.float32,
         zeta_inv=f(_zeta_inverse_table()),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
-                     thermal=therm, rho_dust=rho)
+                     thermal=therm, rho_dust=rho, rho_gas=rho_gas,
+                     velocity=velocity)
     return model, host

@@ -47,11 +47,12 @@ def _material_family(name: str) -> str:
 def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 batch: int = 16384, n_capt: int = 10,
                 use_all_devices: bool = True, verbose: bool = True,
-                output_j: bool = False, output_uv: bool = False):
+                output_j: bool = False, output_uv: bool = False,
+                hydro=None):
     """Execute the thermal MC step; returns (T_cells, sed_th, model, host)."""
     t0 = time.time()
     model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"))
+        root_dir, ".mcfost_tpu_cache"), hydro=hydro)
     if verbose:
         print(f"  model build: {time.time()-t0:.1f}s "
               f"({model.grid.n_cells} cells, {model.n_lambda} wavelengths, "
@@ -207,10 +208,7 @@ def run_phantom(para: Para, dump_path: str, root_dir: str = ".",
                 n_capt: int = 10, verbose: bool = True):
     """Thermal MC on a Voronoi mesh built from a Phantom dump
     (the reference's -phantom flow: read_phantom -> SPH_to_Voronoi ->
-    thermal MC, src/SPH2mcfost.f90:18-132).
-
-    Writes data_th/Temperature.fits.gz with one temperature per particle
-    (flat, like the reference's Voronoi output)."""
+    thermal MC, src/SPH2mcfost.f90:18-132)."""
     from .io.phantom import read_phantom
 
     t0 = time.time()
@@ -218,6 +216,18 @@ def run_phantom(para: Para, dump_path: str, root_dir: str = ".",
     if verbose:
         print(f"  phantom dump: {sph.xyz.shape[0]} particles, "
               f"{sph.star_xyz.shape[0]} sinks ({time.time()-t0:.1f}s)")
+    return run_sph(para, sph, root_dir=root_dir, seed=seed, batch=batch,
+                   n_capt=n_capt, verbose=verbose)
+
+
+def run_sph(para: Para, sph, root_dir: str = ".",
+            seed: int | None = None, batch: int = 16384,
+            n_capt: int = 10, verbose: bool = True):
+    """Thermal MC on a Voronoi mesh from arbitrary SPH particles (the
+    common tail of -phantom / -gadget2).
+
+    Writes data_th/Temperature.fits.gz with one temperature per particle
+    (flat, like the reference's Voronoi output)."""
     t0 = time.time()
     model, host = build_model(para, cache_dir=os.path.join(
         root_dir, ".mcfost_tpu_cache"), sph=sph)

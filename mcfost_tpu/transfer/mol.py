@@ -111,13 +111,20 @@ class MolRT:
         self.kappa_cont = jnp.asarray(kcont, dtype)
         self.emis_cont = jnp.asarray(kcont * Bnu, dtype)
 
-        # Keplerian azimuthal speed (v_proj lkeplerian branch,
-        # molecular_emission.f90:736-752)
-        mstar = star_mass if star_mass is not None else para.stars[0].mass
-        r = np.asarray(model.grid.r_grid, np.float64)
-        vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
-                       / (r * cst.AU_to_m))
-        self.vfield = jnp.asarray(vkep, dtype)
+        # velocity field: hydro-model velocities when present (C, 3)
+        # cylindrical (v_R, v_phi, v_z), else Keplerian azimuthal
+        # (v_proj lkeplerian branch, molecular_emission.f90:736-752)
+        if host.velocity is not None:
+            vf = np.asarray(host.velocity, np.float64)
+        else:
+            mstar = star_mass if star_mass is not None \
+                else para.stars[0].mass
+            r = np.asarray(model.grid.r_grid, np.float64)
+            vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
+                           / (r * cst.AU_to_m))
+            vf = np.zeros((n_cells, 3))
+            vf[:, 1] = vkep
+        self.vfield = jnp.asarray(vf, dtype)
 
         # CMB at the line frequencies (init_tab_Cmb_mol :252-283)
         xc = cst.hp * freq / (cst.kb * cst.T_Cmb)
@@ -150,10 +157,13 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
     alive = hit & ~geom.has_exited(grid, ri, zj, z)
 
     def v_proj(cell_v, xx, yy, zz):
-        # Keplerian azimuthal unit vector (-y, x)/r (v_proj,
-        # molecular_emission.f90:738-745)
+        # cylindrical components projected on the ray (v_proj,
+        # molecular_emission.f90:675-760): phi-hat = (-y, x)/R,
+        # R-hat = (x, y)/R
         rr = jnp.sqrt(jnp.maximum(xx * xx + yy * yy, 1e-30))
-        return cell_v * (-yy * u + xx * v) / rr
+        return (cell_v[:, 0] * (xx * u + yy * v) / rr
+                + cell_v[:, 1] * (-yy * u + xx * v) / rr
+                + cell_v[:, 2] * w)
 
     def cond(st):
         return jnp.any(st[-1]) & (st[0] < max_steps)

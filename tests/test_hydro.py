@@ -1,0 +1,270 @@
+"""Hydro-model input validation: generic FITS interface + fargo3d /
+athena++ / idefix-VTK / pluto / gadget2 readers on synthetic dumps."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from mcfost_tpu import constants as cst
+from mcfost_tpu.config.para import Para
+from mcfost_tpu.io import hydro
+from mcfost_tpu.io.fits import write_fits
+
+
+def small_para():
+    para = Para()
+    para.grid.n_rad, para.grid.nz, para.grid.n_rad_in = 12, 8, 2
+    para.wavelengths.n_lambda = 8
+    for sp in para.dust[0]:
+        sp.n_grains = 4
+    return para
+
+
+# ---------------------------------------------------------------------------
+# generic FITS interface
+# ---------------------------------------------------------------------------
+
+def test_density_file_roundtrip(tmp_path):
+    """A density file containing the analytic model itself reproduces the
+    analytic kappa_factor after normalization."""
+    from mcfost_tpu.mc.model import build_model
+    para = small_para()
+    m0, h0 = build_model(para, cache_dir=".mcfost_tpu_cache")
+    rho0 = h0.rho_dust
+    nz, n_rad = m0.grid.nz, m0.grid.n_rad
+
+    p = str(tmp_path / "dens.fits.gz")
+    write_fits(p, rho0.reshape(1, nz, n_rad).astype(np.float64))
+    rho, gas, vel = hydro.read_density_file(p, para)
+    m1, h1 = build_model(para, cache_dir=".mcfost_tpu_cache",
+                         hydro=(rho, gas, vel))
+    assert np.allclose(np.asarray(m1.kappa_factor, np.float64),
+                       rho0, rtol=1e-4)
+
+
+def test_density_file_wrong_grid(tmp_path):
+    para = small_para()
+    p = str(tmp_path / "bad.fits.gz")
+    write_fits(p, np.ones((1, 4, 5)))
+    with pytest.raises(ValueError):
+        hydro.read_density_file(p, para)
+
+
+def test_sigma_file(tmp_path):
+    """Sigma(r) ~ r^-1 rebuilds a Gaussian vertical structure with the
+    para-file scale height."""
+    from mcfost_tpu.grids.cylindrical import build_cylindrical_grid
+    para = small_para()
+    g = build_cylindrical_grid(para)
+    r = np.asarray(g.r_grid, np.float64)
+    z = np.asarray(g.z_grid, np.float64)
+    ring_r = r[:para.grid.n_rad]
+    sigma = 1.0 / ring_r
+
+    p = str(tmp_path / "sigma.fits.gz")
+    write_fits(p, sigma)
+    sig = hydro.read_sigma_file(p, para)
+    rho = hydro.density_from_sigma(sig, para, r, z)
+    assert rho.shape == r.shape
+    assert np.all(np.isfinite(rho)) and rho.max() > 0
+    # midplane cells denser than high-altitude cells on the same ring
+    i = para.grid.n_rad // 2
+    col = rho[i::para.grid.n_rad]
+    zc = np.abs(z[i::para.grid.n_rad])
+    assert col[np.argmin(zc)] > col[np.argmax(zc)]
+
+
+# ---------------------------------------------------------------------------
+# fargo3d
+# ---------------------------------------------------------------------------
+
+def _make_fargo_dir(tmp_path, nx=16, ny=20, nz=6):
+    d = tmp_path / "fargo"
+    d.mkdir()
+    (d / "variables.par").write_text(
+        f"NX {nx}\nNY {ny}\nNZ {nz}\n"
+        "XMIN -3.14159265358979\nXMAX 3.14159265358979\n"
+        "YMIN 10.0\nYMAX 100.0\n"
+        f"ZMIN {np.pi/2 - 0.3}\nZMAX {np.pi/2 + 0.3}\n"
+        "SPACING log\n")
+    r = np.geomspace(10.0, 100.0, ny + 1)
+    rc = 0.5 * (r[1:] + r[:-1])
+    th = np.linspace(np.pi / 2 - 0.3, np.pi / 2 + 0.3, nz + 1)
+    thc = 0.5 * (th[1:] + th[:-1])
+    # rho ~ r^-2, vertical Gaussian in colatitude
+    R, TH = np.meshgrid(rc, thc, indexing="ij")
+    rho = (R ** -2.0) * np.exp(-0.5 * ((TH - np.pi / 2) / 0.1) ** 2)
+    dens = np.repeat(rho.T[:, :, None], nx, axis=2)   # (nz, ny, nx)
+    dens.astype(np.float64).tofile(d / "gasdens7.dat")
+    # Keplerian azimuthal velocity in code units: v = r^-1/2
+    vx = np.repeat((rc ** -0.5)[None, :, None], nz, axis=0)
+    np.broadcast_to(vx, (nz, ny, nx)).astype(np.float64).tofile(
+        d / "gasvx7.dat")
+    np.zeros((nz, ny, nx)).tofile(d / "gasvy7.dat")
+    np.zeros((nz, ny, nx)).tofile(d / "gasvz7.dat")
+    return str(d)
+
+
+def test_fargo3d_reader(tmp_path):
+    d = _make_fargo_dir(tmp_path)
+    hy = hydro.read_fargo3d(d, "7")
+    assert hy.rho.shape == (20, 6, 16)
+    assert hy.r[0] > 10.0 and hy.r[-1] < 100.0
+    assert np.all(np.diff(hy.r) > 0)
+    assert hy.v is not None
+    # azimuthal velocity ~ Keplerian at r in AU around 1 Msun
+    i = 10
+    vkep = np.sqrt(cst.Ggrav * cst.Msun_to_kg / (hy.r[i] * cst.AU_to_m))
+    assert abs(hy.v[2][i, 3, 0] - vkep) / vkep < 0.05
+
+
+def test_fargo3d_regrid_mass(tmp_path):
+    """Regridding conserves the para dust mass by construction."""
+    from mcfost_tpu.mc.model import build_model
+    d = _make_fargo_dir(tmp_path)
+    hy = hydro.read_fargo3d(d, "7")
+    para = small_para()
+    para.zones[0].rin = 10.0
+    para.zones[0].rout = 100.0
+    m, h = build_model(para, cache_dir=".mcfost_tpu_cache", hydro=hy)
+    rho = np.asarray(m.kappa_factor, np.float64)
+    vol = np.asarray(m.volume, np.float64)
+    mass = (rho * vol).sum() * cst.AU3_to_cm3 / cst.Msun_to_g
+    assert abs(mass - para.zones[0].dust_mass) / para.zones[0].dust_mass \
+        < 1e-8
+    assert h.velocity is not None
+    # velocities on the grid are close to Keplerian
+    r = np.asarray(m.grid.r_grid, np.float64)
+    sel = (r > 15) & (r < 80) & (rho > 0)
+    vkep = np.sqrt(cst.Ggrav * cst.Msun_to_kg / (r[sel] * cst.AU_to_m))
+    assert np.median(np.abs(h.velocity[sel, 1] / vkep - 1.0)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# athena++
+# ---------------------------------------------------------------------------
+
+def test_athena_reader(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    p = str(tmp_path / "disk.athdf")
+    nr, nt, nph = 16, 8, 4
+    bx, by, bz = 8, 8, 4                     # 2 blocks along r
+    r_f = np.geomspace(10, 100, nr + 1)
+    t_f = np.linspace(1.2, 1.9, nt + 1)
+    p_f = np.linspace(0, 2 * np.pi, nph + 1)
+    rho = np.zeros((2, bz, by, bx))
+    x1f = np.zeros((2, bx + 1))
+    for b in range(2):
+        x1f[b] = r_f[b * bx:(b + 1) * bx + 1]
+        rc = 0.5 * (x1f[b][1:] + x1f[b][:-1])
+        rho[b] = np.broadcast_to((rc ** -1.5)[None, None, :],
+                                 (bz, by, bx))
+    prim = np.stack([rho, 0 * rho, 0 * rho, 0 * rho])   # rho, vel1-3
+    with h5py.File(p, "w") as f:
+        f.attrs["Coordinates"] = np.bytes_("spherical_polar")
+        f.attrs["MaxLevel"] = 0
+        f.attrs["RootGridSize"] = np.array([nr, nt, nph])
+        f.attrs["VariableNames"] = np.array(
+            [np.bytes_("rho"), np.bytes_("vel1"), np.bytes_("vel2"),
+             np.bytes_("vel3")])
+        f["prim"] = prim
+        f["LogicalLocations"] = np.array([[0, 0, 0], [1, 0, 0]])
+        f["x1f"] = x1f
+        f["x2f"] = np.tile(t_f[None, :], (2, 1))
+        f["x3f"] = np.tile(p_f[None, :], (2, 1))
+    hy = hydro.read_athena(p)
+    assert hy.rho.shape == (nr, nt, nph)
+    assert np.all(np.diff(hy.r) > 0)
+    # power law preserved across the block seam
+    ratio = hy.rho[:, 3, 0] * hy.r ** 1.5
+    assert np.allclose(ratio, ratio[0], rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# idefix / pluto
+# ---------------------------------------------------------------------------
+
+def test_vtk_reader_idefix(tmp_path):
+    p = str(tmp_path / "dump.vtk")
+    nr, nt, nph = 9, 7, 5                    # point dims
+    r = np.geomspace(10, 100, nr)
+    th = np.linspace(1.2, 1.9, nt)
+    ph = np.linspace(-np.pi, np.pi, nph)
+    R, T, P = np.meshgrid(r, th, ph, indexing="ij")
+    x = R * np.sin(T) * np.cos(P)
+    y = R * np.sin(T) * np.sin(P)
+    z = R * np.cos(T)
+    pts = np.stack([x, y, z], -1).transpose(2, 1, 0, 3)  # (nph, nt, nr, 3)
+    rho = np.ones((nph - 1, nt - 1, nr - 1))
+    rc = 0.5 * (r[1:] + r[:-1])
+    rho *= (rc ** -2.0)[None, None, :]
+    with open(p, "wb") as f:
+        f.write(b"# vtk DataFile Version 2.0\nidefix\nBINARY\n")
+        f.write(b"DATASET STRUCTURED_GRID\n")
+        f.write(f"DIMENSIONS {nr} {nt} {nph}\n".encode())
+        f.write(f"POINTS {nr*nt*nph} float\n".encode())
+        f.write(pts.astype(">f4").tobytes())
+        f.write(f"\nCELL_DATA {(nr-1)*(nt-1)*(nph-1)}\n".encode())
+        f.write(b"SCALARS RHO float\nLOOKUP_TABLE default\n")
+        f.write(rho.astype(">f4").tobytes())
+    hy = hydro.read_idefix(p)
+    assert hy.rho.shape == (nr - 1, nt - 1, nph - 1)
+    assert np.all(np.diff(hy.r) > 0)
+    ratio = hy.rho[:, 2, 1] * hy.r ** 2
+    assert np.allclose(ratio / ratio[0], 1.0, rtol=0.05)
+
+
+def test_pluto_reader(tmp_path):
+    d = tmp_path / "pluto"
+    d.mkdir()
+    nr, nt, nph = 10, 6, 4
+    r_f = np.geomspace(5, 50, nr + 1)
+    t_f = np.linspace(1.3, 1.8, nt + 1)
+    p_f = np.linspace(0, 2 * np.pi, nph + 1)
+    lines = []
+    for edges, n in ((r_f, nr), (t_f, nt), (p_f, nph)):
+        lines.append(f"{n}")
+        for k in range(n):
+            lines.append(f"{k+1} {edges[k]:.12e} {edges[k+1]:.12e}")
+    (d / "grid.out").write_text("\n".join(lines) + "\n")
+    rc = 0.5 * (r_f[1:] + r_f[:-1])
+    rho = np.broadcast_to((rc ** -1.0)[None, None, :],
+                          (nph, nt, nr)).astype("<f8")
+    rho.tofile(d / "rho.0003.dbl")
+    hy = hydro.read_pluto(str(d), 3)
+    assert hy.rho.shape == (nr, nt, nph)
+    assert abs(hy.r[0] - rc[0]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# gadget2
+# ---------------------------------------------------------------------------
+
+def test_gadget2_reader(tmp_path):
+    p = str(tmp_path / "snap_000")
+    ngas = 50
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-30, 30, (ngas, 3)).astype("<f4")
+    vel = rng.normal(0, 1, (ngas, 3)).astype("<f4")
+    ids = np.arange(ngas, dtype="<i4")
+    mass = np.full(ngas, 1e-6, "<f4")
+
+    def blk(data):
+        return struct.pack("<i", len(data)) + data + \
+            struct.pack("<i", len(data))
+
+    hdr = struct.pack("<6i", ngas, 0, 0, 0, 0, 0) \
+        + struct.pack("<6d", 0, 0, 0, 0, 0, 0)
+    hdr += b"\0" * (256 - len(hdr))
+    with open(p, "wb") as f:
+        f.write(blk(hdr))
+        f.write(blk(xyz.tobytes()))
+        f.write(blk(vel.tobytes()))
+        f.write(blk(ids.tobytes()))
+        f.write(blk(mass.tobytes()))
+    sph = hydro.read_gadget2(p)
+    assert sph.xyz.shape == (ngas, 3)
+    assert np.allclose(sph.xyz, xyz, rtol=1e-6)
+    assert np.allclose(sph.mass, 1e-6 * cst.Msun_to_g, rtol=1e-4)
+    assert np.all(sph.h > 0)
