@@ -108,6 +108,17 @@ def main(argv=None):
             para.iso_scattering = True
         elif a == "-hg":
             para.hg_scattering = True
+        elif a == "-gap":
+            para.gap_gaussian = (float(argv[i + 1]), float(argv[i + 2]),
+                                 float(argv[i + 3])); i += 3
+        elif a == "-cavity":
+            para.cavity = (float(argv[i + 1]), float(argv[i + 2]),
+                           float(argv[i + 3])); i += 3
+        elif a == "-puffed_up_rim":
+            para.puffed_rim = (float(argv[i + 1]), float(argv[i + 2]),
+                               float(argv[i + 3])); i += 3
+        elif a == "-z_warp":
+            i += 1; para.z_warp = float(argv[i])
         else:
             print(f"warning: ignoring unknown option {a}")
         i += 1

@@ -231,6 +231,13 @@ class Para:
     seed: int = 269753
     iso_scattering: bool = False
     hg_scattering: bool = False
+    # structural CLI extras (reference init_mcfost.f90 options):
+    # -gap f r sigma (density.f90:911), -cavity h r beta (:901),
+    # -puffed_up_rim h r dr (:533), -z_warp (:556)
+    gap_gaussian: tuple | None = None       # (f, r[AU], sigma[AU])
+    cavity: tuple | None = None             # (h[AU], r[AU], beta)
+    puffed_rim: tuple | None = None         # (h_factor, r[AU], dr[AU])
+    z_warp: float = 0.0
 
     @property
     def rmin(self) -> float:

@@ -131,9 +131,56 @@ class DustModel:
     uniform: bool = True
 
 
+def assemble_mix_tables(grains: GrainPopulation, weights: np.ndarray,
+                        c_ext, c_sca, c_abs, gsca, s11, s12, s33, s34):
+    """Per-bucket opacity assembly (opacity(), dust_prop.f90:851-1033 +
+    calc_local_scattering_matrices :1098-1171) for P grain mixes at once.
+
+    weights: (P, K) per-size number densities per unit dust density.
+    Returns dict of (P, ...) tables."""
+    P = weights.shape[0]
+    kappa = np.einsum("pk,kl->pl", weights, c_ext)
+    ksca = np.einsum("pk,kl->pl", weights, c_sca)
+    kabs = np.einsum("pk,kl->pl", weights, c_abs)
+    albedo = np.where(kappa > 0, ksca / np.maximum(kappa, 1e-300), 0.0)
+    g_cell = np.where(ksca > 0,
+                      np.einsum("pk,kl->pl", weights, c_sca * gsca)
+                      / np.maximum(ksca, 1e-300), 0.0)
+    # scatterer-selection CDF over grains (ksca_CDF, dust_prop.f90:930-1033)
+    contrib = weights[:, None, :] * c_sca.T[None, :, :]        # (P, L, K)
+    ksca_cdf = np.cumsum(contrib, axis=-1)
+    ksca_cdf = ksca_cdf / np.maximum(ksca_cdf[..., -1:], 1e-300)
+
+    # cell-mean Mueller tables for ray-tracing, (P, L, A):
+    # sum_k s11_k(theta) * S_k * w_k
+    s11_sum = np.einsum("pk,kla->pla", weights * grains.s_grain[None, :],
+                        s11)
+    s12_sum = np.einsum("pk,kla->pla", weights * grains.s_grain[None, :],
+                        s12)
+    s33_sum = np.einsum("pk,kla->pla", weights * grains.s_grain[None, :],
+                        s33)
+    s34_sum = np.einsum("pk,kla->pla", weights * grains.s_grain[None, :],
+                        s34)
+    s11_safe = np.where(s11_sum > 0, s11_sum, 1.0)
+    A = s11.shape[-1]
+    dtheta = np.pi / (A - 1)
+    s11_rt = (s11_sum / np.maximum(ksca[:, :, None], 1e-300)
+              * (dtheta / (2.0 * np.pi)))
+    return dict(kappa=kappa * cst.opacity_norm_fact,
+                kappa_abs=kabs * cst.opacity_norm_fact,
+                albedo=albedo, g_cell=g_cell, ksca_cdf=ksca_cdf,
+                s11_rt=s11_rt, s12_rt=s12_sum / s11_safe,
+                s33_rt=s33_sum / s11_safe, s34_rt=s34_sum / s11_safe)
+
+
 def build_dust_model(para: Para, wl: WavelengthGrid,
-                     cache_dir: str | None = None) -> DustModel:
-    grains = build_grain_sizes(para)
+                     cache_dir: str | None = None,
+                     weights: np.ndarray | None = None,
+                     grains: GrainPopulation | None = None) -> DustModel:
+    """weights: optional (P, K) per-bucket grain mixes (settling /
+    multi-zone variable dust); None = the uniform base mix (P=1)."""
+    if grains is None:
+        grains = build_grain_sizes(para)
     K, L = grains.r_grain.size, wl.n
     nang = para.nang_scatt
     A = nang + 1
@@ -214,50 +261,21 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
     tab_s33 = s33 / s11_safe
     tab_s34 = s34 / s11_safe
 
-    # --- per-cell assembly (uniform dust: single reference cell)
-    # (opacity(), dust_prop.f90:851-888)
-    dens = grains.n_grains        # relative number density per size
-    kappa = (c_ext * dens[:, None]).sum(0)[None, :]
-    ksca = (c_sca * dens[:, None]).sum(0)[None, :]
-    kabs = (c_abs * dens[:, None]).sum(0)[None, :]
-    albedo = np.where(kappa > 0, ksca / np.maximum(kappa, 1e-300), 0.0)
-    g_cell = np.where(ksca > 0,
-                      (c_sca * dens[:, None] * gsca).sum(0)[None, :]
-                      / np.maximum(ksca, 1e-300), 0.0)
-    ksca_cdf = np.cumsum((c_sca * dens[:, None]).T[None, :, :], axis=-1)  # (1,L,K)
-    tot = np.maximum(ksca_cdf[..., -1:], 1e-300)
-    ksca_cdf = ksca_cdf / tot
-
-    # --- cell-mean Mueller tables for ray-tracing
-    # (calc_local_scattering_matrices, dust_prop.f90:1098-1171):
-    # sum_k s11_k(theta) * S_k * n_k, then normalised by k_sca and
-    # dtheta/(2 pi) so the scattered energy over the sphere is 1
-    # our s11 is Qsca-normalised (1/(0.5 x^2) factor), so s11*S_grain
-    # integrates over the sphere to C_sca
-    s11_sum = (s11 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
-    s12_sum = (s12 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
-    s33_sum = (s33 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
-    s34_sum = (s34 * grains.s_grain[:, None, None] * dens[:, None, None]).sum(0)
-    k_sca_tot = (c_sca * dens[:, None]).sum(0)      # (L,)
-    s11_safe2 = np.where(s11_sum > 0, s11_sum, 1.0)
-    s12_rt = s12_sum / s11_safe2
-    s33_rt = s33_sum / s11_safe2
-    s34_rt = s34_sum / s11_safe2
-    s11_rt = (s11_sum / np.maximum(k_sca_tot[:, None], 1e-300)
-              * (dtheta / (2.0 * np.pi)))
-    s11_rt = s11_rt[None]
-    s12_rt = s12_rt[None]; s33_rt = s33_rt[None]; s34_rt = s34_rt[None]
-
-    # kappa in AU^-1 (for the reference cell; kappa_factor applied per cell)
-    kappa = kappa * cst.opacity_norm_fact
-    kabs = kabs * cst.opacity_norm_fact
+    # --- per-bucket assembly (uniform dust: P=1, base mix)
+    # (opacity(), dust_prop.f90:851-888; p_icell collapse :947-956)
+    if weights is None:
+        weights = grains.n_grains[None, :]
+    tabs = assemble_mix_tables(grains, weights, c_ext, c_sca, c_abs, gsca,
+                               s11, s12, s33, s34)
 
     return DustModel(
         grains=grains, c_ext=c_ext, c_sca=c_sca, c_abs=c_abs,
         c_abs_norm=c_abs_norm, tab_g=gsca,
         tab_s11=tab_s11, tab_s12=tab_s12, tab_s33=tab_s33, tab_s34=tab_s34,
         prob_s11=prob_s11,
-        kappa=kappa, kappa_abs=kabs, albedo=albedo, g_cell=g_cell,
-        ksca_cdf=ksca_cdf,
-        s11_rt=s11_rt, s12_rt=s12_rt, s33_rt=s33_rt, s34_rt=s34_rt,
-        uniform=True)
+        kappa=tabs["kappa"], kappa_abs=tabs["kappa_abs"],
+        albedo=tabs["albedo"], g_cell=tabs["g_cell"],
+        ksca_cdf=tabs["ksca_cdf"],
+        s11_rt=tabs["s11_rt"], s12_rt=tabs["s12_rt"],
+        s33_rt=tabs["s33_rt"], s34_rt=tabs["s34_rt"],
+        uniform=weights.shape[0] == 1)

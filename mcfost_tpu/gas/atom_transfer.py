@@ -47,6 +47,18 @@ from .see import collision_matrix, solve_see
 SQRT_PI = float(np.sqrt(np.pi))
 
 
+def _dust_kabs_cells(model: Model, host: HostModel,
+                     lam_um: np.ndarray) -> np.ndarray:
+    """Per-cell dust absorption opacity [AU^-1] at arbitrary wavelengths,
+    log-interpolated per dust bucket then gathered per cell."""
+    kabs_p = np.asarray(model.kappa_abs, np.float64)          # (P, L)
+    tab = np.stack([
+        np.exp(np.interp(np.log(lam_um), np.log(host.wl.lam),
+                         np.log(np.maximum(kabs_p[q], 1e-300))))
+        for q in range(kabs_p.shape[0])])                     # (P, W)
+    return tab[np.asarray(model.p_icell)] * host.rho_dust[:, None]
+
+
 def bnu(T, nu):
     """Planck B_nu [W m^-2 Hz^-1 sr^-1] (utils.f90 Bnu)."""
     T = np.maximum(np.asarray(T, np.float64), 1e-3)
@@ -79,7 +91,7 @@ class GasState:
             self.vfield = np.asarray(host.velocity, np.float64)
         else:
             mstar = para.stars[0].mass
-            r = np.asarray(model.grid.r_grid, np.float64)
+            r = geom.host_arrays(model.grid, "r_grid")
             vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
                            / np.maximum(r, 1e-10) / cst.AU_to_m)
             self.vfield = np.zeros((r.shape[0], 3))
@@ -132,11 +144,7 @@ class AtomRT:
         nhmin = nh_minus(gas.T, gas.ne, nH1)
         chi_gas, _sca = background_continuum(lam_um, gas.T, gas.ne,
                                              nH1, nprot, nhmin)
-        kabs_d = np.exp(np.interp(
-            np.log(lam_um), np.log(host.wl.lam),
-            np.log(np.maximum(np.asarray(model.kappa_abs, np.float64),
-                              1e-300))))                  # per unit rho
-        chi_dust = kabs_d[None, :] * host.rho_dust[:, None]  # AU^-1
+        chi_dust = _dust_kabs_cells(model, host, lam_um)     # (C, nl) AU^-1
         Bd = np.stack([bnu(T_dust, nu) for nu in self.nu0], 1)
         Bg = np.stack([bnu(gas.T, nu) for nu in self.nu0], 1)
         chi_gas_au = chi_gas * cst.AU_to_m
@@ -344,11 +352,7 @@ def continuum_mean_intensity(model: Model, host: HostModel,
     nhmin = nh_minus(gas.T, gas.ne, nH1)
     chi_gas, _ = background_continuum(lam_um, gas.T, gas.ne, nH1,
                                       nprot, nhmin)
-    kabs_d = np.exp(np.interp(np.log(lam_um), np.log(host.wl.lam),
-                              np.log(np.maximum(
-                                  np.asarray(model.kappa_abs, np.float64),
-                                  1e-300))))
-    chi_dust = kabs_d[None, :] * host.rho_dust[:, None]
+    chi_dust = _dust_kabs_cells(model, host, lam_um)
     nu_w = cst.c_light / (lam_um * 1e-6)
     Bd = bnu(T_dust[:, None], nu_w[None, :])
     Bg = bnu(gas.T[:, None], nu_w[None, :])
@@ -559,7 +563,7 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
     npx, npy = para.maps.nx, para.maps.ny
     pix = para.maps.map_size / max(npx, npy)
     dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
-    rmax = float(np.asarray(model.grid.r_lim)[-1])
+    rmax = float(geom.host_arrays(model.grid, "r_lim")[-1])
 
     cube = np.zeros((n_rt, nv, nl, npy, npx))
     cont = np.zeros((n_rt, nl, npy, npx))

@@ -29,6 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _np_dt(dtype):
+    # numpy-side cast avoids one XLA convert_element_type
+    # compilation per distinct array shape (slow over tunnels)
+    return np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
+
 from ..config.para import Para
 
 
@@ -127,14 +133,24 @@ def build_cylindrical_grid(para: Para, dtype=jnp.float32) -> CylGrid:
     z_grid = (np.arange(nz)[:, None] + 0.5) * dz[None, :]
 
     # flatten with reference ordering: icell = i + n_rad*(j-1) → ri fastest
-    return CylGrid(
-        r_lim=jnp.asarray(r_lim, dtype),
-        r_lim2=jnp.asarray(r_lim2, dtype),
-        zmax=jnp.asarray(zmax, dtype),
-        volume=jnp.asarray(volume.reshape(-1), dtype),
-        r_grid=jnp.asarray(r_grid.reshape(-1), dtype),
-        z_grid=jnp.asarray(z_grid.reshape(-1), dtype),
+    grid = CylGrid(
+        r_lim=jnp.asarray(np.asarray(r_lim, _np_dt(dtype))),
+        r_lim2=jnp.asarray(np.asarray(r_lim2, _np_dt(dtype))),
+        zmax=jnp.asarray(np.asarray(zmax, _np_dt(dtype))),
+        volume=jnp.asarray(np.asarray(volume.reshape(-1), _np_dt(dtype))),
+        r_grid=jnp.asarray(np.asarray(r_grid.reshape(-1), _np_dt(dtype))),
+        z_grid=jnp.asarray(np.asarray(z_grid.reshape(-1), _np_dt(dtype))),
     )
+    # host float64 copies: device->host readback over a tunnelled TPU
+    # costs tens of seconds per array, so setup code must never pull the
+    # grid back from the device (see host_arrays in grids.geometry)
+    from . import geometry as _geom
+    _geom.register_host(grid, dict(
+        r_grid=r_grid.reshape(-1).astype(np.float64),
+        z_grid=z_grid.reshape(-1).astype(np.float64),
+        volume=volume.reshape(-1).astype(np.float64),
+        r_lim=r_lim.astype(np.float64), zmax=zmax.astype(np.float64)))
+    return grid
 
 
 # --------------------------------------------------------------------------
@@ -277,7 +293,7 @@ def cross_cell(grid: CylGrid, x, y, z, u, v, w, ri, zj):
     zj1 = jnp.where(take_r, zj1_r, zj + delta_zj)
 
     # keep z off exactly 0 (cylindrical_grid.f90:1159-1165)
-    z1 = jnp.where(z1 == 0.0, jnp.asarray(eps, dtype), z1)
+    z1 = jnp.where(z1 == 0.0, jnp.asarray(np.asarray(eps, _np_dt(dtype))), z1)
 
     return x1, y1, z1, ri1.astype(jnp.int32), zj1.astype(jnp.int32), length
 

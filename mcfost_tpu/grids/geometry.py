@@ -45,6 +45,28 @@ def pos_in_cell(grid, ri, zj, r1, r2, r3):
     return _mod(grid).pos_in_cell(grid, ri, zj, r1, r2, r3)
 
 
+# host-side float64 copies of the grid arrays, registered by the grid
+# builders: device->host readback over a tunnelled TPU costs tens of
+# seconds per array, so setup-time code reads the grid from here.  Keyed
+# by id of the device volume array; the entry keeps the array alive so
+# the id cannot be recycled while registered.
+_HOST_GRIDS: dict = {}
+
+
+def register_host(grid, arrays: dict):
+    _HOST_GRIDS[id(grid.volume)] = (grid.volume, arrays)
+
+
+def host_arrays(grid, name: str):
+    """Host float64 copy of a grid array (r_grid, z_grid, volume, ...);
+    falls back to a device readback for unregistered grids."""
+    ent = _HOST_GRIDS.get(id(grid.volume))
+    if ent is not None and ent[0] is grid.volume and name in ent[1]:
+        return ent[1][name]
+    import numpy as np
+    return np.asarray(getattr(grid, name), np.float64)
+
+
 def flat_index(grid, ri, zj):
     if is_voronoi(grid):
         return _vor.flat_index(grid, ri)

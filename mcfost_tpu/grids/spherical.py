@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _np_dt(dtype):
+    # numpy-side cast avoids one XLA convert_element_type
+    # compilation per distinct array shape (slow over tunnels)
+    return np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
+
 from ..config.para import Para
 
 
@@ -71,15 +77,22 @@ def build_spherical_grid(para: Para, dtype=jnp.float32) -> SphGrid:
     r_grid = rsph[None, :] * uv[:, None]
     z_grid = rsph[None, :] * wc[:, None]
 
-    return SphGrid(
-        r_lim=jnp.asarray(r_lim, dtype),
-        r_lim2=jnp.asarray(r_lim2, dtype),
-        tan_theta_lim=jnp.asarray(tan_theta_lim, dtype),
-        w_lim=jnp.asarray(w_lim, dtype),
-        volume=jnp.asarray(volume.reshape(-1), dtype),
-        r_grid=jnp.asarray(r_grid.reshape(-1), dtype),
-        z_grid=jnp.asarray(z_grid.reshape(-1), dtype),
+    grid = SphGrid(
+        r_lim=jnp.asarray(np.asarray(r_lim, _np_dt(dtype))),
+        r_lim2=jnp.asarray(np.asarray(r_lim2, _np_dt(dtype))),
+        tan_theta_lim=jnp.asarray(np.asarray(tan_theta_lim, _np_dt(dtype))),
+        w_lim=jnp.asarray(np.asarray(w_lim, _np_dt(dtype))),
+        volume=jnp.asarray(np.asarray(volume.reshape(-1), _np_dt(dtype))),
+        r_grid=jnp.asarray(np.asarray(r_grid.reshape(-1), _np_dt(dtype))),
+        z_grid=jnp.asarray(np.asarray(z_grid.reshape(-1), _np_dt(dtype))),
     )
+    from . import geometry as _geom
+    _geom.register_host(grid, dict(
+        r_grid=r_grid.reshape(-1).astype(np.float64),
+        z_grid=z_grid.reshape(-1).astype(np.float64),
+        volume=volume.reshape(-1).astype(np.float64),
+        r_lim=r_lim.astype(np.float64)))
+    return grid
 
 
 def _eps(dtype):
@@ -195,7 +208,7 @@ def cross_cell(grid: SphGrid, x, y, z, u, v, w, ri, tj):
     tj1 = jnp.where(take_r & ri0_was_cavity, tj_entry, tj1)
     tj1 = jnp.where(take_r & (ri1 == 0), 1, tj1)
 
-    z1 = jnp.where(z1 == 0.0, jnp.asarray(eps, dtype), z1)
+    z1 = jnp.where(z1 == 0.0, jnp.asarray(np.asarray(eps, _np_dt(dtype))), z1)
     return x1, y1, z1, ri1.astype(jnp.int32), tj1.astype(jnp.int32), length
 
 

@@ -30,6 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _np_dt(dtype):
+    # numpy-side cast avoids one XLA convert_element_type
+    # compilation per distinct array shape (slow over tunnels)
+    return np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype)
+
 _NATIVE = None
 
 
@@ -144,14 +150,21 @@ def build_voronoi_grid(points: np.ndarray, bbox, max_nb: int = 32,
     d_nn, _ = tree.query(points, k=2)
     inradius = 0.5 * d_nn[:, 1]
 
-    return VoronoiGrid(
-        seeds=jnp.asarray(points, dtype),
+    grid = VoronoiGrid(
+        seeds=jnp.asarray(np.asarray(points, _np_dt(dtype))),
         neighbours=jnp.asarray(neighbours),
-        volume=jnp.asarray(volumes, dtype),
-        bbox=jnp.asarray(bbox, dtype),
+        volume=jnp.asarray(np.asarray(volumes, _np_dt(dtype))),
+        bbox=jnp.asarray(np.asarray(bbox, _np_dt(dtype))),
         lookup=jnp.asarray(lookup),
-        inradius=jnp.asarray(inradius, dtype),
+        inradius=jnp.asarray(np.asarray(inradius, _np_dt(dtype))),
     )
+    pts64 = np.asarray(points, np.float64)
+    from . import geometry as _geom
+    _geom.register_host(grid, dict(
+        volume=np.asarray(volumes, np.float64),
+        r_grid=np.sqrt(pts64[:, 0] ** 2 + pts64[:, 1] ** 2),
+        z_grid=pts64[:, 2].copy(), seeds=pts64))
+    return grid
 
 
 def _neighbour_planes(grid: VoronoiGrid, icell):
@@ -176,7 +189,7 @@ def cross_cell(grid: VoronoiGrid, x, y, z, u, v, w, icell):
     Returns (x1, y1, z1, inext, l).  inext < 0 means the ray exits the
     box (wall code)."""
     dtype = x.dtype
-    big = jnp.asarray(1e30, dtype)
+    big = jnp.asarray(np.asarray(1e30, _np_dt(dtype)))
     i0 = icell - 1                                    # internal 0-based
     nb, valid, n, d = _neighbour_planes(grid, i0)
     pos = jnp.stack([x, y, z], -1)                    # (B, 3)
@@ -276,7 +289,7 @@ def move_to_grid(grid: VoronoiGrid, x, y, z, u, v, w):
     """Advance rays from outside to the bounding box, then locate."""
     dtype = x.dtype
     bb = grid.bbox
-    big = jnp.asarray(1e30, dtype)
+    big = jnp.asarray(np.asarray(1e30, _np_dt(dtype)))
     lo = jnp.stack([bb[0], bb[2], bb[4]])
     hi = jnp.stack([bb[1], bb[3], bb[5]])
     pos = jnp.stack([x, y, z], -1)

@@ -34,8 +34,9 @@ def write_disk_struct(model: Model, host: HostModel, root_dir: str = "."):
     write_fits(os.path.join(d, "volume.fits.gz"),
                np.asarray(model.volume, np.float64).reshape(nz, n_rad)
                .astype(np.float32), keywords={"BUNIT": "AU3"})
-    grid_r = np.asarray(model.grid.r_grid, np.float64).reshape(nz, n_rad)
-    grid_z = np.asarray(model.grid.z_grid, np.float64).reshape(nz, n_rad)
+    from ..grids import geometry as _geom
+    grid_r = _geom.host_arrays(model.grid, "r_grid").reshape(nz, n_rad)
+    grid_z = _geom.host_arrays(model.grid, "z_grid").reshape(nz, n_rad)
     write_fits(os.path.join(d, "grid.fits.gz"),
                np.stack([grid_r, grid_z]).astype(np.float32),
                keywords={"BUNIT": "AU"})

@@ -29,13 +29,16 @@ class Model(NamedTuple):
     # geometry
     grid: CylGrid
     kappa_factor: jax.Array    # (n_cells,) dust density [g/cm^3]
+    p_icell: jax.Array         # (n_cells,) i32 dust-bucket index — the
+                               # reference's p_icell collapse generalised
+                               # to P buckets (settling / multi-zone dust)
     volume: jax.Array          # (n_cells,) [AU^3]
-    # dust, per unit dust density (uniform-dust reference cell)
-    kappa: jax.Array           # (L,) extinction [AU^-1 / (g cm^-3)]
-    kappa_abs: jax.Array       # (L,)
-    albedo: jax.Array          # (L,)
-    g_cell: jax.Array          # (L,)
-    ksca_cdf: jax.Array        # (L, K) scatterer-selection CDF
+    # dust, per unit dust density, per bucket
+    kappa: jax.Array           # (P, L) extinction [AU^-1 / (g cm^-3)]
+    kappa_abs: jax.Array       # (P, L)
+    albedo: jax.Array          # (P, L)
+    g_cell: jax.Array          # (P, L)
+    ksca_cdf: jax.Array        # (P, L, K) scatterer-selection CDF
     prob_s11: jax.Array        # (K*L, A) flattened angle CDF per (grain,lambda)
     tab_s12: jax.Array         # (K*L, A) (s11-normalised)
     tab_s33: jax.Array         # (K*L, A)
@@ -43,8 +46,8 @@ class Model(NamedTuple):
     tab_g: jax.Array           # (K, L)
     # thermal (Bjorkman & Wood)
     tab_temp: jax.Array        # (n_T,)
-    log_qcool: jax.Array       # (n_T,)
-    kdb_dt_cdf: jax.Array      # (n_T, L)
+    log_qcool: jax.Array       # (P, n_T)
+    kdb_dt_cdf: jax.Array      # (P, n_T, L)
     # stars / emission
     star_pos: jax.Array        # (S, 3)
     star_r: jax.Array          # (S,)
@@ -58,22 +61,26 @@ class Model(NamedTuple):
     # ray-tracing tables (cell-mean phase matrices, normalised so scattered
     # energy over the sphere is 1; dust_prop.f90:1098-1171) and observer
     # directions (init_directions_ray_tracing, dust_ray_tracing.f90:234-300)
-    s11_rt: jax.Array          # (L, A)
-    s12_rt: jax.Array          # (L, A)
-    s33_rt: jax.Array          # (L, A)
-    s34_rt: jax.Array          # (L, A)
+    s11_rt: jax.Array          # (P, L, A)
+    s12_rt: jax.Array          # (P, L, A)
+    s33_rt: jax.Array          # (P, L, A)
+    s34_rt: jax.Array          # (P, L, A)
     rt_dirs: jax.Array         # (nRT, 3) unit vectors toward observers
     dark_zone: jax.Array       # (n_cells,) bool: diffusion-approximation
                                # zone; packets reflect at its boundary
                                # (optical_depth.f90:104-112)
     # Modified-Random-Walk tables (Min et al. 2009; reference src/MRW.f90
     # has the machinery wired but disabled — implemented fully here)
-    kappa_ross: jax.Array      # (n_T,) Rosseland-mean extinction / unit rho
-    kappa_absp: jax.Array      # (n_T,) Planck-mean absorption / unit rho
+    kappa_ross: jax.Array      # (P, n_T) Rosseland-mean ext. / unit rho
+    kappa_absp: jax.Array      # (P, n_T) Planck-mean abs. / unit rho
     zeta_inv: jax.Array        # (Nz,) inverse CDF of Min+09 eq. 7
 
     @property
     def n_lambda(self) -> int:
+        return self.kappa.shape[1]
+
+    @property
+    def n_buckets(self) -> int:
         return self.kappa.shape[0]
 
     @property
@@ -195,7 +202,8 @@ def build_model(para: Para, dtype=jnp.float32,
         from ..grids.sph import sph_to_voronoi
         vor = sph_to_voronoi(sph)
         grid = vor.grid
-        volume = np.asarray(grid.volume, np.float64)
+        from ..grids import geometry as _geom
+        volume = _geom.host_arrays(grid, "volume")
         rho = vor.rho_dust
     elif para.grid.geometry == 2:
         grid = build_spherical_grid(para, dtype=dtype)
@@ -203,10 +211,15 @@ def build_model(para: Para, dtype=jnp.float32,
         grid = build_cylindrical_grid(para, dtype=dtype)
     rho_gas = None
     velocity = None
+    from ..dust.opacity import build_grain_sizes
+    grains = build_grain_sizes(para)
+    p_icell = np.zeros(grid.n_cells, np.int32)
+    weights = None
     if sph is None:
-        r_grid = np.asarray(grid.r_grid, np.float64)
-        z_grid = np.asarray(grid.z_grid, np.float64)
-        volume = np.asarray(grid.volume, np.float64)
+        from ..grids import geometry as _geom
+        r_grid = _geom.host_arrays(grid, "r_grid")
+        z_grid = _geom.host_arrays(grid, "z_grid")
+        volume = _geom.host_arrays(grid, "volume")
         if hydro is not None:
             from ..io.hydro import StructuredHydro, regrid_to_model
             if isinstance(hydro, StructuredHydro):
@@ -221,10 +234,18 @@ def build_model(para: Para, dtype=jnp.float32,
                 if tot > 0:
                     rho = rho * (para.zones[0].dust_mass * cst.Msun_to_g
                                  / (tot * cst.AU3_to_cm3))
+        elif (para.physics.settling_type > 0 or len(para.zones) > 1):
+            struct = density_mod.compute_density_structure(
+                para, grains, r_grid, z_grid, volume)
+            rho = struct.rho
+            rho_gas = struct.rho_gas
+            p_icell = struct.p_icell
+            weights = struct.weights
         else:
             rho = density_mod.compute_dust_density(para, r_grid, z_grid,
                                                    volume)
-    dust = build_dust_model(para, wl, cache_dir=cache_dir)
+    dust = build_dust_model(para, wl, cache_dir=cache_dir,
+                            weights=weights, grains=grains)
     stars = build_star_model(para, wl)
     if sph is not None and sph.star_xyz.shape[0] > 0:
         # sink particles become stars at their positions (sinks -> stars,
@@ -245,24 +266,33 @@ def build_model(para: Para, dtype=jnp.float32,
     K, L = dust.tab_g.shape
     A = dust.prob_s11.shape[-1]
 
-    f = lambda a: jnp.asarray(a, dtype)
+    P = dust.kappa.shape[0]
+
+    # cast on host THEN device_put: jnp.asarray(a, dtype) of a different
+    # dtype compiles one convert_element_type per distinct shape (~0.4 s
+    # each, minutes over a tunnelled TPU); numpy casting avoids all of it
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+
+    def f(a):
+        return jax.device_put(np.asarray(a, np_dtype))
     model = Model(
         grid=grid,
         kappa_factor=f(rho),
+        p_icell=jnp.asarray(p_icell, jnp.int32),
         volume=f(volume),
-        kappa=f(dust.kappa[0]),
-        kappa_abs=f(dust.kappa_abs[0]),
-        albedo=f(dust.albedo[0]),
-        g_cell=f(dust.g_cell[0]),
-        ksca_cdf=f(dust.ksca_cdf[0]),
+        kappa=f(dust.kappa),
+        kappa_abs=f(dust.kappa_abs),
+        albedo=f(dust.albedo),
+        g_cell=f(dust.g_cell),
+        ksca_cdf=f(dust.ksca_cdf),
         prob_s11=f(dust.prob_s11.reshape(K * L, A)),
         tab_s12=f(dust.tab_s12.reshape(K * L, A)),
         tab_s33=f(dust.tab_s33.reshape(K * L, A)),
         tab_s34=f(dust.tab_s34.reshape(K * L, A)),
         tab_g=f(dust.tab_g),
         tab_temp=f(therm.tab_temp),
-        log_qcool=f(therm.log_qcool[0]),
-        kdb_dt_cdf=f(therm.kdb_dt_cdf[0]),
+        log_qcool=f(therm.log_qcool),
+        kdb_dt_cdf=f(therm.kdb_dt_cdf),
         star_pos=f(stars.pos),
         star_r=f(stars.radius),
         cdf_star=f(stars.cdf_star),
@@ -270,14 +300,18 @@ def build_model(para: Para, dtype=jnp.float32,
         frac_e_stars=f(np.ones(L)),   # cold disk: all emission from stars
         prob_e_cell=f(np.zeros((L, grid.n_cells + 1))),
         l_tot=f(l_tot),
-        s11_rt=f(dust.s11_rt[0]),
-        s12_rt=f(dust.s12_rt[0]),
-        s33_rt=f(dust.s33_rt[0]),
-        s34_rt=f(dust.s34_rt[0]),
+        s11_rt=f(dust.s11_rt),
+        s12_rt=f(dust.s12_rt),
+        s33_rt=f(dust.s33_rt),
+        s34_rt=f(dust.s34_rt),
         rt_dirs=f(rt_directions(para)),
         dark_zone=jnp.zeros(grid.n_cells, bool),
-        kappa_ross=f(_rosseland(wl, dust.kappa[0], therm.tab_temp)),
-        kappa_absp=f(_planck_mean(wl, dust.kappa_abs[0], therm.tab_temp)),
+        kappa_ross=f(np.stack([_rosseland(wl, dust.kappa[p],
+                                          therm.tab_temp)
+                               for p in range(P)])),
+        kappa_absp=f(np.stack([_planck_mean(wl, dust.kappa_abs[p],
+                                            therm.tab_temp)
+                               for p in range(P)])),
         zeta_inv=f(_zeta_inverse_table()),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,

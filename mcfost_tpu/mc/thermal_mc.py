@@ -130,6 +130,22 @@ def _tau_draw(r):
     return jnp.where(r > 1e-6, -jnp.log1p(-r), r)
 
 
+def _row_searchsorted(tab, p, vals):
+    """Batched per-row searchsorted: first index i with tab[p, i] >= vals
+    (the bucketed replacement for jnp.searchsorted on a shared table)."""
+    import math
+    n = tab.shape[1]
+    lo = jnp.zeros(vals.shape, jnp.int32)
+    hi = jnp.full(vals.shape, n, jnp.int32)
+    for _ in range(int(math.ceil(math.log2(max(n, 2)))) + 1):
+        mid = (lo + hi) // 2
+        v = tab[p, jnp.clip(mid, 0, n - 1)]
+        go_up = v < vals
+        lo = jnp.where(go_up & (mid > lo), mid, lo)
+        hi = jnp.where(go_up, hi, jnp.minimum(mid, hi))
+    return hi
+
+
 def init_state(model: Model, batch: int, n_capt: int = 10,
                rt: bool = False, n_az_rt: int = 45,
                jtally: bool = False) -> MCState:
@@ -253,7 +269,9 @@ def advance(model: Model, key, state: MCState, n_packets,
         # ---- 2. one wall crossing with tau bookkeeping
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
-        opac = jnp.where(inside, model.kappa[ilam] * model.kappa_factor[flat],
+        p = model.p_icell[flat]              # dust bucket of the cell
+        opac = jnp.where(inside,
+                         model.kappa[p, ilam] * model.kappa_factor[flat],
                          0.0)
 
         # ---- Modified Random Walk (Min et al. 2009; the reference has it
@@ -265,11 +283,11 @@ def advance(model: Model, key, state: MCState, n_packets,
         if mrw and not mono:
             d_wall = cyl.distance_to_closest_wall(grid, ri, zj, x, y, z)
             qheat0 = s.xkj[flat] * l_packet / model.volume[flat]
-            ti0 = jnp.clip(jnp.searchsorted(
-                model.log_qcool,
+            ti0 = jnp.clip(_row_searchsorted(
+                model.log_qcool, p,
                 jnp.log(jnp.maximum(qheat0, 1e-300))).astype(jnp.int32),
                 1, n_T - 1)
-            rkross = model.kappa_ross[ti0] * model.kappa_factor[flat]
+            rkross = model.kappa_ross[p, ti0] * model.kappa_factor[flat]
             do_mrw = alive & inside & (d_wall * rkross > mrw_gamma)
             # sphere-exit point and diffusion path length
             mu_u, mu_v, mu_w = isotropic_direction(R[1], R[2])
@@ -278,7 +296,7 @@ def advance(model: Model, key, state: MCState, n_packets,
                                          0, nztab - 1)]
             ct = (-jnp.log(jnp.maximum(yv, 1e-12))
                   * (3.0 / jnp.pi ** 2) * d_wall * d_wall * rkross)
-            dep_mrw = model.kappa_absp[ti0] * ct * sI
+            dep_mrw = model.kappa_absp[p, ti0] * ct * sI
             x_mrw = x + 0.999 * d_wall * mu_u
             y_mrw = y + 0.999 * d_wall * mu_v
             z_mrw = z + 0.999 * d_wall * mu_w
@@ -312,8 +330,8 @@ def advance(model: Model, key, state: MCState, n_packets,
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
         # it cancels against Qcool for uniform dust); MRW lanes deposit the
         # expected diffusion-walk absorption instead
-        dep_w = jnp.where(alive & inside, model.kappa_abs[ilam] * l_eff * sI,
-                          0.0)
+        dep_w = jnp.where(alive & inside,
+                          model.kappa_abs[p, ilam] * l_eff * sI, 0.0)
         dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
         xkj = s.xkj.at[flat].add(dep_w)
 
@@ -349,7 +367,7 @@ def advance(model: Model, key, state: MCState, n_packets,
                 itr = jnp.clip(jnp.round(
                     jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
                     * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
-                s11c = model.s11_rt[ilam, itr]
+                s11c = model.s11_rt[p, ilam, itr]
                 if pola:
                     _, v1pj, v1pk = rotation_to_frame(u, v, w,
                                                       -do0, -do1, -do2)
@@ -365,9 +383,9 @@ def advance(model: Model, key, state: MCState, n_packets,
                     sinw = jnp.sin(omega)
                     # Mueller elements with the reference's RT sign
                     # convention (calc_xI_scatt_pola :576-584)
-                    sm12 = -s11c * model.s12_rt[ilam, itr]
-                    sm33 = -s11c * model.s33_rt[ilam, itr]
-                    sm34 = -s11c * model.s34_rt[ilam, itr]
+                    sm12 = -s11c * model.s12_rt[p, ilam, itr]
+                    sm33 = -s11c * model.s33_rt[p, ilam, itr]
+                    sm34 = -s11c * model.s34_rt[p, ilam, itr]
                     sm44 = sm33          # s44 = s33 for Mie spheres
                     c2 = cosw * sQ - sinw * sU
                     c3 = sinw * sQ + cosw * sU
@@ -446,7 +464,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         interact = interact & alive
         if mono:
             # forced scattering: weight by albedo, kill faint packets
-            alb = model.albedo[ilam]
+            alb = model.albedo[p, ilam]
             sI = jnp.where(interact, sI * alb, sI)
             sQ = jnp.where(interact, sQ * alb, sQ)
             sU = jnp.where(interact, sU * alb, sU)
@@ -457,12 +475,12 @@ def advance(model: Model, key, state: MCState, n_packets,
             do_scat = interact
             do_abs = jnp.zeros_like(interact)
         else:
-            do_scat = interact & (R[9] < model.albedo[ilam])
+            do_scat = interact & (R[9] < model.albedo[p, ilam])
             do_abs = interact & ~do_scat
 
         # ---- 4a. scattering (propagate_packet scatter branch,
         # dust_transfer.f90:1086-1153)
-        igrain = bisect_cdf(lambda k: model.ksca_cdf[ilam,
+        igrain = bisect_cdf(lambda k: model.ksca_cdf[p, ilam,
                                                      jnp.maximum(k - 1, 0)]
                             * (k > 0), model.tab_g.shape[0], R[10]) - 1
         row = igrain * L + ilam
@@ -491,18 +509,18 @@ def advance(model: Model, key, state: MCState, n_packets,
         # thermal_emission.f90:710-771; Temp_LTE :649-706)
         qheat = xkj[flat] * l_packet / model.volume[flat]
         logq = jnp.log(jnp.maximum(qheat, 1e-300))
-        ti = jnp.searchsorted(model.log_qcool, logq).astype(jnp.int32)
+        ti = _row_searchsorted(model.log_qcool, p, logq).astype(jnp.int32)
         ti = jnp.clip(ti, 1, n_T - 1)
-        q0 = model.log_qcool[ti - 1]
-        q1 = model.log_qcool[ti]
+        q0 = model.log_qcool[p, ti - 1]
+        q1 = model.log_qcool[p, ti]
         frac_t2 = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30),
                            0.0, 1.0)
         frac_t1 = 1.0 - frac_t2
 
         def cdf_interp(k):
             km = jnp.maximum(k - 1, 0)
-            val = (frac_t1 * model.kdb_dt_cdf[ti - 1, km]
-                   + frac_t2 * model.kdb_dt_cdf[ti, km])
+            val = (frac_t1 * model.kdb_dt_cdf[p, ti - 1, km]
+                   + frac_t2 * model.kdb_dt_cdf[p, ti, km])
             return val * (k > 0)
 
         lam_new = bisect_cdf(cdf_interp, L, R[10]) - 1
@@ -643,12 +661,13 @@ def final_temperature(model: Model, xkj, n_packets) -> jax.Array:
     qheat = xkj * l_packet / model.volume
     logq = jnp.log(jnp.maximum(qheat, 1e-300))
     n_T = model.tab_temp.shape[0]
-    ti = jnp.clip(jnp.searchsorted(model.log_qcool, logq), 1, n_T - 1)
-    q0 = model.log_qcool[ti - 1]
-    q1 = model.log_qcool[ti]
+    p = model.p_icell
+    ti = jnp.clip(_row_searchsorted(model.log_qcool, p, logq), 1, n_T - 1)
+    q0 = model.log_qcool[p, ti - 1]
+    q1 = model.log_qcool[p, ti]
     frac = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30), 0.0, 1.0)
     logT = (jnp.log(model.tab_temp[ti]) * frac
             + jnp.log(model.tab_temp[ti - 1]) * (1.0 - frac))
     t_min = model.tab_temp[0]
-    cold = logq < model.log_qcool[0]
+    cold = logq < model.log_qcool[p, 0]
     return jnp.where(cold, t_min, jnp.exp(logT))

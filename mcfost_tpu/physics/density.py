@@ -1,70 +1,291 @@
-"""Analytic zone densities on the grid.
+"""Analytic zone densities + dust settling on the grid.
 
-Implements the reference's define_dust_density / normalize_dust_density for
-the disk-family geometries (src/density.f90:404-923, :1892-2011) as
-vectorized numpy over all cells:
+Implements the reference's define_dust_density / normalize_dust_density
+(src/density.f90:404-923, :1892-2011) as vectorized numpy over all cells:
 
   zone 1 (disk):          Sigma ~ r^p1,   rho ~ fact_exp * exp(-z^2/(2 h^2))
   zone 2 (tapered edge):  extra exp(-(r/Rc)^(2+p2))
   zone 3 (envelope):      rho ~ r^p1 (spherical radius)
   zone 4 (debris):        two-power-law radial x exp(-(|z|/h)^gamma)
-  zone 5 (wall)
+  zone 5 (wall):          constant density between rin and rout
 
-with h(r) = H0 (r/r0)^beta and the inner-edge Gaussian smoothing
-(density.f90:585-598).  The result is numerically normalised so the summed
-cell masses match each zone's dust mass (normalize_dust_density,
-density.f90:1951-1977).
+with h(r) = H0 (r/r0)^beta, the inner-edge Gaussian smoothing
+(density.f90:585-598), the analytic puffed-up rim (density.f90:533-537),
+Gaussian gaps (density.f90:911-914) and an empty cavity
+(density.f90:901-908).
+
+Dust settling (density.f90:482-500, :566-575, :676-747) makes the grain
+mix vary with altitude.  TPU-native design: instead of per-cell per-size
+density arrays (the reference's lvariable_dust mode), cells sharing the
+same settling state are grouped into **buckets** — a generalisation of
+the reference's p_icell memory collapse (dust_prop.f90:947-956) from one
+reference cell to P of them.  All per-wavelength dust tables then carry a
+small leading P axis and the MC kernel indexes them with p_icell[cell]:
+
+  settling 1 (parametric): correct_strat = (a/a_strat)^exp_strat, the
+      vertical profile of each size is a Gaussian narrowed by
+      sqrt(correct_strat) -> the mix depends only on y = z/h(r);
+  settling 2 (Dubrulle 1995): correct_strat from Omega tau_f at the ring
+      midplane -> the mix depends on (y, Omega tau per unit size);
+  settling 3 (Fromang & Nelson 2009 eq. 19): rho(z) ~
+      exp(-Ot/alpha (e^(y^2/2)-1) - y^2/2), same (y, Ot) dependence.
+
+Buckets are keyed by quantized (zone, y, log Omega-tau-unit); per-bucket
+size weights are the density-weighted mean of the member cells' exact
+per-size densities, so the bucketisation error is a second-order mixing
+error within each narrow bin.
 """
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 
 from .. import constants as cst
 from ..config.para import Para
 
+N_Y_BINS = 48          # y = z/h quantisation
+N_OT_BINS = 16         # log10(Omega tau unit) quantisation (settling 2/3)
+
+
+@dataclass
+class DensityStructure:
+    rho: np.ndarray           # (C,) dust density [g/cm^3]
+    rho_gas: np.ndarray       # (C,) gas density [g/cm^3]
+    p_icell: np.ndarray       # (C,) int32 bucket index
+    weights: np.ndarray       # (P, K) per-size number density per unit
+                              # dust mass density (sum_k w m_k = 1 g)
+
+
+def _zone_profile(z, r_grid, z_grid, para: Para, phi_grid=None):
+    """Radial x vertical profile of one zone (no settling, unit mix);
+    returns (profile (C,), h (C,), inside (C,))."""
+    h = z.scale_height * (r_grid / z.ref_radius) ** z.flaring_exp
+    # analytic puffed-up rim (density.f90:533-537)
+    pr = getattr(para, "puffed_rim", None)
+    if pr is not None and pr[0] > 0:
+        h_rim, r_rim, dr_rim = pr
+        h = h * (1.0 + (h_rim - 1.0)
+                 / (np.exp((r_grid - r_rim) / dr_rim) + 1.0))
+    # warp (density.f90:556-563): z0 = z_warp (r/rref)^3 cos(phi)
+    z0 = 0.0
+    zw = getattr(para, "z_warp", 0.0)
+    if zw and phi_grid is not None:
+        z0 = zw * (r_grid / z.ref_radius) ** 3 * np.cos(phi_grid)
+    zz = z_grid - z0
+
+    if z.geometry in (1, 2):
+        fact = (r_grid / z.ref_radius) ** (z.surface_density_exp
+                                           - z.flaring_exp)
+        if z.geometry == 2:
+            fact = fact * np.exp(-(r_grid / z.rc) ** (2.0 + z.gamma_exp))
+        prof = fact * np.exp(-0.5 * (zz / h) ** 2)
+    elif z.geometry == 3:
+        rsph = np.sqrt(r_grid ** 2 + z_grid ** 2)
+        prof = rsph ** z.surface_density_exp
+    elif z.geometry == 4:
+        a_in, a_out = z.surface_density_exp, z.gamma_exp
+        rr = r_grid / z.rc
+        radial = (rr ** (-2 * a_in) + rr ** (-2 * a_out)) ** (-0.5)
+        prof = radial * np.exp(-(np.abs(zz) / h) ** z.vert_profile_exp)
+    elif z.geometry == 5:
+        # wall: constant density slab between rin and rout
+        # (density.f90 wall branch)
+        prof = np.exp(-0.5 * (zz / h) ** 2) * np.ones_like(r_grid)
+    else:
+        raise NotImplementedError(f"zone geometry {z.geometry}")
+
+    inside = (r_grid >= z.rmin) & (r_grid <= z.rmax)
+    if z.edge > 0:
+        prof = prof * np.where(
+            r_grid < z.rin,
+            np.exp(-((r_grid - z.rin) ** 2) / (2 * z.edge ** 2)), 1.0)
+    prof = np.where(inside, prof, 0.0)
+
+    # Gaussian gap (density.f90:911-914) and cavity (density.f90:901-908)
+    gap = getattr(para, "gap_gaussian", None)
+    if gap is not None and gap[0] > 0:
+        f_g, r_g, sig_g = gap
+        prof = prof * (1.0 - f_g * np.exp(-0.5 * ((r_grid - r_g)
+                                                  / sig_g) ** 2))
+    cav = getattr(para, "cavity", None)
+    if cav is not None and cav[0] > 0:
+        h_c, r_c, beta_c = cav
+        surface = h_c * (r_grid / r_c) ** beta_c
+        prof = np.where(np.abs(z_grid) > surface, 0.0, prof)
+    return prof, h, inside
+
 
 def compute_dust_density(para: Para, r_grid: np.ndarray, z_grid: np.ndarray,
                          volume: np.ndarray) -> np.ndarray:
-    """Per-cell dust density [g/cm^3 of dust], numerically mass-normalised.
-
-    r_grid/z_grid/volume: flat (n_cells,) arrays (cell centres, AU / AU^3).
-    Volumes are the full mirrored-cell volumes, consistent with the grid.
-    """
+    """Per-cell dust density [g/cm^3], numerically mass-normalised
+    (no settling; kept for the uniform-dust fast path)."""
     rho = np.zeros_like(r_grid)
     for z in para.zones:
-        h = z.scale_height * (r_grid / z.ref_radius) ** z.flaring_exp
-        if z.geometry in (1, 2):
-            fact = (r_grid / z.ref_radius) ** (z.surface_density_exp
-                                               - z.flaring_exp)
-            if z.geometry == 2:
-                fact = fact * np.exp(-(r_grid / z.rc) ** (2.0 + z.gamma_exp))
-            rho_z = fact * np.exp(-0.5 * (z_grid / h) ** 2)
-        elif z.geometry == 3:  # envelope: spherical power law
-            rsph = np.sqrt(r_grid ** 2 + z_grid ** 2)
-            rho_z = rsph ** z.surface_density_exp
-        elif z.geometry == 4:  # debris disk (Augereau+ 99)
-            a_in, a_out = z.surface_density_exp, z.gamma_exp
-            rr = r_grid / z.rc
-            radial = (rr ** (-2 * a_in) + rr ** (-2 * a_out)) ** (-0.5)
-            rho_z = radial * np.exp(
-                -(np.abs(z_grid) / h) ** z.vert_profile_exp)
-        else:
-            raise NotImplementedError(f"zone geometry {z.geometry}")
-
-        # radial mask + inner-edge smoothing (density.f90:581-598)
-        inside = (r_grid >= z.rmin) & (r_grid <= z.rmax)
-        if z.edge > 0:
-            edge_fac = np.where(
-                r_grid < z.rin,
-                np.exp(-((r_grid - z.rin) ** 2) / (2 * z.edge ** 2)), 1.0)
-            rho_z = rho_z * edge_fac
-        rho_z = np.where(inside, rho_z, 0.0)
-
-        # numeric normalisation to the zone dust mass
-        # (normalize_dust_density, density.f90:1951-1963)
-        total = (rho_z * volume).sum()
+        prof, _h, _ = _zone_profile(z, r_grid, z_grid, para)
+        total = (prof * volume).sum()
         if total > 0:
             mass_g = z.dust_mass * cst.Msun_to_g
-            rho_z = rho_z * mass_g / (total * cst.AU3_to_cm3)
-        rho = rho + rho_z
+            prof = prof * mass_g / (total * cst.AU3_to_cm3)
+        rho = rho + prof
     return rho
+
+
+def compute_density_structure(para: Para, grains, r_grid: np.ndarray,
+                              z_grid: np.ndarray, volume: np.ndarray,
+                              phi_grid=None) -> DensityStructure:
+    """Full density structure with settling buckets.
+
+    grains: dust.opacity.GrainPopulation (provides sizes, masses, base
+    mix and zone membership)."""
+    C = r_grid.shape[0]
+    K = grains.r_grain.size
+    st = para.physics.settling_type
+    multi_zone = len(para.zones) > 1
+    variable = (st > 0) or multi_zone
+
+    if not variable:
+        rho = compute_dust_density(para, r_grid, z_grid, volume)
+        g2d = para.zones[0].gas_to_dust
+        return DensityStructure(
+            rho=rho, rho_gas=rho * g2d,
+            p_icell=np.zeros(C, np.int32),
+            weights=grains.n_grains[None, :].copy())
+
+    # per-cell per-size relative densities n_rel (C, K), built zone by
+    # zone; also quantisation keys
+    n_rel = np.zeros((C, K))
+    rho_gas = np.zeros(C)
+    key_y = np.zeros(C, np.int32)
+    key_ot = np.zeros(C, np.int32)
+    key_zone = np.zeros(C, np.int32)
+
+    for iz, zone in enumerate(para.zones):
+        ksl = grains.zone == iz
+        base = grains.n_grains[ksl]
+        m_k = grains.m_grain[ksl]
+        a_um = grains.r_grain[ksl]
+        rho1g = grains.rho1g[ksl]
+
+        prof, h, inside = _zone_profile(zone, r_grid, z_grid, para,
+                                        phi_grid)
+        y = np.abs(z_grid) / np.maximum(h, 1e-30)
+
+        # gas density of this zone (for Omega tau), normalized to
+        # gas mass = dust mass * gas_to_dust (define_gas_density)
+        tot = (prof * volume).sum()
+        norm = (zone.dust_mass * zone.gas_to_dust * cst.Msun_to_g
+                / max(tot * cst.AU3_to_cm3, 1e-300)) if tot > 0 else 0.0
+        rho_gas_z = prof * norm
+        rho_gas += rho_gas_z
+
+        # midplane gas density per ring for Omega tau (settling 2/3)
+        if st in (2, 3):
+            n_rad = para.grid.n_rad
+            ring = np.arange(C) % n_rad
+            rho_mid = np.zeros(n_rad)
+            for i in range(n_rad):
+                cells_i = np.where(ring == i)[0]
+                if cells_i.size:
+                    jmin = cells_i[np.argmin(np.abs(z_grid[cells_i]))]
+                    rho_mid[i] = rho_gas_z[jmin]
+            # Omega tau per unit grain size [1/um]:
+            # Ot(a) = rho_bulk * a_cm / (rho_gas_mid * H_cm)
+            ot_unit = np.where(
+                rho_mid[ring] > 1e-300,
+                cst.mum_to_cm / (np.maximum(rho_mid[ring], 1e-300)
+                                 * h * cst.AU_to_cm), 1e30)
+        else:
+            ot_unit = np.zeros(C)
+
+        # per-size vertical factor g_k(cell) relative to the gas profile
+        if st == 1:
+            cstrat = np.where(a_um > para.physics.a_strat,
+                              (a_um / para.physics.a_strat)
+                              ** para.physics.exp_strat, 1.0)     # (Kz,)
+            gk = (np.sqrt(cstrat)[None, :]
+                  * np.exp(-0.5 * y[:, None] ** 2
+                           * (cstrat[None, :] - 1.0)))
+        elif st == 2:
+            alpha = para.physics.alpha_viscosity
+            ot = ot_unit[:, None] * (rho1g * a_um)[None, :]       # (C, Kz)
+            h_h2 = np.sqrt(1.0 / 3.0) * alpha / np.maximum(ot, 1e-30)
+            cstrat = (1.0 + h_h2) / np.maximum(h_h2, 1e-30)
+            gk = (np.sqrt(cstrat)
+                  * np.exp(-0.5 * y[:, None] ** 2 * (cstrat - 1.0)))
+            gk = np.where(ot > 1e20, 0.0, gk)
+        elif st == 3:
+            alpha = para.physics.alpha_viscosity
+            ot = ot_unit[:, None] * (rho1g * a_um)[None, :]
+            arg = (-ot / alpha * np.expm1(0.5 * y[:, None] ** 2))
+            # relative to the gas Gaussian exp(-y^2/2) which is already
+            # in prof (Fromang & Nelson 2009 eq. 19)
+            gk = np.exp(np.maximum(arg, -600.0))
+        else:
+            gk = np.ones((C, a_um.size))
+        gk = np.where(inside[:, None], gk, 0.0)
+
+        n_rel[:, ksl] += prof[:, None] * base[None, :] * gk
+        key_zone |= (inside.astype(np.int32) << iz)
+
+        key_y = np.maximum(key_y, np.clip(
+            (y / max(para.cutoff, 1.0) * N_Y_BINS).astype(np.int32),
+            0, N_Y_BINS - 1) * inside)
+        if st in (2, 3):
+            lot = np.log10(np.clip(ot_unit, 1e-12, 1e12))
+            key_ot = np.maximum(key_ot, np.clip(
+                ((lot + 12.0) / 24.0 * N_OT_BINS).astype(np.int32),
+                0, N_OT_BINS - 1) * inside)
+
+    # zone-share quantisation for overlapping zones
+    if multi_zone:
+        share = np.zeros(C, np.int32)
+        tot_c = n_rel.sum(1)
+        for iz in range(len(para.zones)):
+            ksl = grains.zone == iz
+            frac = n_rel[:, ksl].sum(1) / np.maximum(tot_c, 1e-300)
+            share = share * 8 + np.clip((frac * 7.999).astype(np.int32),
+                                        0, 7)
+    else:
+        share = np.zeros(C, np.int32)
+
+    # ---- bucketise
+    keys = (((key_zone.astype(np.int64) * N_Y_BINS + key_y)
+             * N_OT_BINS + key_ot) * (8 ** len(para.zones) + 1)
+            + share)
+    mass_c = n_rel @ grains.m_grain                       # (C,) rel. rho
+    occupied = mass_c > 0
+    keys = np.where(occupied, keys, -1)
+    uniq, p_icell = np.unique(keys, return_inverse=True)
+    P = uniq.size
+
+    # per-bucket weights: density-weighted mean of member cells' mixes,
+    # normalized so sum_k w_k m_k = 1 (number of grains per gram of dust)
+    weights = np.zeros((P, K))
+    wsum = np.bincount(p_icell, weights=mass_c * volume, minlength=P)
+    for k in range(K):
+        weights[:, k] = np.bincount(
+            p_icell, weights=n_rel[:, k] * volume, minlength=P)
+    wm = weights @ grains.m_grain
+    weights = weights / np.maximum(wm, 1e-300)[:, None]
+    # empty bucket (key -1): give it the base mix so tables stay finite
+    empty = wsum <= 0
+    if empty.any():
+        base_all = grains.n_grains / max(
+            grains.n_grains @ grains.m_grain, 1e-300)
+        weights[empty] = base_all[None, :]
+
+    # ---- total dust density, normalized per zone mass
+    rho = np.zeros(C)
+    for iz, zone in enumerate(para.zones):
+        ksl = grains.zone == iz
+        rho_z = n_rel[:, ksl] @ grains.m_grain[ksl]
+        tot = (rho_z * volume).sum()
+        if tot > 0:
+            rho_z = rho_z * (zone.dust_mass * cst.Msun_to_g
+                             / (tot * cst.AU3_to_cm3))
+        rho += rho_z
+
+    return DensityStructure(rho=rho, rho_gas=rho_gas,
+                            p_icell=p_icell.astype(np.int32),
+                            weights=weights)

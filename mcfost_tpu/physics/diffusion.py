@@ -95,26 +95,37 @@ def diffusion_fill_dark(model: Model, host, T: np.ndarray,
     if not dark.any():
         return T
     wl = host.wl
-    kext = np.asarray(model.kappa, np.float64)
+    kext_p = np.asarray(model.kappa, np.float64)              # (P, L)
     tabT = np.asarray(model.tab_temp, np.float64)
-    kr_tab = rosseland_kappa(wl.lam, wl.dlam, kext, tabT)
+    kr_p = np.stack([rosseland_kappa(wl.lam, wl.dlam, kext_p[q], tabT)
+                     for q in range(kext_p.shape[0])])        # (P, nT)
+    kr_cells = kr_p[np.asarray(model.p_icell)]                # (C, nT)
 
     rho = host.rho_dust.reshape(nz, n_rad)
     Tg = T.reshape(nz, n_rad).astype(np.float64)
     dk = dark.reshape(nz, n_rad)
-    zmax = np.asarray(model.grid.zmax, np.float64)
+    from ..grids import geometry as _geom
+    zmax = _geom.host_arrays(model.grid, "zmax")
     dz = (zmax / nz)[None, :]
 
     E = Tg ** 4
     fixed = ~dk
 
     logT = np.log(tabT)
-    logK = np.log(np.maximum(kr_tab, 1e-300))
+    logK = np.log(np.maximum(kr_cells, 1e-300)).reshape(nz, n_rad, -1)
+
+    def kr_interp(Tcur):
+        lt = np.log(np.maximum(Tcur, tabT[0]))
+        idx = np.clip(np.searchsorted(logT, lt), 1, len(logT) - 1)
+        f = np.clip((lt - logT[idx - 1])
+                    / np.maximum(logT[idx] - logT[idx - 1], 1e-30), 0, 1)
+        k0 = np.take_along_axis(logK, (idx - 1)[..., None], -1)[..., 0]
+        k1 = np.take_along_axis(logK, idx[..., None], -1)[..., 0]
+        return np.exp(k0 * (1 - f) + k1 * f)
 
     for _ in range(n_iter):
         Tcur = np.maximum(E, 1e-30) ** 0.25
-        kr = np.exp(np.interp(np.log(np.maximum(Tcur, tabT[0])),
-                              logT, logK))
+        kr = kr_interp(Tcur)
         D = 1.0 / np.maximum(rho * kr, 1e-300)
         # interface coefficients (harmonic mean), mirror at midplane
         Dm = np.minimum(D, np.roll(D, 1, axis=0))

@@ -42,6 +42,86 @@ class StarModel:
     # step-1 emission spectrum CDF over lambda (filled in by thermal setup
     # once disk emission is known; for a cold start it's the stars only)
     lum_tot: float             # 2*pi*h*c^2 * int E dlambda  [W-ish internal]
+    E_ism: np.ndarray | None = None   # (L,) external ISM+CMB field
+
+
+def _find_spectrum_file(teff: float) -> str | None:
+    """Closest-Teff atmosphere FITS from $MCFOST_UTILS/Stellar_Spectra
+    (find_spectra, stars.f90:1020-1100)."""
+    import os
+    import re
+    base = os.environ.get("MCFOST_UTILS", "")
+    d = os.path.join(base, "Stellar_Spectra")
+    if not base or not os.path.isdir(d):
+        return None
+    best, best_dt = None, 1e30
+    for f in os.listdir(d):
+        m = re.search(r"(\d{3,6})", f)
+        if m and f.endswith((".fits", ".fits.gz")):
+            dt = abs(float(m.group(1)) - teff)
+            if dt < best_dt:
+                best, best_dt = os.path.join(d, f), dt
+    return best
+
+
+def _spectrum_from_fits(path: str, wl: WavelengthGrid, teff: float,
+                        r_au: float) -> np.ndarray | None:
+    """Atmosphere spectrum resampled onto the model grid: files hold
+    (lambda [um], F_lambda normalized to 1 Rsun @ 1 pc, BB reference)
+    (stars.f90:336-571): BB below range, lambda^-4 above, log-log
+    interpolation between."""
+    from ..io.fits import read_fits
+    try:
+        hdus = read_fits(path)
+        arr = np.asarray(hdus[0][1], np.float64)
+    except Exception:
+        return None
+    if arr.ndim != 2:
+        return None
+    if arr.shape[0] in (2, 3):
+        lam_f, flux_f = arr[0], arr[1]
+    elif arr.shape[1] in (2, 3):
+        lam_f, flux_f = arr[:, 0], arr[:, 1]
+    else:
+        return None
+    ok = (lam_f > 0) & (flux_f > 0)
+    lam_f, flux_f = lam_f[ok], flux_f[ok]
+    shape = np.zeros(wl.n)
+    inside = (wl.lam >= lam_f.min()) & (wl.lam <= lam_f.max())
+    shape[inside] = np.exp(np.interp(np.log(wl.lam[inside]),
+                                     np.log(lam_f), np.log(flux_f)))
+    # BB below the tabulated range; lambda^-4 power law above
+    # (line-blanketing extrapolation, stars.f90:517-541)
+    bb = bb_shape(wl.lam, teff)
+    lo = wl.lam < lam_f.min()
+    if lo.any() and inside.any():
+        i0 = np.argmax(inside)
+        scale = shape[i0] / max(bb[i0], 1e-300)
+        shape[lo] = bb[lo] * scale
+    hi = wl.lam > lam_f.max()
+    if hi.any() and inside.any():
+        i1 = wl.n - 1 - np.argmax(inside[::-1])
+        shape[hi] = shape[i1] * (wl.lam[hi] / wl.lam[i1]) ** -4.0
+    # renormalize so int F dlambda = sigma Teff^4 like the BB branch
+    # (stars.f90:413-426): our BB branch integral sets the scale
+    num = np.trapezoid(bb, wl.lam)
+    den = np.trapezoid(shape, wl.lam)
+    if den <= 0:
+        return None
+    return shape * (num / den)
+
+
+def ism_field(wl: WavelengthGrid, chi_ism: float = 1.0) -> np.ndarray:
+    """ISM radiation field shape: CMB blackbody + a Mathis et al. (1983)
+    like ISRF approximated as diluted blackbodies (ism_energy_distribution,
+    stars.f90:646-724).  Returned in the same 'surface x planck' units per
+    unit emitting area (scaled by the caller)."""
+    cmb = bb_shape(wl.lam, cst.T_Cmb)
+    # Mathis ISRF: diluted BBs at 7500/4000/3000 K (standard decomposition)
+    isrf = (1e-14 * bb_shape(wl.lam, 7500.0)
+            + 1.65e-13 * bb_shape(wl.lam, 4000.0)
+            + 4e-13 * bb_shape(wl.lam, 3000.0)) * chi_ism
+    return cmb + isrf
 
 
 def build_star_model(para: Para, wl: WavelengthGrid) -> StarModel:
@@ -58,6 +138,25 @@ def build_star_model(para: Para, wl: WavelengthGrid) -> StarModel:
         surface = 4.0 * np.pi * r_au ** 2
         # black-body branch (stars.f90:548-553): terme = surface * planck
         E[i] = surface * bb_shape(wl.lam, s.teff)
+        # atmosphere-model spectrum when available (find_spectra +
+        # star_energy_distribution non-BB branch, stars.f90:336-571)
+        if not s.blackbody or not s.auto_spectrum:
+            path = s.spectrum_file if s.spectrum_file \
+                else _find_spectrum_file(s.teff)
+            if path:
+                shape = _spectrum_from_fits(path, wl, s.teff, r_au)
+                if shape is not None:
+                    E[i] = surface * shape
+        # accretion luminosity (stars.f90:461-491): L_acc = G M Mdot / R
+        # added as a blackbody at T_acc = (L_acc / 4 pi sigma R^2)^1/4 —
+        # a BB at T_acc over the stellar surface has exactly L_acc
+        if s.mdot > 0:
+            lacc = (cst.Ggrav * s.mass * cst.Msun_to_kg
+                    * s.mdot * cst.Msun_to_kg / cst.year_to_s
+                    / (r_au * cst.AU_to_m))
+            t_acc = (lacc / (4.0 * np.pi * cst.sigma_sb
+                             * (r_au * cst.AU_to_m) ** 2)) ** 0.25
+            E[i] += surface * bb_shape(wl.lam, t_acc)
         # fUV excess (stars.f90:435-458): power law F ~ wl^p replacing the
         # spectrum blueward of the Wien peak where larger
         if s.fuv > 0:

@@ -93,12 +93,13 @@ class MolRT:
 
         # continuum: dust opacity and emissivity at the line frequencies
         lam_um = cst.c_light / freq * 1e6
-        kabs_unit = np.exp(np.interp(np.log(lam_um),
-                                     np.log(host.wl.lam),
-                                     np.log(np.maximum(
-                                         np.asarray(model.kappa_abs,
-                                                    np.float64), 1e-300))))
-        kcont = kabs_unit[None, :] * host.rho_dust[:, None]   # (C, nt) AU^-1
+        kabs_p = np.asarray(model.kappa_abs, np.float64)      # (P, L)
+        kabs_unit = np.stack([
+            np.exp(np.interp(np.log(lam_um), np.log(host.wl.lam),
+                             np.log(np.maximum(kabs_p[q], 1e-300))))
+            for q in range(kabs_p.shape[0])])                 # (P, nt)
+        p_c = np.asarray(model.p_icell)
+        kcont = kabs_unit[p_c] * host.rho_dust[:, None]       # (C, nt) AU^-1
         T_d = np.maximum(T_gas, 1.0)
         Bnu = np.zeros((n_cells, nt))
         for i in range(nt):
@@ -119,7 +120,7 @@ class MolRT:
         else:
             mstar = star_mass if star_mass is not None \
                 else para.stars[0].mass
-            r = np.asarray(model.grid.r_grid, np.float64)
+            r = geom.host_arrays(model.grid, "r_grid")
             vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
                            / (r * cst.AU_to_m))
             vf = np.zeros((n_cells, 3))
@@ -252,7 +253,7 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
     npx, npy = para.maps.nx, para.maps.ny
     pix = para.maps.map_size / max(npx, npy)
     dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
-    rmax = float(np.asarray(model.grid.r_lim)[-1])
+    rmax = float(geom.host_arrays(model.grid, "r_lim")[-1])
     dtype = model.kappa.dtype
 
     cube = np.zeros((n_rt, nv, nt, npy, npx))

@@ -56,9 +56,10 @@ def assemble_source_function(model: Model, host: HostModel,
     n_rt = model.rt_dirs.shape[0]
     dtype = model.kappa.dtype
 
-    kabs = np.asarray(model.kappa_abs, np.float64)
-    kext = np.asarray(model.kappa, np.float64)
-    alb = np.asarray(model.albedo, np.float64)
+    p_c = np.asarray(model.p_icell)
+    kabs = np.asarray(model.kappa_abs, np.float64)[p_c].T    # (L, C)
+    kext = np.asarray(model.kappa, np.float64)[p_c].T        # (L, C)
+    alb = np.asarray(model.albedo, np.float64)[p_c].T        # (L, C)
     rho = host.rho_dust
     V = np.asarray(model.volume, np.float64)
 
@@ -71,7 +72,7 @@ def assemble_source_function(model: Model, host: HostModel,
     planck = np.where(ok, 1.0 / (wl_m[:, None] ** 5
                                  * (np.exp(np.minimum(cst_wl, 500.0)) - 1.0)),
                       0.0)
-    E_cell = 4.0 * kabs[:, None] * (rho * V)[None, :] * planck
+    E_cell = 4.0 * kabs * (rho * V)[None, :] * planck
     E_disk = E_cell.sum(1)
     E_star = host.stars.E_stars
 
@@ -79,12 +80,12 @@ def assemble_source_function(model: Model, host: HostModel,
                      / (np.maximum(n_sent_per_lambda, 1.0)
                         * cst.AU_to_cm * np.pi))          # (L,)
 
-    kext_cell = kext[:, None] * rho[None, :]              # (L, C)
-    ksca_cell = kext_cell * alb[:, None]
+    kext_cell = kext * rho[None, :]                       # (L, C)
+    ksca_cell = kext_cell * alb
 
     # thermal emissivity J_th (calc_Jth, dust_ray_tracing.f90:826-850)
     j_th = (2.0 * cst.hp * cst.c_light ** 2 * planck * wl_m[:, None]
-            * kabs[:, None] * rho[None, :])               # (L, C)
+            * kabs * rho[None, :])                        # (L, C)
 
     factor = (photon_energy[:, None] / V[None, :]
               * (n_az_rt * 2))                            # (L, C)
@@ -184,7 +185,7 @@ def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
         it, x, y, z, ri, zj, tau, out, alive = state
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
-        kext = jnp.where(inside, model.kappa[ilam]
+        kext = jnp.where(inside, model.kappa[model.p_icell[flat], ilam]
                          * model.kappa_factor[flat], 0.0)
         x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
                                                  ri, zj)
@@ -242,7 +243,7 @@ def los_optical_depth(model: Model, x0, y0, z0, u, v, w, ilam,
         it, x, y, z, ri, zj, tau, alive = state
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
-        kext = jnp.where(inside, model.kappa[ilam]
+        kext = jnp.where(inside, model.kappa[model.p_icell[flat], ilam]
                          * model.kappa_factor[flat], 0.0)
         x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
                                                  ri, zj)
@@ -279,8 +280,9 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     eps = assemble_source_function(model, host, xi, T_cells,
                                    n_sent_per_lambda, n_az_rt)
 
-    rmax = float(np.asarray(model.grid.r_lim)[-1])
-    rmin = float(np.asarray(model.grid.r_lim)[0])
+    _rl = cyl.host_arrays(model.grid, "r_lim")
+    rmax = float(_rl[-1])
+    rmin = float(_rl[0])
     rmin_rt, rmax_rt = 0.01 * rmin, 2.0 * rmax
     fact_r = np.exp(np.log(rmax_rt / rmin_rt) / (n_rad_rt - 1))
     tab_r = rmin_rt * fact_r ** np.arange(n_rad_rt)

@@ -34,7 +34,8 @@ def sed_emission_tables(model: Model, host: HostModel, T_cells: np.ndarray):
     Returns (frac_e_stars (L,), prob_e_cell (L, n_cells+1), E_totale (L,))."""
     wl = host.wl
     L = wl.n
-    kabs = np.asarray(model.kappa_abs, np.float64)      # per unit density
+    p_c = np.asarray(model.p_icell)
+    kabs = np.asarray(model.kappa_abs, np.float64)[p_c].T   # (L, C)
     rho = host.rho_dust
     V = np.asarray(model.volume, np.float64)
     E_star = host.stars.E_stars
@@ -48,7 +49,7 @@ def sed_emission_tables(model: Model, host: HostModel, T_cells: np.ndarray):
     planck = np.where(ok, 1.0 / (wl_m[:, None] ** 5
                                  * (np.exp(np.minimum(cst_wl, 500.0)) - 1.0)),
                       0.0)
-    E_cell = 4.0 * kabs[:, None] * (rho * V)[None, :] * planck   # (L, C)
+    E_cell = 4.0 * kabs * (rho * V)[None, :] * planck            # (L, C)
     E_disk = E_cell.sum(1)
 
     frac = E_star / np.maximum(E_star + E_disk, 1e-300)

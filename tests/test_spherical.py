@@ -116,13 +116,13 @@ def test_spherical_thin_temperature():
     T_mc = np.asarray(final_temperature(model, res.xkj, int(res.emitted)))
 
     wl = host.wl
-    kabs = np.asarray(model.kappa_abs, np.float64)
+    kabs = np.asarray(model.kappa_abs, np.float64)[0]
     d2 = (np.asarray(model.grid.r_grid) ** 2
           + np.asarray(model.grid.z_grid) ** 2)
     qheat = (2 * np.pi * cst.hp * cst.c_light ** 2
              * np.sum(host.stars.E_stars * wl.dlam * 1e-6 * kabs)
              / (4 * np.pi * d2))
-    log_qcool = np.asarray(model.log_qcool, np.float64)
+    log_qcool = np.asarray(model.log_qcool, np.float64)[0]
     tab_t = np.asarray(model.tab_temp, np.float64)
     ti = np.clip(np.searchsorted(log_qcool, np.log(qheat)), 1,
                  len(tab_t) - 1)

@@ -61,14 +61,14 @@ def test_optically_thin_temperature(thin_setup):
     T_mc = np.asarray(final_temperature(model, res.xkj, int(res.emitted)))
 
     wl = host.wl
-    kabs = np.asarray(model.kappa_abs, np.float64)        # per unit density
+    kabs = np.asarray(model.kappa_abs, np.float64)[0]    # per unit density
     E_star = host.stars.E_stars
     d2 = (np.asarray(model.grid.r_grid) ** 2
           + np.asarray(model.grid.z_grid) ** 2)
     qheat = (2 * np.pi * cst.hp * cst.c_light ** 2
              * np.sum(E_star * wl.dlam * 1e-6 * kabs)
              / (4 * np.pi * d2))
-    log_qcool = np.asarray(model.log_qcool, np.float64)
+    log_qcool = np.asarray(model.log_qcool, np.float64)[0]
     tab_t = np.asarray(model.tab_temp, np.float64)
     ti = np.clip(np.searchsorted(log_qcool, np.log(qheat)), 1,
                  len(tab_t) - 1)
