@@ -28,6 +28,7 @@ from .. import constants as cst
 from ..config.para import Para
 from ..physics.wavelengths import WavelengthGrid
 from . import materials as mat
+from .coated_sphere import coated_batch, dhs_batch
 from .mie import mie_batch
 
 
@@ -188,7 +189,9 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
     cache_file = None
     if cache_dir:
         h = hashlib.sha1(repr((grains.r_grain.tobytes(), wl.lam.tobytes(),
-                               [s.components[0].optical_indices_file
+                               [(s.components[0].optical_indices_file,
+                                 s.grain_type, s.mixing_rule, s.porosity,
+                                 s.dhs_vmax)
                                 for sp in para.dust for s in sp],
                                nang)).encode()).hexdigest()[:16]
         cache_file = os.path.join(cache_dir, f"dust_prop_{h}.npz")
@@ -209,7 +212,9 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
                 ksl = slice(k0, k0 + sp.n_grains)
                 a = grains.r_grain[ksl]
                 material = mat.get_material(sp.components[0].optical_indices_file)
-                if sp.n_components > 1 or sp.porosity > 0:
+                coated = (sp.grain_type.lower() != "dhs"
+                          and sp.n_components == 2 and sp.mixing_rule == 2)
+                if (sp.n_components > 1 or sp.porosity > 0) and not coated:
                     mats = [mat.get_material(c.optical_indices_file)
                             for c in sp.components]
                     m_lam = mat.bruggeman_emt(
@@ -217,10 +222,26 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
                         wl.lam, sp.porosity)
                 else:
                     m_lam = material.m_at(wl.lam)
-                xg, mg = np.meshgrid(2 * np.pi * a, np.arange(L), indexing="ij")
                 x = (2 * np.pi * a[:, None] / wl.lam[None, :]).ravel()
                 m = np.broadcast_to(m_lam[None, :], (sp.n_grains, L)).ravel()
-                out = mie_batch(x, m, nang=A)
+                if sp.grain_type.lower() == "dhs":
+                    # hollow-sphere ensemble (mueller_DHS,
+                    # src/coated_sphere.f90:132-265)
+                    out = dhs_batch(x, m, fmax=sp.dhs_vmax, nang=A)
+                elif coated:
+                    # core/mantle grain (mueller_coated_sphere,
+                    # src/coated_sphere.f90:20-128): component 1 = core,
+                    # component 2 = mantle; core radius from volume fraction
+                    mantle = mat.get_material(
+                        sp.components[1].optical_indices_file)
+                    vf = sp.components[0].volume_fraction
+                    vtot = vf + sp.components[1].volume_fraction
+                    x_core = x * (vf / max(vtot, 1e-30)) ** (1.0 / 3.0)
+                    m_mantle = np.broadcast_to(
+                        mantle.m_at(wl.lam)[None, :], (sp.n_grains, L)).ravel()
+                    out = coated_batch(x_core, x, m, m_mantle, nang=A)
+                else:
+                    out = mie_batch(x, m, nang=A)
                 qext[ksl] = out["qext"].reshape(sp.n_grains, L)
                 qsca[ksl] = out["qsca"].reshape(sp.n_grains, L)
                 gsca[ksl] = out["gsca"].reshape(sp.n_grains, L)
