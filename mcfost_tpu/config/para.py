@@ -277,12 +277,21 @@ class _TokenReader:
 
 
 def parse_para(text: str) -> Para:
-    """Parse a 4.0/4.1 parameter file (reference: src/read_param.f90:16-110)."""
+    """Parse a versioned parameter file (reference: src/read_param.f90:16-110).
+
+    Supports the current 4.1 format plus the legacy layouts back to 2.19
+    (read_para219/220/221/30/40, read_param.f90 version dispatch); the
+    structural deltas are: pre-4.1 formats put the molecular velocity grid
+    on the molecule-file line and lack the atoms section (<4.0), pre-2.21
+    formats carry an MC-binning line in Maps and a Cavity section, and
+    2.19 lacks the RT azimuth line.
+    """
     rd = _TokenReader(text)
     version = float(rd.line(1)[0])
-    if version < 4.0 - 1e-6:
+    if version < 2.19 - 1e-6:
         raise NotImplementedError(
-            f"parameter file version {version} not supported yet (>=4.0 only)")
+            f"parameter file version {version} not supported (>=2.19);"
+            " re-save the model with a newer reference format")
     p = Para(version=version)
 
     # Photons
@@ -314,12 +323,15 @@ def parse_para(text: str) -> Para:
     t = rd.line(3)
     p.maps.nx = int(float(t[0])); p.maps.ny = int(float(t[1]))
     p.maps.map_size = float(t[2])
+    if version < 2.21 - 1e-6:
+        rd.line(2)   # MC capture binning (N_bin_incl, N_bin_az), dropped 2.21
     t = rd.line(4)
     p.maps.imin = float(t[0]); p.maps.imax = float(t[1])
     p.maps.n_incl = int(float(t[2])); p.maps.centered = _to_bool(t[3])
-    t = rd.line(3)
-    p.maps.az_min = float(t[0]); p.maps.az_max = float(t[1])
-    p.maps.n_az_angles = int(float(t[2]))
+    if version >= 2.20 - 1e-6:
+        t = rd.line(3)
+        p.maps.az_min = float(t[0]); p.maps.az_max = float(t[1])
+        p.maps.n_az_angles = int(float(t[2]))
     t = rd.line(1); p.maps.distance = float(t[0])
     t = rd.line(1); p.maps.disk_pa = float(t[0])
 
@@ -363,6 +375,14 @@ def parse_para(text: str) -> Para:
         z.surface_density_exp = float(t[0]); z.gamma_exp = float(t[1])
         p.zones.append(z)
 
+    # Cavity section (pre-2.21 formats only; now a CLI flag -cavity)
+    if version < 2.21 - 1e-6:
+        t = rd.line(1); has_cavity = _to_bool(t[0])
+        t = rd.line(2); h_cav, r_cav = float(t[0]), float(t[1])
+        t = rd.line(1); beta_cav = float(t[0])
+        if has_cavity:
+            p.cavity = (h_cav, r_cav, beta_cav)
+
     # Grain properties (per zone)
     p.dust = []
     for _iz in range(n_zones):
@@ -391,16 +411,30 @@ def parse_para(text: str) -> Para:
         p.dust.append(species)
 
     # Molecular RT settings
-    t = rd.line(3)
-    p.mol.lpop = _to_bool(t[0]); p.mol.laccurate_pop = _to_bool(t[1])
-    p.mol.lte = _to_bool(t[2])
-    t = rd.line(2)
-    p.mol.v_turb = float(t[0]); p.mol.v_turb_unit = t[1]
+    legacy_mol = version < 4.1 - 1e-6
+    if legacy_mol:
+        # "lpop, laccurate_pop, LTE, profile width [km/s]"
+        t = rd.line(4)
+        p.mol.lpop = _to_bool(t[0]); p.mol.laccurate_pop = _to_bool(t[1])
+        p.mol.lte = _to_bool(t[2])
+        t = rd.line(1)
+        p.mol.v_turb = float(t[0]); p.mol.v_turb_unit = "km/s"
+    else:
+        t = rd.line(3)
+        p.mol.lpop = _to_bool(t[0]); p.mol.laccurate_pop = _to_bool(t[1])
+        p.mol.lte = _to_bool(t[2])
+        t = rd.line(2)
+        p.mol.v_turb = float(t[0]); p.mol.v_turb_unit = t[1]
     t = rd.line(1); n_mol = int(float(t[0]))
     p.mol.molecules = []
     for _ in range(n_mol):
         m = Molecule()
         t = rd.line(2); m.filename = t[0]; m.level_max = int(float(t[1]))
+        if legacy_mol:
+            # symmetric velocity grid "vmax [km/s], n bins in (0, vmax]"
+            t = rd.line(2)
+            m.vmax = float(t[0]); m.vmin = -m.vmax
+            m.n_speed = 2 * int(float(t[1])) + 1
         t = rd.line(3)
         m.cst_abundance = _to_bool(t[0]); m.abundance = float(t[1])
         m.abundance_file = t[2]
@@ -408,12 +442,14 @@ def parse_para(text: str) -> Para:
         m.ray_tracing = _to_bool(t[0]); m.n_lines_rt = int(float(t[1]))
         t = rd.line(m.n_lines_rt)
         m.transitions = [int(float(x)) for x in t]
-        t = rd.line(3)
-        m.vmin = float(t[0]); m.vmax = float(t[1]); m.n_speed = int(float(t[2]))
+        if not legacy_mol:
+            t = rd.line(3)
+            m.vmin = float(t[0]); m.vmax = float(t[1])
+            m.n_speed = int(float(t[2]))
         p.mol.molecules.append(m)
 
-    # Atoms (4.1 addition)
-    if version >= 4.1 - 1e-6:
+    # Atoms (4.0 addition)
+    if version >= 4.0 - 1e-6:
         t = rd.line(1); n_atoms = int(float(t[0]))
         p.atoms.atoms = []
         for _ in range(n_atoms):
