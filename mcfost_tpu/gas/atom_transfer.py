@@ -427,9 +427,14 @@ def continuum_rates(atom: AtomModel, gas: GasState, nstar: np.ndarray,
 # MALI loop
 # ---------------------------------------------------------------------------
 
-def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21):
+def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21,
+                dirs: np.ndarray | None = None):
     """Profile-weighted mean intensity and MALI diagonal per (cell, line):
-    returns (Jbar (C, nl), Lambda* (C, nl))."""
+    returns (Jbar (C, nl), Lambda* (C, nl)).
+
+    dirs: optional explicit ray directions (e.g. HEALPix pixel centres
+    for the reference's fixed-ray MALI step 1, -healpix_lorder); falls
+    back to a Fibonacci sphere of n_rays."""
     dtype = model.kappa.dtype
     n_cells = model.grid.n_cells
     nl = len(rt.ilines)
@@ -445,7 +450,9 @@ def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21):
     wsum = np.zeros((n_cells, nl))
     vth_np = np.asarray(rt.vth_j, np.float64)
     a_np = np.asarray(rt.adamp, np.float64)
-    for d in _fibonacci_sphere(n_rays):
+    if dirs is None:
+        dirs = _fibonacci_sphere(n_rays)
+    for d in dirs:
         I, _Ic, psi = integrate_atom_rays(
             model, rt.chi0, rt.eta0, rt.adamp, rt.vth_j, rt.chi_c,
             rt.eta_c, rt.vfield, rt.star_bnu, tab,
@@ -465,12 +472,60 @@ def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21):
     return jbar / wsum, lstar / wsum
 
 
+def escape_prob_pops_atom(atom: AtomModel, gas: GasState, ntot, nstar,
+                          Cmat, Rc_ij, Rc_ji, model: Model,
+                          host: HostModel, max_iter: int = 30,
+                          tol: float = 1e-2, verbose: bool = False):
+    """Sobolev escape-probability initial solution for atomic lines
+    (nlte_loop_sobolev, gas/escape.f90:614-1177): local LVG line rates
+    (no ray transport) + optically-thin continua, iterated to a cheap
+    fixed point that seeds the MALI loop."""
+    from .escape import beta_escape, mean_velocity_gradient
+
+    pops = nstar.copy()
+    vth = np.asarray(gas.vth(atom), np.float64)
+    grad = mean_velocity_gradient(model, host,
+                                  np.asarray(gas.vfield, np.float64), vth)
+    nu_l = cst.c_light / (atom.lambda0 * 1e-9)          # line freq [Hz]
+    pref = (cst.c_light ** 3 * atom.Aji
+            / (8.0 * np.pi * nu_l ** 3))                # (nl,)
+    gi = atom.g[atom.line_i]
+    gj = atom.g[atom.line_j]
+    for it in range(1, max_iter + 1):
+        ni = pops[:, atom.line_i]
+        nj = pops[:, atom.line_j]
+        col = ni * gj[None, :] / gi[None, :] - nj
+        tau = pref[None, :] * col / np.maximum(grad[:, None], 1e-300)
+        beta = beta_escape(tau)
+        denom = np.maximum(ni * atom.Bij[None, :]
+                           - nj * atom.Bji[None, :], 1e-300)
+        S = nj * atom.Aji[None, :] / denom
+        jeff = (1.0 - beta) * S
+        Rij = atom.Bij[None, :] * jeff
+        Rji = atom.Aji[None, :] * beta + atom.Bji[None, :] * jeff
+        new, dM = solve_see(atom, ntot, Cmat, Rij, Rji, Rc_ij, Rc_ji, pops)
+        pops = new
+        if verbose:
+            print(f"    LVG(atom) iter {it}: dM = {dM:.2e}")
+        if dM < tol:
+            break
+    return pops
+
+
 def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                    gas: GasState, T_dust: np.ndarray,
                    max_iter: int = 50, tol: float = 1e-3,
-                   n_rays: int = 8, verbose: bool = False):
+                   n_rays: int = 8, healpix_lorder: int | None = None,
+                   initial: str = "lte", ng_order: int = 2,
+                   verbose: bool = False):
     """MALI iteration to statistical equilibrium (nlte_loop_mali,
-    gas/atom_transfer.f90:123-881).  Returns (pops, n_iter, dM)."""
+    gas/atom_transfer.f90:123-881).  Returns (pops, n_iter, dM).
+
+    healpix_lorder: use the 12*4^lorder HEALPix pixel centres as the
+    fixed ray set (the reference's step 1, -healpix_lorder); None uses a
+    Fibonacci sphere of n_rays.  initial: "lte" or "escape" (Sobolev LVG
+    seed, gas/escape.f90).  ng_order: Ng acceleration order (0 = off).
+    """
     ntot = atom.abund * gas.nHtot
     nstar = lte_pops(atom, gas.T, gas.ne, ntot)
     pops = nstar.copy()
@@ -482,11 +537,22 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                                          T_dust, n_rays=n_rays)
     Rc_ij, Rc_ji = continuum_rates(atom, gas, nstar, lam_c, Jc)
 
+    if initial == "escape":
+        pops = escape_prob_pops_atom(atom, gas, ntot, nstar, Cmat,
+                                     Rc_ij, Rc_ji, model, host,
+                                     verbose=verbose)
+
+    dirs = None
+    if healpix_lorder is not None:
+        from ..utils.healpix import healpix_ring_directions
+        dirs = healpix_ring_directions(2 ** healpix_lorder)
+
+    history: list[np.ndarray] = []
     dM = np.inf
     it = 0
     for it in range(1, max_iter + 1):
         rt = AtomRT(model, host, atom, gas, pops, all_lines, T_dust)
-        jbar, lst = jbar_lambda(model, rt, n_rays=n_rays)
+        jbar, lst = jbar_lambda(model, rt, n_rays=n_rays, dirs=dirs)
         lst = np.clip(lst, 0.0, 0.999)
 
         # MALI-preconditioned line rates (Rybicki & Hummer 1992):
@@ -502,6 +568,16 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
 
         pops, dM = solve_see(atom, ntot, Cmat, Rij, Rji, Rc_ij, Rc_ji,
                              pops)
+        if ng_order:
+            history.append(pops.copy())
+            if len(history) > ng_order + 2:
+                history.pop(0)
+            if len(history) == ng_order + 2 and it % (ng_order + 2) == 0:
+                from ..utils.ng import ng_accelerate
+                acc = np.maximum(ng_accelerate(history, order=ng_order), 0.0)
+                tot = np.maximum(acc.sum(1, keepdims=True), 1e-300)
+                pops = acc * (ntot[:, None] / tot)
+                history.clear()
         if verbose:
             print(f"    MALI iter {it}: max dpop/pop = {dM:.2e}")
         if dM < tol:

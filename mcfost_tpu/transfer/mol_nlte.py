@@ -147,8 +147,15 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
                      T_gas: np.ndarray, abundance: float,
                      nlev: int | None = None, n_rays: int = 16,
                      max_iter: int = 30, tol: float = 1e-3,
+                     initial: str = "lte", ng_order: int = 2,
                      verbose: bool = False):
     """Lambda-iterate the level populations to statistical equilibrium.
+
+    initial: "lte" (reference default) or "sobolev" — the LVG
+    escape-probability local solve as starting point (the reference's
+    escape-probability initial solution, gas/escape.f90:614).
+    Ng acceleration (utils.f90:418-518 role) fires every ng_order+2
+    iterations once enough history exists; ng_order=0 disables.
 
     Returns (pops (C, nlev_full), n_iter, max_rel_change)."""
     para = host.para
@@ -158,7 +165,12 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
 
     n_mol = gas_number_density(host) * abundance
     n_coll = gas_number_density(host)                 # H2 collider
-    pops = lte_populations(mol, T_gas, n_mol)         # start from LTE
+    if initial == "sobolev":
+        from ..gas.escape import sobolev_populations
+        pops, _, _ = sobolev_populations(model, host, mol, T_gas, abundance,
+                                         nlev=nlev_solve, verbose=verbose)
+    else:
+        pops = lte_populations(mol, T_gas, n_mol)     # start from LTE
 
     # transitions among the solved levels
     itrans_see = np.array([i for i in range(len(mol.Aul))
@@ -166,6 +178,7 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
 
     diff = np.inf
     it = 0
+    history: list[np.ndarray] = []
     for it in range(1, max_iter + 1):
         rt = MolRT(model, host, mol, T_gas, itrans_see,
                    abundance=abundance, v_turb=para.mol.v_turb,
@@ -179,6 +192,23 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
         mask = old > 1e-30 * n_mol[:, None]
         rel = np.abs(new - old) / np.maximum(old, 1e-300)
         diff = rel[mask].max() if mask.any() else 0.0
+
+        if ng_order:
+            history.append(new.copy())
+            if len(history) > ng_order + 2:
+                history.pop(0)
+            if len(history) == ng_order + 2 and it % (ng_order + 2) == 0:
+                from ..utils.ng import ng_accelerate
+                acc = np.maximum(ng_accelerate(history, order=ng_order), 0.0)
+                # renormalise to conserve the total per cell
+                tot = acc.sum(1, keepdims=True)
+                acc = acc * (n_mol[:, None] * (new.sum(1, keepdims=True)
+                                               / np.maximum(n_mol[:, None],
+                                                            1e-300))
+                             / np.maximum(tot, 1e-300))
+                new = acc
+                history.clear()
+
         pops = pops.copy()
         pops[:, :nlev_solve] = new
         if verbose:
