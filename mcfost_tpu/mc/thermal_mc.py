@@ -654,11 +654,19 @@ def mean_intensity(model: Model, wl_dlam_um, xj, n_packets):
             / (4.0 * np.pi * V_m3[None, :] * dlam_m[:, None]))
 
 
-def final_temperature(model: Model, xkj, n_packets) -> jax.Array:
+def final_temperature(model: Model, xkj, n_packets,
+                      extra_heating=None) -> jax.Array:
     """Cell temperature from the summed kappa*J tally (Temp_finale via
-    Temp_LTE with id=0, thermal_emission.f90:649-706,870)."""
+    Temp_LTE with id=0, thermal_emission.f90:649-706,870).
+
+    extra_heating: optional per-cell power [W] (viscous dissipation,
+    Phantom dudt, ...) added to the MC heating — the reference's
+    extra-heating channel in init_reemission (thermal_emission.f90:404)."""
     l_packet = model.l_tot / jnp.asarray(n_packets, xkj.dtype)
-    qheat = xkj * l_packet / model.volume
+    heat = xkj * l_packet
+    if extra_heating is not None:
+        heat = heat + jnp.asarray(extra_heating, xkj.dtype)
+    qheat = heat / model.volume
     logq = jnp.log(jnp.maximum(qheat, 1e-300))
     n_T = model.tab_temp.shape[0]
     p = model.p_icell

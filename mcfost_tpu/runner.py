@@ -35,6 +35,20 @@ def _grain_ranges(para: Para):
     return out
 
 
+def _species_tsub(para: Para):
+    """Sublimation temperature of each dust species from its primary
+    material header (reference: dust_pop%T_sub from the optical-indices
+    file header, read_opacity path)."""
+    from .dust import materials as mat
+    for species in para.dust:
+        for sp in species:
+            try:
+                yield mat.get_material(
+                    sp.components[0].optical_indices_file).t_sub
+            except Exception:
+                yield 1500.0
+
+
 def _material_family(name: str) -> str:
     n = name.lower()
     if "pah" in n:
@@ -53,6 +67,24 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
     t0 = time.time()
     model, host = build_model(para, cache_dir=os.path.join(
         root_dir, ".mcfost_tpu_cache"), hydro=hydro)
+
+    # optically-thin sublimation radius: enlarge zone inner radii before
+    # the MC (compute_othin_sublimation_radius, disk_physics.f90:21-76 +
+    # dust_transfer.f90:302-314)
+    if para.physics.sublimate_dust:
+        from .physics.disk_physics import othin_sublimation_radius
+        t_sub = min((mat_tsub for mat_tsub in _species_tsub(para)),
+                    default=1500.0)
+        r_sub = othin_sublimation_radius(
+            para, host.wl, np.asarray(host.dust.kappa_abs[0], np.float64),
+            host.stars.E_stars, T_sub=t_sub)
+        if r_sub > min(z.rin for z in para.zones):
+            if verbose:
+                print(f"  sublimation radius: Rin -> {r_sub:.3f} AU")
+            for z in para.zones:
+                z.rin = max(z.rin, r_sub)
+            model, host = build_model(para, cache_dir=os.path.join(
+                root_dir, ".mcfost_tpu_cache"), hydro=hydro)
     if verbose:
         print(f"  model build: {time.time()-t0:.1f}s "
               f"({model.grid.n_cells} cells, {model.n_lambda} wavelengths, "
@@ -105,9 +137,85 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
               f"({int(res.emitted)/dt:.0f} packets/s), "
               f"{int(res.n_iters)} steps, lost {int(res.n_lost)}")
 
-    T = np.asarray(thermal_mc.final_temperature(model, res.xkj, int(res.emitted)))
+    # viscous heating enters the B&W balance as extra per-cell power
+    # (para 'viscous heating, alpha_viscosity'; extra-heating channel of
+    # init_reemission, thermal_emission.f90:404)
+    extra = None
+    if para.physics.viscous_heating and para.physics.alpha_viscosity > 0:
+        from .physics.disk_physics import viscous_heating_rate
+        from .grids import geometry as _geom
+        T0 = np.asarray(thermal_mc.final_temperature(
+            model, res.xkj, int(res.emitted)))
+        rho_gas = host.rho_gas if host.rho_gas is not None else \
+            host.rho_dust * para.zones[0].gas_to_dust
+        extra = viscous_heating_rate(
+            para, _geom.host_arrays(model.grid, "r_grid"),
+            _geom.host_arrays(model.grid, "volume"),
+            rho_gas * 1e3, T0)          # g/cm^3 -> kg/m^3
+        if verbose:
+            print(f"  viscous heating: L_visc = {extra.sum():.3e} W "
+                  f"({extra.sum()/max(float(model.l_tot),1e-30):.2e} L_*)")
+
+    T = np.asarray(thermal_mc.final_temperature(
+        model, res.xkj, int(res.emitted), extra_heating=extra))
     if dark.any():
         T = diffusion_fill_dark(model, host, T, dark)
+
+    # temperature-based dust sublimation + vertical hydrostatic
+    # equilibrium: update the density and redo the MC (disk_physics.f90
+    # sublimate_dust :124-176 / equilibre_hydrostatique :203-263)
+    redo = 0
+    if para.physics.sublimate_dust:
+        from .physics.disk_physics import sublimate_dust
+        t_sub = min((t for t in _species_tsub(para)), default=1500.0)
+        new_rho, mask = sublimate_dust(
+            host.rho_dust, np.asarray(model.volume, np.float64), T,
+            T_sub=t_sub, verbose=verbose)
+        if mask.any():
+            host = host._replace(rho_dust=new_rho)
+            model = model._replace(kappa_factor=jax.device_put(
+                new_rho.astype(np.asarray(model.kappa_factor).dtype)))
+            redo = 1
+    if para.physics.hydrostatic_eq and para.grid.geometry == 1:
+        from .physics.disk_physics import hydrostatic_density
+        from .grids import geometry as _geom
+        nz_, nrad_ = model.grid.nz, model.grid.n_rad
+        # flat order is (nz, n_rad): transpose into (n_rad, nz, 1) columns
+        def _cols(a):
+            return np.asarray(a, np.float64).reshape(nz_, nrad_).T.reshape(
+                nrad_, nz_, 1)
+        rg = _geom.host_arrays(model.grid, "r_grid")
+        zg = _geom.host_arrays(model.grid, "z_grid")
+        vol = _geom.host_arrays(model.grid, "volume")
+        new_rho = hydrostatic_density(
+            para, _cols(rg).ravel(), _cols(zg).ravel(), _cols(vol).ravel(),
+            _cols(T).ravel(), _cols(host.rho_dust).ravel(),
+            n_rad=nrad_, nz=nz_)
+        # back to flat (nz, n_rad) order
+        new_rho = new_rho.reshape(nrad_, nz_).T.reshape(-1)
+        host = host._replace(rho_dust=new_rho)
+        model = model._replace(kappa_factor=jax.device_put(
+            new_rho.astype(np.asarray(model.kappa_factor).dtype)))
+        redo = 1
+    if redo:
+        if verbose:
+            print("  density updated (sublimation/hydrostatic): "
+                  "re-running thermal MC")
+        key, sub = jax.random.split(key)
+        if use_all_devices and len(devs) > 1:
+            res = run_thermal_mc_sharded(model, sub, n_packets, mesh,
+                                         batch_per_device=batch,
+                                         n_capt=n_capt, jtally=jtally)
+        else:
+            res = thermal_mc.run_thermal_mc(model, sub, n_packets,
+                                            batch=batch, n_capt=n_capt,
+                                            jtally=jtally)
+        res.xkj.block_until_ready()
+        T = np.asarray(thermal_mc.final_temperature(
+            model, res.xkj, int(res.emitted), extra_heating=extra))
+        if dark.any():
+            T = diffusion_fill_dark(model, host, T, dark)
+
     sed = np.asarray(res.sed[..., 0], np.float64)  # (L, n_capt) Stokes I
 
     # outputs
