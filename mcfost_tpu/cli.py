@@ -50,6 +50,10 @@ def main(argv=None):
     do_atom = False
     hydro_spec = None
     scale_length = 1.0
+    do_prodimo = False
+    do_astrochem = False
+    ml_model_path = None
+    do_ml = False
 
     i = 0
     while i < len(argv):
@@ -100,6 +104,14 @@ def main(argv=None):
             do_diag.append("tau")
         elif a == "-no_sed":
             do_sed = False
+        elif a == "-prodimo":
+            do_prodimo = True
+        elif a == "-astrochem":
+            do_astrochem = True
+        elif a == "-ML":
+            do_ml = True
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1; ml_model_path = argv[i]
         elif a == "-output_J":
             output_j = True
         elif a == "-output_UV_field":
@@ -200,11 +212,32 @@ def main(argv=None):
             hydro = hyd.read_pluto(hydro_spec[1], int(hydro_spec[2]),
                                    scale_length_au=scale_length)
 
+    need_j = do_prodimo or do_astrochem or do_ml
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed,
-        output_j=output_j, output_uv=output_uv, hydro=hydro)
+        output_j=output_j or need_j, output_uv=output_uv, hydro=hydro)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
+    if need_j:
+        from .mc import thermal_mc
+        from .io import prodimo as pdm
+        J = np.asarray(thermal_mc.mean_intensity(
+            model, host.wl.dlam, res.xj, int(res.emitted)))
+        if do_prodimo:
+            p = pdm.write_for_prodimo(model, host, T, J,
+                                      int(res.emitted), root_dir)
+            print(f"  wrote {p}")
+        if do_astrochem:
+            p = pdm.write_astrochem_grid(model, host, T, J, root_dir)
+            print(f"  wrote {p}")
+        if do_ml:
+            tg = pdm.predict_gas_temperature(model, host, T, J,
+                                             ml_model_path)
+            from .io.fits import write_fits
+            out = os.path.join(root_dir, "data_th", "Tgas_ML.fits.gz")
+            write_fits(out, tg.reshape(T.shape).astype(np.float32),
+                       keywords={"BUNIT": "K"})
+            print(f"  wrote {out}")
     if do_diag:
         from .io import diagnostics as diag
         if "disk" in do_diag:

@@ -58,6 +58,8 @@ year_to_s = 31557600.0      # 365.25 days
 
 # Misc
 T_Cmb = 2.7260              # [K]
+mu_h = 2.3e-27              # mean molecular mass ~1.4 m_H [kg]
+                            # (reference masseH * mu, constants.f90)
 
 # Opacity normalisation: grain cross sections are in micron^2, number
 # densities in cm^-3, flight lengths in AU; kappa [AU^-1] = C[mum^2] * n[cm^-3]

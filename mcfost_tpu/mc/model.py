@@ -105,6 +105,9 @@ class HostModel(NamedTuple):
     # models (Keplerian velocities are then computed on the fly)
     rho_gas: np.ndarray | None = None
     velocity: np.ndarray | None = None
+    # Voronoi models: keep-mask over the original SPH particles
+    # (cull_particles, grids/sph.py) — one kept particle == one cell
+    sph_keep: np.ndarray | None = None
 
 
 def _rosseland(wl, kappa_ext, tab_temp):
@@ -201,6 +204,7 @@ def build_model(para: Para, dtype=jnp.float32,
     if sph is not None:
         from ..grids.sph import sph_to_voronoi
         vor = sph_to_voronoi(sph)
+        sph_keep = vor.keep
         grid = vor.grid
         from ..grids import geometry as _geom
         volume = _geom.host_arrays(grid, "volume")
@@ -316,5 +320,6 @@ def build_model(para: Para, dtype=jnp.float32,
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho, rho_gas=rho_gas,
-                     velocity=velocity)
+                     velocity=velocity,
+                     sph_keep=sph_keep if sph is not None else None)
     return model, host
