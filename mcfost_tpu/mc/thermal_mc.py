@@ -67,14 +67,18 @@ class MCResult(NamedTuple):
     xj: jax.Array = None       # per-lambda J tally when jtally was enabled
 
 
-def _emit(model: Model, rands, dtype, lam_forced=None):
+def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
     """Draw fresh packets for every lane (masked-in by the caller).
 
     Emission physics: wavelength from the global emission CDF
     (select_wl_em, thermal_emission.f90:364-400); star vs disk by
     frac_E_stars (emit_packet, dust_transfer.f90:876-944); star packets
     launched from the stellar surface with cosine-law directions
-    (emit_packet_uniform_sphere, stars.f90:108-169)."""
+    (emit_packet_uniform_sphere, stars.f90:108-169).
+
+    disk=False (thermal step): prob_e_cell is all zeros, so the disk
+    branch is statically elided — it would otherwise cost a 14-step
+    bisection over n_cells every iteration for nothing."""
     r_lam, r_sd, r1, r2, r3, r4, r5, r6 = rands
     L = model.n_lambda
 
@@ -90,7 +94,8 @@ def _emit(model: Model, rands, dtype, lam_forced=None):
     if S == 1:
         i_star = jnp.zeros_like(ilam)
     else:
-        i_star = bisect_cdf(lambda k: model.cdf_star[ilam, k], S, r1) - 1
+        i_star = bisect_cdf(
+            lambda k: _fg(model.cdf_star, ilam * (S + 1) + k), S, r1) - 1
     zn = 2.0 * r2 - 1.0
     srw = jnp.sqrt(jnp.maximum(1.0 - zn * zn, 0.0))
     arg = jnp.pi * (2.0 * r3 - 1.0)
@@ -99,15 +104,21 @@ def _emit(model: Model, rands, dtype, lam_forced=None):
     phi = 2.0 * jnp.pi * r5
     us, vs, ws = cdapres(cospsi, phi, nx, ny, nz)
     rs = model.star_r[i_star] * (1.0 + 1e-6)
-    xs = nx * rs + model.star_pos[i_star, 0]
-    ys = ny * rs + model.star_pos[i_star, 1]
-    zs = nz * rs + model.star_pos[i_star, 2]
+    xs = nx * rs + _fg(model.star_pos, i_star * 3 + 0)
+    ys = ny * rs + _fg(model.star_pos, i_star * 3 + 1)
+    zs = nz * rs + _fg(model.star_pos, i_star * 3 + 2)
+
+    if not disk:
+        ri, zj = cyl.index_cell(model.grid, xs, ys, zs)
+        return (xs, ys, zs, us, vs, ws, ilam.astype(jnp.int32),
+                ri, zj, jnp.ones_like(from_star))
 
     # --- disk thermal emission (SED/image steps; prob_e_cell is zeros in
     # step 1 so this branch is never selected then)
     n_cells = model.volume.shape[0]
-    icell_d = bisect_cdf(lambda k: model.prob_e_cell[ilam, k],
-                         n_cells, r1) - 1
+    icell_d = bisect_cdf(
+        lambda k: _fg(model.prob_e_cell, ilam * (n_cells + 1) + k),
+        n_cells, r1) - 1
     ri_d, zj_d = cyl.cell_from_flat(model.grid, icell_d)
     xd, yd, zd = cyl.pos_in_cell(model.grid, ri_d, zj_d, r2, r3, r4)
     ud, vd, wd = isotropic_direction(r5, r6)
@@ -130,16 +141,28 @@ def _tau_draw(r):
     return jnp.where(r > 1e-6, -jnp.log1p(-r), r)
 
 
+def _fg(tab, lin):
+    """Flat gather: tab.reshape(-1)[lin].
+
+    TPU perf note: XLA lowers a gather with *multiple* dynamic index
+    vectors (tab[row, col]) ~50x slower than a single-vector 1D gather;
+    every dynamic table lookup in the hot loop goes through here with a
+    precomputed linear index."""
+    return tab.reshape(-1)[lin]
+
+
 def _row_searchsorted(tab, p, vals):
     """Batched per-row searchsorted: first index i with tab[p, i] >= vals
     (the bucketed replacement for jnp.searchsorted on a shared table)."""
     import math
     n = tab.shape[1]
+    flat = tab.reshape(-1)
+    base = p * n
     lo = jnp.zeros(vals.shape, jnp.int32)
     hi = jnp.full(vals.shape, n, jnp.int32)
     for _ in range(int(math.ceil(math.log2(max(n, 2)))) + 1):
         mid = (lo + hi) // 2
-        v = tab[p, jnp.clip(mid, 0, n - 1)]
+        v = flat[base + jnp.clip(mid, 0, n - 1)]
         go_up = v < vals
         lo = jnp.where(go_up & (mid > lo), mid, lo)
         hi = jnp.where(go_up, hi, jnp.minimum(mid, hi))
@@ -240,7 +263,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         else:
             lam_forced = None
         ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar = _emit(
-            model, R[:8], dtype, lam_forced)
+            model, R[:8], dtype, lam_forced, disk=mono)
         sel = lambda a, b: jnp.where(do_emit, a, b)
         x = sel(ex, s.x); y = sel(ey, s.y); z = sel(ez, s.z)
         u = sel(eu, s.u); v = sel(ev, s.v); w = sel(ew, s.w)
@@ -270,8 +293,9 @@ def advance(model: Model, key, state: MCState, n_packets,
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
         p = model.p_icell[flat]              # dust bucket of the cell
+        pL = p * L + ilam                    # linear (bucket, lambda) index
         opac = jnp.where(inside,
-                         model.kappa[p, ilam] * model.kappa_factor[flat],
+                         _fg(model.kappa, pL) * model.kappa_factor[flat],
                          0.0)
 
         # ---- Modified Random Walk (Min et al. 2009; the reference has it
@@ -287,7 +311,8 @@ def advance(model: Model, key, state: MCState, n_packets,
                 model.log_qcool, p,
                 jnp.log(jnp.maximum(qheat0, 1e-300))).astype(jnp.int32),
                 1, n_T - 1)
-            rkross = model.kappa_ross[p, ti0] * model.kappa_factor[flat]
+            rkross = (_fg(model.kappa_ross, p * n_T + ti0)
+                      * model.kappa_factor[flat])
             do_mrw = alive & inside & (d_wall * rkross > mrw_gamma)
             # sphere-exit point and diffusion path length
             mu_u, mu_v, mu_w = isotropic_direction(R[1], R[2])
@@ -296,7 +321,7 @@ def advance(model: Model, key, state: MCState, n_packets,
                                          0, nztab - 1)]
             ct = (-jnp.log(jnp.maximum(yv, 1e-12))
                   * (3.0 / jnp.pi ** 2) * d_wall * d_wall * rkross)
-            dep_mrw = model.kappa_absp[p, ti0] * ct * sI
+            dep_mrw = _fg(model.kappa_absp, p * n_T + ti0) * ct * sI
             x_mrw = x + 0.999 * d_wall * mu_u
             y_mrw = y + 0.999 * d_wall * mu_v
             z_mrw = z + 0.999 * d_wall * mu_w
@@ -331,7 +356,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         # it cancels against Qcool for uniform dust); MRW lanes deposit the
         # expected diffusion-walk absorption instead
         dep_w = jnp.where(alive & inside,
-                          model.kappa_abs[p, ilam] * l_eff * sI, 0.0)
+                          _fg(model.kappa_abs, pL) * l_eff * sI, 0.0)
         dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
         xkj = s.xkj.at[flat].add(dep_w)
 
@@ -357,56 +382,61 @@ def advance(model: Model, key, state: MCState, n_packets,
             psup = jnp.where(zm > 0.0, 0, 1)
             base = ((ilam * n_cells + flat) * n_az_rt + kphi) * 2 + psup
             valid = (alive & inside).astype(dtype) * l_eff
-            xi = s.xi
             n_rt = model.rt_dirs.shape[0]
-            for i_rt in range(n_rt):
-                do0 = model.rt_dirs[i_rt, 0]
-                do1 = model.rt_dirs[i_rt, 1]
-                do2 = model.rt_dirs[i_rt, 2]
-                cos_sc = u * do0 + v * do1 + w * do2
-                itr = jnp.clip(jnp.round(
-                    jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
-                    * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
-                s11c = model.s11_rt[p, ilam, itr]
-                if pola:
-                    _, v1pj, v1pk = rotation_to_frame(u, v, w,
-                                                      -do0, -do1, -do2)
-                    xnyp = jnp.sqrt(jnp.maximum(
-                        v1pj * v1pj + v1pk * v1pk, 0.0))
-                    costhet = jnp.where(xnyp < 1e-10, 1.0,
-                                        -v1pj / jnp.maximum(xnyp, 1e-30))
-                    theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
-                    theta = jnp.where(theta >= jnp.pi, 0.0, theta) \
-                        + 0.5 * jnp.pi
-                    omega = jnp.where(v1pk < 0.0, -2.0 * theta, 2.0 * theta)
-                    cosw = jnp.cos(omega)
-                    sinw = jnp.sin(omega)
-                    # Mueller elements with the reference's RT sign
-                    # convention (calc_xI_scatt_pola :576-584)
-                    sm12 = -s11c * model.s12_rt[p, ilam, itr]
-                    sm33 = -s11c * model.s33_rt[p, ilam, itr]
-                    sm34 = -s11c * model.s34_rt[p, ilam, itr]
-                    sm44 = sm33          # s44 = s33 for Mie spheres
-                    c2 = cosw * sQ - sinw * sU
-                    c3 = sinw * sQ + cosw * sU
-                    d1 = s11c * sI + sm12 * c2
-                    d2 = sm12 * sI + s11c * c2
-                    d3 = sm33 * c3 - sm34 * sV
-                    d4 = sm34 * c3 + sm44 * sV
-                    S1o = d1
-                    S2o = -cosw * d2 - sinw * d3
-                    S3o = -sinw * d2 + cosw * d3
-                    S4o = d4
-                else:
-                    S1o = s11c * sI
-                    S2o = jnp.zeros_like(S1o)
-                    S3o = jnp.zeros_like(S1o)
-                    S4o = jnp.zeros_like(S1o)
-                fs = fstar.astype(dtype)
-                vals = jnp.stack([S1o, S2o, S3o, S4o,
-                                  S1o * fs, S1o * (1.0 - fs)],
-                                 axis=-1) * valid[:, None]
-                xi = xi.at[base, i_rt].add(vals)
+            A1 = nang + 1
+            # all observer directions at once: (B, nRT)
+            do0 = model.rt_dirs[:, 0][None, :]
+            do1 = model.rt_dirs[:, 1][None, :]
+            do2 = model.rt_dirs[:, 2][None, :]
+            u2, v2, w2 = u[:, None], v[:, None], w[:, None]
+            cos_sc = u2 * do0 + v2 * do1 + w2 * do2
+            itr = jnp.clip(jnp.round(
+                jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
+                * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
+            lin = pL[:, None] * A1 + itr            # (B, nRT)
+            s11c = _fg(model.s11_rt, lin)
+            if pola:
+                _, v1pj, v1pk = rotation_to_frame(u2, v2, w2,
+                                                  -do0, -do1, -do2)
+                xnyp = jnp.sqrt(jnp.maximum(
+                    v1pj * v1pj + v1pk * v1pk, 0.0))
+                costhet = jnp.where(xnyp < 1e-10, 1.0,
+                                    -v1pj / jnp.maximum(xnyp, 1e-30))
+                theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
+                theta = jnp.where(theta >= jnp.pi, 0.0, theta) \
+                    + 0.5 * jnp.pi
+                omega = jnp.where(v1pk < 0.0, -2.0 * theta, 2.0 * theta)
+                cosw = jnp.cos(omega)
+                sinw = jnp.sin(omega)
+                # Mueller elements with the reference's RT sign
+                # convention (calc_xI_scatt_pola :576-584)
+                sm12 = -s11c * _fg(model.s12_rt, lin)
+                sm33 = -s11c * _fg(model.s33_rt, lin)
+                sm34 = -s11c * _fg(model.s34_rt, lin)
+                sm44 = sm33          # s44 = s33 for Mie spheres
+                sQ2, sU2, sV2, sI2 = (sQ[:, None], sU[:, None],
+                                      sV[:, None], sI[:, None])
+                c2 = cosw * sQ2 - sinw * sU2
+                c3 = sinw * sQ2 + cosw * sU2
+                d1 = s11c * sI2 + sm12 * c2
+                d2 = sm12 * sI2 + s11c * c2
+                d3 = sm33 * c3 - sm34 * sV2
+                d4 = sm34 * c3 + sm44 * sV2
+                S1o = d1
+                S2o = -cosw * d2 - sinw * d3
+                S3o = -sinw * d2 + cosw * d3
+                S4o = d4
+            else:
+                S1o = s11c * sI[:, None]
+                S2o = jnp.zeros_like(S1o)
+                S3o = jnp.zeros_like(S1o)
+                S4o = jnp.zeros_like(S1o)
+            fs = (fstar.astype(dtype) * valid)[:, None]
+            fn = ((1.0 - fstar.astype(dtype)) * valid)[:, None]
+            vw = valid[:, None]
+            vals = jnp.stack([S1o * vw, S2o * vw, S3o * vw, S4o * vw,
+                              S1o * fs, S1o * fn], axis=-1)   # (B, nRT, 6)
+            xi = s.xi.at[base].add(vals)
         else:
             xi = s.xi
 
@@ -464,7 +494,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         interact = interact & alive
         if mono:
             # forced scattering: weight by albedo, kill faint packets
-            alb = model.albedo[p, ilam]
+            alb = _fg(model.albedo, pL)
             sI = jnp.where(interact, sI * alb, sI)
             sQ = jnp.where(interact, sQ * alb, sQ)
             sU = jnp.where(interact, sU * alb, sU)
@@ -475,16 +505,21 @@ def advance(model: Model, key, state: MCState, n_packets,
             do_scat = interact
             do_abs = jnp.zeros_like(interact)
         else:
-            do_scat = interact & (R[9] < model.albedo[p, ilam])
+            do_scat = interact & (R[9] < _fg(model.albedo, pL))
             do_abs = interact & ~do_scat
 
         # ---- 4a. scattering (propagate_packet scatter branch,
         # dust_transfer.f90:1086-1153)
-        igrain = bisect_cdf(lambda k: model.ksca_cdf[p, ilam,
-                                                     jnp.maximum(k - 1, 0)]
-                            * (k > 0), model.tab_g.shape[0], R[10]) - 1
+        K = model.tab_g.shape[0]
+        kbase = pL * K
+        igrain = bisect_cdf(
+            lambda k: _fg(model.ksca_cdf, kbase + jnp.maximum(k - 1, 0))
+            * (k > 0), K, R[10]) - 1
         row = igrain * L + ilam
-        itheta = bisect_cdf(lambda k: model.prob_s11[row, k], nang, R[11])
+        A1 = nang + 1
+        rbase = row * A1
+        itheta = bisect_cdf(lambda k: _fg(model.prob_s11, rbase + k),
+                            nang, R[11])
         thfac = jnp.pi / nang
         c0 = jnp.cos((itheta - 1).astype(dtype) * thfac)
         c1 = jnp.cos(itheta.astype(dtype) * thfac)
@@ -493,12 +528,13 @@ def advance(model: Model, key, state: MCState, n_packets,
         un, vn, wn = cdapres(cospsi, phi, u, v, w)
         if pola:
             frac = R[12]
-            m12 = (model.tab_s12[row, itheta] * frac
-                   + model.tab_s12[row, itheta - 1] * (1 - frac))
-            m33 = (model.tab_s33[row, itheta] * frac
-                   + model.tab_s33[row, itheta - 1] * (1 - frac))
-            m34 = (model.tab_s34[row, itheta] * frac
-                   + model.tab_s34[row, itheta - 1] * (1 - frac))
+            rth = rbase + itheta
+            m12 = (_fg(model.tab_s12, rth) * frac
+                   + _fg(model.tab_s12, rth - 1) * (1 - frac))
+            m33 = (_fg(model.tab_s33, rth) * frac
+                   + _fg(model.tab_s33, rth - 1) * (1 - frac))
+            m34 = (_fg(model.tab_s34, rth) * frac
+                   + _fg(model.tab_s34, rth - 1) * (1 - frac))
             one = jnp.ones_like(m12)
             nI, nQ, nU, nV = update_stokes(sI, sQ, sU, sV, u, v, w,
                                            un, vn, wn, one, m12, m33, m34)
@@ -511,16 +547,19 @@ def advance(model: Model, key, state: MCState, n_packets,
         logq = jnp.log(jnp.maximum(qheat, 1e-300))
         ti = _row_searchsorted(model.log_qcool, p, logq).astype(jnp.int32)
         ti = jnp.clip(ti, 1, n_T - 1)
-        q0 = model.log_qcool[p, ti - 1]
-        q1 = model.log_qcool[p, ti]
+        qbase = p * n_T + ti
+        q0 = _fg(model.log_qcool, qbase - 1)
+        q1 = _fg(model.log_qcool, qbase)
         frac_t2 = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30),
                            0.0, 1.0)
         frac_t1 = 1.0 - frac_t2
+        kdb_lo = (qbase - 1) * L
+        kdb_hi = qbase * L
 
         def cdf_interp(k):
             km = jnp.maximum(k - 1, 0)
-            val = (frac_t1 * model.kdb_dt_cdf[p, ti - 1, km]
-                   + frac_t2 * model.kdb_dt_cdf[p, ti, km])
+            val = (frac_t1 * _fg(model.kdb_dt_cdf, kdb_lo + km)
+                   + frac_t2 * _fg(model.kdb_dt_cdf, kdb_hi + km))
             return val * (k > 0)
 
         lam_new = bisect_cdf(cdf_interp, L, R[10]) - 1
@@ -671,8 +710,8 @@ def final_temperature(model: Model, xkj, n_packets,
     n_T = model.tab_temp.shape[0]
     p = model.p_icell
     ti = jnp.clip(_row_searchsorted(model.log_qcool, p, logq), 1, n_T - 1)
-    q0 = model.log_qcool[p, ti - 1]
-    q1 = model.log_qcool[p, ti]
+    q0 = _fg(model.log_qcool, p * n_T + ti - 1)
+    q1 = _fg(model.log_qcool, p * n_T + ti)
     frac = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30), 0.0, 1.0)
     logT = (jnp.log(model.tab_temp[ti]) * frac
             + jnp.log(model.tab_temp[ti - 1]) * (1.0 - frac))
