@@ -26,7 +26,16 @@ def main():
 
     n = 128000      # ref4.1 thermal packet count (src/ref4.1.para:4)
     batch = 32768
-    # compile + warmup (excluded from timing)
+    # compile + warmup (excluded from timing): the tail-compaction ladder
+    # means three batch sizes get compiled; prewarm all of them
+    from mcfost_tpu.mc.thermal_mc import advance, init_state, _compact
+    for b in (batch, 1024, 128):
+        st = advance(model, jax.random.PRNGKey(0), init_state(model, b),
+                     0, n_iters=2000)
+        jax.block_until_ready(st.xkj)
+    for b_from, b_to in ((batch, 1024), (batch, 128), (1024, 128)):
+        st = _compact(init_state(model, b_from), b_to)
+        jax.block_until_ready(st.xkj)
     r = run_thermal_mc(model, jax.random.PRNGKey(0), 2000, batch=batch,
                        max_iters=500000)
     r.xkj.block_until_ready()

@@ -128,6 +128,10 @@ class DustModel:
     s12_rt: Optional[np.ndarray] = None   # (P, L, A)
     s33_rt: Optional[np.ndarray] = None   # (P, L, A)
     s34_rt: Optional[np.ndarray] = None   # (P, L, A)
+    # scattering method 2 (per-cell mean phase matrix,
+    # select_scattering_method scattering.f90:39-66): theta-sampling CDF of
+    # the bucket-mean s11 — the TPU fast path (one matmul, no per-grain draw)
+    prob_s11_m2: Optional[np.ndarray] = None  # (P, L, A)
     kappa_factor: Optional[np.ndarray] = None  # (n_cells,) rho/rho_ref
     uniform: bool = True
 
@@ -167,11 +171,26 @@ def assemble_mix_tables(grains: GrainPopulation, weights: np.ndarray,
     dtheta = np.pi / (A - 1)
     s11_rt = (s11_sum / np.maximum(ksca[:, :, None], 1e-300)
               * (dtheta / (2.0 * np.pi)))
+
+    # method-2 theta-sampling CDF over the mean s11 (same construction as
+    # the per-grain prob_s11, scattering.f90:514-537, with the missed
+    # forward-diffraction flux folded into the first bin)
+    theta = np.linspace(0.0, np.pi, A)
+    wsin = np.sin(theta) * dtheta
+    wsin[0] = 0.0
+    cum = np.cumsum(s11_sum * wsin[None, None, :], axis=-1)
+    cum[..., 0] = 0.0
+    missing = np.maximum(ksca - cum[..., -1], 0.0)
+    prob = cum + missing[..., None]
+    prob[..., 0] = 0.0
+    prob_s11_m2 = prob / np.maximum(prob[..., -1:], 1e-300)
+
     return dict(kappa=kappa * cst.opacity_norm_fact,
                 kappa_abs=kabs * cst.opacity_norm_fact,
                 albedo=albedo, g_cell=g_cell, ksca_cdf=ksca_cdf,
                 s11_rt=s11_rt, s12_rt=s12_sum / s11_safe,
-                s33_rt=s33_sum / s11_safe, s34_rt=s34_sum / s11_safe)
+                s33_rt=s33_sum / s11_safe, s34_rt=s34_sum / s11_safe,
+                prob_s11_m2=prob_s11_m2)
 
 
 def build_dust_model(para: Para, wl: WavelengthGrid,
@@ -299,4 +318,5 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         ksca_cdf=tabs["ksca_cdf"],
         s11_rt=tabs["s11_rt"], s12_rt=tabs["s12_rt"],
         s33_rt=tabs["s33_rt"], s34_rt=tabs["s34_rt"],
+        prob_s11_m2=tabs["prob_s11_m2"],
         uniform=weights.shape[0] == 1)

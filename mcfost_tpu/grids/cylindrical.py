@@ -163,6 +163,36 @@ def _grid_eps(dtype) -> float:
     return 1.0e-14 if dtype == jnp.float64 else 3.0e-6
 
 
+def _one_hot_rows(idx, n, dtype):
+    """(B, n) one-hot of clipped indices.
+
+    TPU gathers of B random indices serialize (~11ns/lane); for the tiny
+    per-ring wall tables (n_rad+2 entries) a dense compare + matmul streams
+    at VPU/MXU speed instead — ~10x faster per lookup and it batches every
+    wall quantity into ONE matmul."""
+    return (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(dtype)
+
+
+def _wall_table(grid: CylGrid):
+    """(n_rad+2, 7) per-ring wall quantities indexed by the *raw* ri
+    (0 = cavity, n_rad+1 = outside), pre-shifted so the traversal needs a
+    single one-hot matmul: columns are
+    [r_out^2, r_in^2, zmax(cell), zmax(ri-1), zmax(ri+1), r_out, r_in].
+    Loop-invariant: XLA hoists it out of the MC while_loop."""
+    n_rad = grid.n_rad
+    i = jnp.arange(n_rad + 2)
+    ric = jnp.clip(i, 1, n_rad)
+    return jnp.stack([
+        grid.r_lim2[jnp.clip(i, 0, n_rad)],
+        grid.r_lim2[jnp.clip(i - 1, 0, n_rad)],
+        grid.zmax[ric - 1],
+        grid.zmax[jnp.clip(i - 2, 0, n_rad - 1)],
+        grid.zmax[jnp.clip(i, 0, n_rad - 1)],
+        grid.r_lim[jnp.clip(i, 1, n_rad)],
+        grid.r_lim[ric - 1],
+    ], axis=1)
+
+
 def flat_index(grid: CylGrid, ri, zj):
     """Flat cell index for tallies; valid only for 1<=ri<=n_rad, 1<=zj<=nz.
 
@@ -181,10 +211,13 @@ def index_cell(grid: CylGrid, x, y, z):
     cylindrical_grid.f90:833-890). Vectorized."""
     r2 = x * x + y * y
     n_rad, nz = grid.n_rad, grid.nz
-    ri = jnp.searchsorted(grid.r_lim2, r2, side="left").astype(jnp.int32)
-    # searchsorted gives: r2 <= r_lim2[0] -> 0 (cavity); r2 > r_lim2[n_rad] -> n_rad+1
+    # dense searchsorted (count walls < r2): one (B, n_rad+1) compare
+    # instead of a serialized per-lane binary search
+    ri = jnp.sum(grid.r_lim2 < r2[..., None], axis=-1).astype(jnp.int32)
+    # count gives: r2 <= r_lim2[0] -> 0 (cavity); r2 > r_lim2[n_rad] -> n_rad+1
     inside_r = (ri >= 1) & (ri <= n_rad)
-    zmax_i = grid.zmax[jnp.clip(ri - 1, 0, n_rad - 1)]
+    zmax_i = _one_hot_rows(jnp.clip(ri - 1, 0, n_rad - 1), n_rad,
+                           x.dtype) @ grid.zmax
     zj = jnp.floor(jnp.abs(z) / zmax_i * nz).astype(jnp.int32) + 1
     zj = jnp.minimum(zj, nz + 1)
     zj = jnp.where(inside_r, zj, 1)
@@ -215,11 +248,14 @@ def cross_cell(grid: CylGrid, x, y, z, u, v, w, ri, zj):
     b = (x * u + y * v) * inv_a
 
     in_cavity = ri == 0
-    ri_c = jnp.clip(ri, 1, n_rad)          # safe gather index for walls
+
+    # all per-ring wall quantities in one one-hot matmul (see _wall_table)
+    wt = _one_hot_rows(jnp.clip(ri, 0, n_rad + 1), n_rad + 2,
+                       dtype) @ _wall_table(grid)
+    r_out2, r_in2 = wt[..., 0], wt[..., 1]
+    zmax_c, zmax_m, zmax_p = wt[..., 2], wt[..., 3], wt[..., 4]
 
     # ---- radial wall intersection (cylindrical_grid.f90:962-1000)
-    r_out2 = grid.r_lim2[jnp.clip(ri, 0, n_rad)]   # outer wall of cell ri
-    r_in2 = grid.r_lim2[jnp.clip(ri - 1, 0, n_rad)]  # inner wall
 
     moving_in = (u * x + v * y) < 0.0
     # try inner wall
@@ -249,7 +285,7 @@ def cross_cell(grid: CylGrid, x, y, z, u, v, w, ri, zj):
 
     # ---- vertical wall intersection, 2D |z| convention
     # (cylindrical_grid.f90:1003-1055)
-    dz_i = grid.zmax[ri_c - 1] / nz
+    dz_i = zmax_c / nz
     dotprod = w * z
     away = dotprod > 0.0
 
@@ -283,7 +319,7 @@ def cross_cell(grid: CylGrid, x, y, z, u, v, w, ri, zj):
 
     ri1_r = ri + delta_rad
     # re-bin z index when crossing a radial wall (cylindrical_grid.f90:1112-1119)
-    zmax_new = grid.zmax[jnp.clip(ri1_r - 1, 0, n_rad - 1)]
+    zmax_new = jnp.where(delta_rad < 0, zmax_m, zmax_p)
     zj_rebin = jnp.floor(
         jnp.minimum(jnp.abs(z1) / zmax_new * nz, 2.0e9)).astype(jnp.int32) + 1
     zj_rebin = jnp.minimum(zj_rebin, nz + 1)
@@ -331,12 +367,13 @@ def distance_to_closest_wall(grid: CylGrid, ri, zj, x, y, z):
     The 2D midplane counts as a wall (conservative for MRW spheres)."""
     dtype = x.dtype
     n_rad, nz = grid.n_rad, grid.nz
-    ric = jnp.clip(ri, 1, n_rad)
     zjc = jnp.clip(zj, 1, nz)
     r = jnp.sqrt(x * x + y * y)
-    s1 = grid.r_lim[ric] - r
-    s2 = r - grid.r_lim[ric - 1]
-    dz = grid.zmax[ric - 1] / nz
+    wt = _one_hot_rows(jnp.clip(ri, 0, n_rad + 1), n_rad + 2,
+                       dtype) @ _wall_table(grid)
+    s1 = wt[..., 5] - r
+    s2 = r - wt[..., 6]
+    dz = wt[..., 2] / nz
     za = jnp.abs(z)
     s3 = zjc.astype(dtype) * dz - za
     s4 = za - (zjc.astype(dtype) - 1.0) * dz

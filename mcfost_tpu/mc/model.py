@@ -65,6 +65,8 @@ class Model(NamedTuple):
     s12_rt: jax.Array          # (P, L, A)
     s33_rt: jax.Array          # (P, L, A)
     s34_rt: jax.Array          # (P, L, A)
+    prob_s11_m2: jax.Array     # (P, L, A) bucket-mean theta CDF
+                               # (scattering method 2, scattering.f90:39-66)
     rt_dirs: jax.Array         # (nRT, 3) unit vectors toward observers
     dark_zone: jax.Array       # (n_cells,) bool: diffusion-approximation
                                # zone; packets reflect at its boundary
@@ -131,7 +133,7 @@ def _planck_mean(wl, kappa_abs, tab_temp):
     return num / den
 
 
-def _zeta_inverse_table(n_tab: int = 1024):
+def _zeta_inverse_table(n_tab: int = 256):
     """Inverse of the Min et al. 2009 eq. 7 cumulative:
       P(y) = 2 sum_n (-1)^(n+1) y^(n^2)
     tabulated so that y = zeta_inv[int(rand * n_tab)]
@@ -308,6 +310,7 @@ def build_model(para: Para, dtype=jnp.float32,
         s12_rt=f(dust.s12_rt),
         s33_rt=f(dust.s33_rt),
         s34_rt=f(dust.s34_rt),
+        prob_s11_m2=f(dust.prob_s11_m2),
         rt_dirs=f(rt_directions(para)),
         dark_zone=jnp.zeros(grid.n_cells, bool),
         kappa_ross=f(np.stack([_rosseland(wl, dust.kappa[p],

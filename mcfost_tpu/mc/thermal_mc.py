@@ -45,6 +45,7 @@ class MCState(NamedTuple):
     fstar: jax.Array           # (B,) bool: packet emitted by a star
     fscat: jax.Array           # (B,) bool: packet has scattered
     emitted: jax.Array         # scalar i32
+    nkill: jax.Array           # scalar i32: lanes killed by the age cap
     xkj: jax.Array             # (n_cells,) kappa*J path tally
     xj: jax.Array              # (L*n_cells,) per-lambda path tally
                                # (xJ_abs, radiation_field.f90:20) or (1,)
@@ -83,7 +84,7 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
     L = model.n_lambda
 
     if lam_forced is None:
-        ilam = bisect_cdf(lambda k: model.emission_cdf[k], L, r_lam) - 1
+        ilam = _inv_cdf(model.emission_cdf, r_lam)
     else:
         ilam = lam_forced
 
@@ -91,11 +92,6 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
 
     # --- star emission (single- or multi-star via cdf_star)
     S = model.star_r.shape[0]
-    if S == 1:
-        i_star = jnp.zeros_like(ilam)
-    else:
-        i_star = bisect_cdf(
-            lambda k: _fg(model.cdf_star, ilam * (S + 1) + k), S, r1) - 1
     zn = 2.0 * r2 - 1.0
     srw = jnp.sqrt(jnp.maximum(1.0 - zn * zn, 0.0))
     arg = jnp.pi * (2.0 * r3 - 1.0)
@@ -103,10 +99,18 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
     cospsi = jnp.sqrt(r4)
     phi = 2.0 * jnp.pi * r5
     us, vs, ws = cdapres(cospsi, phi, nx, ny, nz)
-    rs = model.star_r[i_star] * (1.0 + 1e-6)
-    xs = nx * rs + _fg(model.star_pos, i_star * 3 + 0)
-    ys = ny * rs + _fg(model.star_pos, i_star * 3 + 1)
-    zs = nz * rs + _fg(model.star_pos, i_star * 3 + 2)
+    if S == 1:
+        rs = model.star_r[0] * (1.0 + 1e-6)
+        xs = nx * rs + model.star_pos[0, 0]
+        ys = ny * rs + model.star_pos[0, 1]
+        zs = nz * rs + model.star_pos[0, 2]
+    else:
+        i_star = bisect_cdf(
+            lambda k: _fg(model.cdf_star, ilam * (S + 1) + k), S, r1) - 1
+        rs = model.star_r[i_star] * (1.0 + 1e-6)
+        xs = nx * rs + _fg(model.star_pos, i_star * 3 + 0)
+        ys = ny * rs + _fg(model.star_pos, i_star * 3 + 1)
+        zs = nz * rs + _fg(model.star_pos, i_star * 3 + 2)
 
     if not disk:
         ri, zj = cyl.index_cell(model.grid, xs, ys, zs)
@@ -151,6 +155,42 @@ def _fg(tab, lin):
     return tab.reshape(-1)[lin]
 
 
+# --------------------------------------------------------------------------
+# Dense (gather-free) sampling primitives.
+#
+# A TPU gather/scatter over B random indices serializes to ~11 ns/lane
+# (~360 us at B=32768), while dense compares and small matmuls stream at
+# VPU/MXU speed — measured ~100x faster for the table sizes in this loop
+# (L ~ 10^2 wavelengths, n_T = 100 temperatures, A ~ 180 angles).  Every
+# CDF inversion and table lookup below therefore uses one of:
+#   * _inv_cdf / _inv_cdf_rows : count-compare searchsorted;
+#   * _one_hot @ table         : batched lookup as a matmul.
+# --------------------------------------------------------------------------
+
+def _one_hot(idx, n, dtype):
+    return (idx[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(dtype)
+
+
+def _inv_cdf(cdf, r):
+    """Inverse-CDF draw in [0, n-1] from a shared (n+1,) table with
+    cdf[0]=0, cdf[n]=1.  Equivalent to bisect_cdf(...)-1."""
+    return jnp.sum(cdf[1:-1] < r[..., None], axis=-1).astype(jnp.int32)
+
+
+def _inv_cdf_rows(rows, r):
+    """Per-lane inverse CDF: rows (B, n+1) with rows[:,0]=0; smallest k in
+    [1, n] with rows[:,k] >= r (bisect_cdf semantics, before the -1)."""
+    n = rows.shape[-1] - 1
+    return (jnp.sum(rows[..., 1:n] < r[..., None], axis=-1) + 1
+            ).astype(jnp.int32)
+
+
+def _count_below(rows_or_vec, vals):
+    """Count of entries < vals per lane: the _row_searchsorted equivalent
+    (first index i with tab[i] >= vals) without serialized gathers."""
+    return jnp.sum(rows_or_vec < vals[..., None], axis=-1).astype(jnp.int32)
+
+
 def _row_searchsorted(tab, p, vals):
     """Batched per-row searchsorted: first index i with tab[p, i] >= vals
     (the bucketed replacement for jnp.searchsorted on a shared table)."""
@@ -192,6 +232,7 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
         fstar=jnp.zeros(B, bool),
         fscat=jnp.zeros(B, bool),
         emitted=jnp.zeros((), jnp.int32),
+        nkill=jnp.zeros((), jnp.int32),
         xkj=jnp.zeros(n_cells, dtype),
         xj=(jnp.zeros(L * n_cells, dtype) if jtally
             else jnp.zeros(1, dtype)),
@@ -207,13 +248,17 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
                                              "rt", "n_az_rt", "mrw",
-                                             "mrw_gamma", "jtally"),
+                                             "mrw_gamma", "jtally",
+                                             "scat_method", "nabs_tally",
+                                             "dark", "age_cap"),
                    donate_argnums=(2,))
 def advance(model: Model, key, state: MCState, n_packets,
             n_iters: int = 2000, pola: bool = True,
             mono: bool = False, rt: bool = False,
             n_az_rt: int = 45, mrw: bool = True,
-            mrw_gamma: float = 2.0, jtally: bool = False) -> MCState:
+            mrw_gamma: float = 2.0, jtally: bool = False,
+            scat_method: int = 2, nabs_tally: bool = False,
+            dark: bool = False, age_cap: int = 100000) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -292,11 +337,34 @@ def advance(model: Model, key, state: MCState, n_packets,
         # ---- 2. one wall crossing with tau bookkeeping
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
-        p = model.p_icell[flat]              # dust bucket of the cell
-        pL = p * L + ilam                    # linear (bucket, lambda) index
-        opac = jnp.where(inside,
-                         _fg(model.kappa, pL) * model.kappa_factor[flat],
-                         0.0)
+        P = model.n_buckets
+        # per-cell quantities: n_cells is too large for a one-hot matmul,
+        # so pack kappa_factor/volume/p_icell into one (n_cells, 3) table —
+        # ONE sliced gather instead of three serialized ones
+        cell_tab = jnp.stack([model.kappa_factor, model.volume,
+                              model.p_icell.astype(dtype)], axis=1)
+        cvals = cell_tab[flat]                       # (B, 3)
+        kfac, vol_flat = cvals[:, 0], cvals[:, 1]
+        if P == 1:
+            p = jnp.zeros(B, jnp.int32)
+            pL = ilam
+        else:
+            p = cvals[:, 2].astype(jnp.int32)
+            pL = p * L + ilam                # linear (bucket, lambda) index
+        # all lambda-dependent per-bucket values in one one-hot matmul
+        oh_pl = _one_hot(pL, P * L, dtype)           # (B, P*L)
+        lam_tab = jnp.stack([model.kappa.reshape(-1),
+                             model.kappa_abs.reshape(-1),
+                             model.albedo.reshape(-1)], axis=1)  # (P*L, 3)
+        lvals = oh_pl @ lam_tab
+        kap_l, kabs_l, alb_l = lvals[:, 0], lvals[:, 1], lvals[:, 2]
+        opac = jnp.where(inside, kap_l * kfac, 0.0)
+        # ONE gather of the running kappa*J tally, shared by the MRW
+        # trigger and the reemission temperature (the reference reads the
+        # same per-thread-stale xT_ech state, thermal_emission.f90:683-702;
+        # here the value is stale by at most the current iteration's
+        # same-cell deposits from other lanes)
+        xkj_flat = s.xkj[flat]
 
         # ---- Modified Random Walk (Min et al. 2009; the reference has it
         # wired but disabled, src/MRW.f90 + dust_transfer.f90:1024-1041):
@@ -304,24 +372,38 @@ def advance(model: Model, key, state: MCState, n_packets,
         # random walk by one diffusion step to a sphere of radius d, with
         # the expected absorbed energy deposited at the Planck-mean opacity.
         n_T = model.tab_temp.shape[0]
+        if not mono:
+            if P == 1:
+                qcool_rows = model.log_qcool[0]      # (n_T,) shared row
+                kross_rows = model.kappa_ross[0]
+                kabsp_rows = model.kappa_absp[0]
+            else:
+                oh_p = _one_hot(p, P, dtype)
+                qcool_rows = oh_p @ model.log_qcool  # (B, n_T)
+                kross_rows = oh_p @ model.kappa_ross
+                kabsp_rows = oh_p @ model.kappa_absp
         if mrw and not mono:
             d_wall = cyl.distance_to_closest_wall(grid, ri, zj, x, y, z)
-            qheat0 = s.xkj[flat] * l_packet / model.volume[flat]
-            ti0 = jnp.clip(_row_searchsorted(
-                model.log_qcool, p,
-                jnp.log(jnp.maximum(qheat0, 1e-300))).astype(jnp.int32),
-                1, n_T - 1)
-            rkross = (_fg(model.kappa_ross, p * n_T + ti0)
-                      * model.kappa_factor[flat])
+            qheat0 = xkj_flat * l_packet / vol_flat
+            logq0 = jnp.log(jnp.maximum(qheat0, 1e-300))
+            ti0 = jnp.clip(_count_below(qcool_rows, logq0), 1, n_T - 1)
+            oh_t0 = _one_hot(ti0, n_T, dtype)
+            if P == 1:
+                rkross = (oh_t0 @ kross_rows) * kfac
+                dep_fac = oh_t0 @ kabsp_rows
+            else:
+                rkross = jnp.sum(oh_t0 * kross_rows, axis=1) * kfac
+                dep_fac = jnp.sum(oh_t0 * kabsp_rows, axis=1)
             do_mrw = alive & inside & (d_wall * rkross > mrw_gamma)
             # sphere-exit point and diffusion path length
             mu_u, mu_v, mu_w = isotropic_direction(R[1], R[2])
             nztab = model.zeta_inv.shape[0]
-            yv = model.zeta_inv[jnp.clip((R[3] * nztab).astype(jnp.int32),
-                                         0, nztab - 1)]
+            yv = _one_hot(jnp.clip((R[3] * nztab).astype(jnp.int32),
+                                   0, nztab - 1), nztab,
+                          dtype) @ model.zeta_inv
             ct = (-jnp.log(jnp.maximum(yv, 1e-12))
                   * (3.0 / jnp.pi ** 2) * d_wall * d_wall * rkross)
-            dep_mrw = _fg(model.kappa_absp, p * n_T + ti0) * ct * sI
+            dep_mrw = dep_fac * ct * sI
             x_mrw = x + 0.999 * d_wall * mu_u
             y_mrw = y + 0.999 * d_wall * mu_v
             z_mrw = z + 0.999 * d_wall * mu_w
@@ -355,8 +437,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
         # it cancels against Qcool for uniform dust); MRW lanes deposit the
         # expected diffusion-walk absorption instead
-        dep_w = jnp.where(alive & inside,
-                          _fg(model.kappa_abs, pL) * l_eff * sI, 0.0)
+        dep_w = jnp.where(alive & inside, kabs_l * l_eff * sI, 0.0)
         dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
         xkj = s.xkj.at[flat].add(dep_w)
 
@@ -441,14 +522,18 @@ def advance(model: Model, key, state: MCState, n_packets,
             xi = s.xi
 
         # dark-zone boundary: reflect the packet instead of entering
-        # (physical_length, optical_depth.f90:104-112)
-        flat1 = jnp.clip(cyl.flat_index(grid, ri1, zj1), 0, n_cells - 1)
-        into_dark = (alive & ~interact & ~do_mrw
-                     & cyl.is_inside(grid, ri1, zj1)
-                     & model.dark_zone[flat1] & ~model.dark_zone[flat])
-        u = jnp.where(into_dark, -u, u)
-        v = jnp.where(into_dark, -v, v)
-        w = jnp.where(into_dark, -w, w)
+        # (physical_length, optical_depth.f90:104-112); statically elided
+        # when the model has no dark zone (two per-cell gathers saved)
+        if dark:
+            flat1 = jnp.clip(cyl.flat_index(grid, ri1, zj1), 0, n_cells - 1)
+            into_dark = (alive & ~interact & ~do_mrw
+                         & cyl.is_inside(grid, ri1, zj1)
+                         & model.dark_zone[flat1] & ~model.dark_zone[flat])
+            u = jnp.where(into_dark, -u, u)
+            v = jnp.where(into_dark, -v, v)
+            w = jnp.where(into_dark, -w, w)
+        else:
+            into_dark = jnp.zeros(B, bool)
         stay = interact | into_dark | do_mrw
         x = jnp.where(stay, jnp.where(interact, x + l_eff * u, x),
                       jnp.where(alive, x1, x))
@@ -486,7 +571,10 @@ def advance(model: Model, key, state: MCState, n_packets,
             jnp.where(~fstar & ~fscat, ex_w, 0.0),
             jnp.where(~fstar & fscat, ex_w, 0.0),
         ], axis=-1)                                   # (B, 8)
-        sed = s.sed.reshape(-1, 8).at[sed_idx].add(contrib).reshape(
+        # tally as an MXU matmul: the (L*n_capt) bin space is small, so
+        # one-hot^T @ contrib replaces a serialized scatter-add
+        oh_sed = _one_hot(sed_idx, L * n_capt, dtype)
+        sed = s.sed + jnp.einsum("bk,bc->kc", oh_sed, contrib).reshape(
             L, n_capt, 8)
         alive = alive & ~exited
 
@@ -494,47 +582,75 @@ def advance(model: Model, key, state: MCState, n_packets,
         interact = interact & alive
         if mono:
             # forced scattering: weight by albedo, kill faint packets
-            alb = _fg(model.albedo, pL)
-            sI = jnp.where(interact, sI * alb, sI)
-            sQ = jnp.where(interact, sQ * alb, sQ)
-            sU = jnp.where(interact, sU * alb, sU)
-            sV = jnp.where(interact, sV * alb, sV)
+            sI = jnp.where(interact, sI * alb_l, sI)
+            sQ = jnp.where(interact, sQ * alb_l, sQ)
+            sU = jnp.where(interact, sU * alb_l, sU)
+            sV = jnp.where(interact, sV * alb_l, sV)
             faint = interact & (sI < 1e-12)
             alive = alive & ~faint
             interact = interact & ~faint
             do_scat = interact
             do_abs = jnp.zeros_like(interact)
         else:
-            do_scat = interact & (R[9] < _fg(model.albedo, pL))
+            do_scat = interact & (R[9] < alb_l)
             do_abs = interact & ~do_scat
 
-        # ---- 4a. scattering (propagate_packet scatter branch,
-        # dust_transfer.f90:1086-1153)
-        K = model.tab_g.shape[0]
-        kbase = pL * K
-        igrain = bisect_cdf(
-            lambda k: _fg(model.ksca_cdf, kbase + jnp.maximum(k - 1, 0))
-            * (k > 0), K, R[10]) - 1
-        row = igrain * L + ilam
         A1 = nang + 1
-        rbase = row * A1
-        itheta = bisect_cdf(lambda k: _fg(model.prob_s11, rbase + k),
-                            nang, R[11])
         thfac = jnp.pi / nang
+        if scat_method == 1:
+            # ---- 4a. scattering, method 1: draw a grain, use its Mueller
+            # matrix (propagate_packet scatter branch,
+            # dust_transfer.f90:1086-1153) — gather-based, kept for parity
+            # runs; method 2 below is the TPU fast path
+            K = model.tab_g.shape[0]
+            kbase = pL * K
+            igrain = bisect_cdf(
+                lambda k: _fg(model.ksca_cdf, kbase + jnp.maximum(k - 1, 0))
+                * (k > 0), K, R[10]) - 1
+            row = igrain * L + ilam
+            rbase = row * A1
+            itheta = bisect_cdf(lambda k: _fg(model.prob_s11, rbase + k),
+                                nang, R[11])
+            if pola:
+                frac = R[12]
+                rth = rbase + itheta
+                m12 = (_fg(model.tab_s12, rth) * frac
+                       + _fg(model.tab_s12, rth - 1) * (1 - frac))
+                m33 = (_fg(model.tab_s33, rth) * frac
+                       + _fg(model.tab_s33, rth - 1) * (1 - frac))
+                m34 = (_fg(model.tab_s34, rth) * frac
+                       + _fg(model.tab_s34, rth - 1) * (1 - frac))
+        else:
+            # ---- 4a. scattering, method 2: bucket-mean phase matrix
+            # (select_scattering_method, scattering.f90:39-66 — the
+            # reference's own 2D default).  One one-hot matmul fetches the
+            # theta-CDF row and the three Mueller-ratio rows per lane; the
+            # draw is then a dense compare — zero serialized gathers.
+            if pola:
+                m2tab = jnp.concatenate(
+                    [model.prob_s11_m2.reshape(P * L, A1),
+                     model.s12_rt.reshape(P * L, A1),
+                     model.s33_rt.reshape(P * L, A1),
+                     model.s34_rt.reshape(P * L, A1)], axis=1)
+            else:
+                m2tab = model.prob_s11_m2.reshape(P * L, A1)
+            mrows = oh_pl @ m2tab                    # (B, {1|4}*A1)
+            itheta = _inv_cdf_rows(mrows[:, :A1], R[11])
+            if pola:
+                frac = R[12]
+                oh_pair = (frac[:, None] * _one_hot(itheta, A1, dtype)
+                           + (1.0 - frac)[:, None]
+                           * _one_hot(itheta - 1, A1, dtype))
+                m12 = jnp.sum(oh_pair * mrows[:, A1:2 * A1], axis=1)
+                m33 = jnp.sum(oh_pair * mrows[:, 2 * A1:3 * A1], axis=1)
+                m34 = jnp.sum(oh_pair * mrows[:, 3 * A1:], axis=1)
+
         c0 = jnp.cos((itheta - 1).astype(dtype) * thfac)
         c1 = jnp.cos(itheta.astype(dtype) * thfac)
         cospsi = c0 + R[12] * (c1 - c0)
         phi = jnp.pi * (2.0 * R[13] - 1.0)
         un, vn, wn = cdapres(cospsi, phi, u, v, w)
         if pola:
-            frac = R[12]
-            rth = rbase + itheta
-            m12 = (_fg(model.tab_s12, rth) * frac
-                   + _fg(model.tab_s12, rth - 1) * (1 - frac))
-            m33 = (_fg(model.tab_s33, rth) * frac
-                   + _fg(model.tab_s33, rth - 1) * (1 - frac))
-            m34 = (_fg(model.tab_s34, rth) * frac
-                   + _fg(model.tab_s34, rth - 1) * (1 - frac))
             one = jnp.ones_like(m12)
             nI, nQ, nU, nV = update_stokes(sI, sQ, sU, sV, u, v, w,
                                            un, vn, wn, one, m12, m33, m34)
@@ -542,29 +658,46 @@ def advance(model: Model, key, state: MCState, n_packets,
             nI, nQ, nU, nV = sI, sQ, sU, sV
 
         # ---- 4b. absorption + immediate reemission (im_reemission_LTE,
-        # thermal_emission.f90:710-771; Temp_LTE :649-706)
-        qheat = xkj[flat] * l_packet / model.volume[flat]
-        logq = jnp.log(jnp.maximum(qheat, 1e-300))
-        ti = _row_searchsorted(model.log_qcool, p, logq).astype(jnp.int32)
-        ti = jnp.clip(ti, 1, n_T - 1)
-        qbase = p * n_T + ti
-        q0 = _fg(model.log_qcool, qbase - 1)
-        q1 = _fg(model.log_qcool, qbase)
-        frac_t2 = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30),
-                           0.0, 1.0)
-        frac_t1 = 1.0 - frac_t2
-        kdb_lo = (qbase - 1) * L
-        kdb_hi = qbase * L
-
-        def cdf_interp(k):
-            km = jnp.maximum(k - 1, 0)
-            val = (frac_t1 * _fg(model.kdb_dt_cdf, kdb_lo + km)
-                   + frac_t2 * _fg(model.kdb_dt_cdf, kdb_hi + km))
-            return val * (k > 0)
-
-        lam_new = bisect_cdf(cdf_interp, L, R[10]) - 1
-        ua, va, wa = isotropic_direction(R[11], R[13])
-        nabs = s.nabs.at[flat].add(jnp.where(do_abs, 1.0, 0.0))
+        # thermal_emission.f90:710-771; Temp_LTE :649-706).  The heating
+        # uses the shared pre-update tally gather plus the lane's own
+        # deposit (same-iteration deposits by other lanes are picked up
+        # next iteration — the per-thread staleness the reference already
+        # tolerates in xT_ech).  Statically absent in mono mode (forced
+        # scattering only).
+        if mono:
+            lam_new = ilam
+            ua, va, wa = u, v, w
+            nabs = s.nabs
+        else:
+            qheat = (xkj_flat + dep_w) * l_packet / vol_flat
+            logq = jnp.log(jnp.maximum(qheat, 1e-300))
+            ti = jnp.clip(_count_below(qcool_rows, logq), 1, n_T - 1)
+            oh_ti = _one_hot(ti, n_T, dtype)
+            oh_tim = _one_hot(ti - 1, n_T, dtype)
+            if P == 1:
+                q1 = oh_ti @ qcool_rows
+                q0 = oh_tim @ qcool_rows
+            else:
+                q1 = jnp.sum(oh_ti * qcool_rows, axis=1)
+                q0 = jnp.sum(oh_tim * qcool_rows, axis=1)
+            frac_t2 = jnp.clip((logq - q0) / jnp.maximum(q1 - q0, 1e-30),
+                               0.0, 1.0)
+            frac_t1 = 1.0 - frac_t2
+            # interpolated reemission CDF row in one matmul: the
+            # temperature interpolation weights ride inside the one-hot
+            wrow = frac_t1[:, None] * oh_tim + frac_t2[:, None] * oh_ti
+            if P == 1:
+                cdfrow = wrow @ model.kdb_dt_cdf[0]  # (B, L)
+            else:
+                w2 = (oh_p[:, :, None]
+                      * wrow[:, None, :]).reshape(B, P * n_T)
+                cdfrow = w2 @ model.kdb_dt_cdf.reshape(P * n_T, L)
+            lam_new = _count_below(cdfrow[:, :L - 1], R[10])
+            ua, va, wa = isotropic_direction(R[11], R[13])
+            if nabs_tally:
+                nabs = s.nabs.at[flat].add(jnp.where(do_abs, 1.0, 0.0))
+            else:
+                nabs = s.nabs
 
         # ---- merge interaction results
         u = jnp.where(do_scat, un, jnp.where(do_abs, ua, u))
@@ -592,25 +725,40 @@ def advance(model: Model, key, state: MCState, n_packets,
             fscat = jnp.where(do_mrw, False, fscat)
             fstar = jnp.where(do_mrw, False, fstar)
 
+        # straggler age cap on device: a packet random-walking for an
+        # extreme number of steps is killed and counted as lost (the bias
+        # bound is n_lost / n_packets; the reference has no cap but also
+        # no lock-step cost for stragglers)
+        age = jnp.where(alive, age + 1, age)
+        overage = alive & (age > age_cap)
+        alive = alive & ~overage
+        nkill = s.nkill + jnp.sum(overage.astype(jnp.int32))
+
         return MCState(x=x, y=y, z=z, u=u, v=v, w=w,
                        sI=sI, sQ=sQ, sU=sU, sV=sV,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
                        alive=alive, fstar=fstar, fscat=fscat,
-                       emitted=emitted, xkj=xkj, xj=xj, nabs=nabs,
-                       sed=sed, xi=xi,
-                       age=jnp.where(alive, age + 1, age),
-                       it=s.it + 1)
+                       emitted=emitted, nkill=nkill, xkj=xkj, xj=xj,
+                       nabs=nabs, sed=sed, xi=xi, age=age, it=s.it + 1)
 
     return jax.lax.while_loop(cond, body, state)
 
 
+@jax.jit
+def _summary(state: MCState):
+    """(it, emitted, n_alive) in one device round-trip."""
+    return state.it, state.emitted, jnp.sum(state.alive.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("b_small",))
 def _compact(state: MCState, b_small: int) -> MCState:
     """Pack the surviving lanes of a mostly-dead batch into a smaller batch.
 
     Straggler drain: once the photon budget is spent, a handful of
     deep-random-walk packets force full-width iterations; compaction keeps
     only the survivors so the tail runs at a fraction of the cost.  Tally
-    arrays are carried over unchanged."""
+    arrays are carried over unchanged.  Jitted: eager per-field gathers
+    over a tunnelled TPU would cost seconds of dispatch latency."""
     B = state.x.shape[0]
     idx = jnp.nonzero(state.alive, size=b_small, fill_value=0)[0]
     valid = jnp.arange(b_small) < jnp.sum(state.alive.astype(jnp.int32))
@@ -631,45 +779,45 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    rt: bool = False, n_az_rt: int = 45,
                    compact_tail: bool = True, mrw: bool = True,
                    mrw_gamma: float = 2.0, age_cap: int = 100000,
-                   jtally: bool = False, progress=None) -> MCResult:
+                   jtally: bool = False, scat_method: int = 2,
+                   nabs_tally: bool = False, progress=None) -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
     state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt,
                        jtally=jtally)
+    # static dark-zone switch: the reflection test costs two per-cell
+    # gathers per iteration, elided when the model has no dark zone
+    dark = bool(jax.device_get(jnp.any(model.dark_zone)))
     done_iters = 0
     b_cur = batch
-    n_killed = 0
     while done_iters < max_iters:
         state = advance(model, key, state, n_packets,
                         n_iters=min(iters_per_call, max_iters - done_iters),
                         pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
-                        mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally)
-        done_iters = int(state.it)
-        emitted = int(state.emitted)
-        n_alive = int(jnp.sum(state.alive))
+                        mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
+                        scat_method=scat_method, nabs_tally=nabs_tally,
+                        dark=dark, age_cap=age_cap)
+        # ONE jitted summary + ONE transfer per chunk: eager per-field
+        # reads over a tunnelled TPU cost ~0.1s dispatch latency each
+        done_iters, emitted, n_alive = (
+            int(v) for v in jax.device_get(_summary(state)))
         if progress is not None:
             progress(done_iters, emitted, n_alive)
-        if n_alive > 0 and done_iters > 0:
-            # straggler safety valve: a packet random-walking for an
-            # extreme number of steps is killed and reported as lost
-            # (bias bound: n_lost / n_packets; the reference has no such
-            # cap but also no lock-step cost for stragglers)
-            overage = state.alive & (state.age > age_cap)
-            n_over = int(jnp.sum(overage))
-            if n_over:
-                state = state._replace(alive=state.alive & ~overage)
-                n_killed += n_over
-                n_alive -= n_over
-        if (compact_tail and emitted >= n_packets and n_alive > 0
-                and b_cur > 1024 and n_alive <= b_cur // 8):
-            b_new = max(1024, 1 << (int(n_alive - 1).bit_length()))
-            if b_new < b_cur:
-                state = _compact(state, b_new)
-                b_cur = b_new
+        if compact_tail and emitted >= n_packets and n_alive > 0:
+            # fixed two-rung ladder: every distinct batch size costs an
+            # XLA compile (~seconds over a tunnelled TPU), so the tail
+            # always drains at exactly 1024 then 128 lanes
+            if n_alive <= 96 and b_cur > 128:
+                state = _compact(state, 128)
+                b_cur = 128
+            elif n_alive <= 768 and b_cur > 1024:
+                state = _compact(state, 1024)
+                b_cur = 1024
         if emitted >= n_packets and n_alive == 0:
             break
     return MCResult(xkj=state.xkj, nabs=state.nabs, sed=state.sed,
                     emitted=state.emitted, n_iters=state.it,
-                    n_lost=jnp.sum(state.alive.astype(jnp.int32)) + n_killed,
+                    n_lost=jnp.sum(state.alive.astype(jnp.int32))
+                    + state.nkill,
                     xi=state.xi, xj=state.xj)
 
 

@@ -40,7 +40,7 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
 
 
 def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
-                     jtally: bool = False):
+                     jtally: bool = False, dark: bool = False):
     """Build the shard_mapped per-chunk advance: every device evolves its own
     MCState block (leading axis = device)."""
 
@@ -50,7 +50,8 @@ def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
         n_budget = n_budget[0]
         st = jax.tree.map(lambda a: a[0], state)
         st = thermal_mc.advance(model, key, st, n_budget, n_iters=n_iters,
-                                pola=pola, mono=mono, jtally=jtally)
+                                pola=pola, mono=mono, jtally=jtally,
+                                dark=dark)
         return jax.tree.map(lambda a: a[None], st)
 
     return jax.shard_map(
@@ -80,13 +81,15 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
         thermal_mc.init_state(model, batch_per_device, n_capt,
                               jtally=jtally))
 
-    adv = _sharded_advance(mesh, iters_per_call, pola, mono, jtally)
+    dark = bool(jax.device_get(jnp.any(model.dark_zone)))
+    adv = _sharded_advance(mesh, iters_per_call, pola, mono, jtally, dark)
+    summary = jax.jit(lambda s: (jnp.max(s.it), jnp.sum(s.emitted),
+                                 jnp.sum(s.alive.astype(jnp.int32))))
     done = 0
     while done < max_iters:
         state = adv(model, keys, state, budgets)
-        done = int(jnp.max(state.it))
-        emitted = int(jnp.sum(state.emitted))
-        n_alive = int(jnp.sum(state.alive))
+        done, emitted, n_alive = (
+            int(v) for v in jax.device_get(summary(state)))
         if progress is not None:
             progress(done, emitted, n_alive)
         if emitted >= n_per_dev * n_dev and n_alive == 0:
@@ -98,6 +101,7 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
         sed=jnp.sum(state.sed, axis=0),
         emitted=jnp.sum(state.emitted),
         n_iters=jnp.max(state.it),
-        n_lost=jnp.sum(state.alive.astype(jnp.int32)),
+        n_lost=jnp.sum(state.alive.astype(jnp.int32))
+        + jnp.sum(state.nkill),
         xj=jnp.sum(state.xj, axis=0),
     )
