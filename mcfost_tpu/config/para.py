@@ -483,7 +483,11 @@ def parse_para(text: str) -> Para:
 
 def read_para(path: str) -> Para:
     with open(path) as f:
-        return parse_para(f.read())
+        p = parse_para(f.read())
+    # remember where the file came from so sibling inputs (lambda files,
+    # spectra) can be resolved relative to it
+    p.source_path = path
+    return p
 
 
 def default_ref_para() -> Para:

@@ -60,13 +60,11 @@ class CylGrid(NamedTuple):
         return self.volume.shape[0]
 
 
-def build_cylindrical_grid(para: Para, dtype=jnp.float32) -> CylGrid:
-    """Host-side (float64 numpy) grid construction.
-
-    Mirrors define_cylindrical_grid (cylindrical_grid.f90:183-495) for a
-    single-region model; multiple touching zones share the radial span.
-    """
-    n_rad, nz = para.grid.n_rad, para.grid.nz
+def radial_vertical_walls(para: Para):
+    """Host-side (float64) radial walls + per-ring vertical extent shared
+    by the 2D and 3D cylindrical grid builders
+    (define_cylindrical_grid, cylindrical_grid.f90:183-495)."""
+    n_rad = para.grid.n_rad
     # the inner subdivision cannot exceed the radial grid itself (guards
     # CLI overrides like -n_rad 16 with the para default n_rad_in=30)
     n_rad_in = min(max(para.grid.n_rad_in, 1), max(n_rad - 1, 1))
@@ -120,6 +118,19 @@ def build_cylindrical_grid(para: Para, dtype=jnp.float32) -> CylGrid:
             raise ValueError("no zone covers the radial grid")
         zmax = np.exp(np.interp(np.log(r_centre),
                                 np.log(r_centre[good]), np.log(zmax[good])))
+    return r_lim, zmax
+
+
+def build_cylindrical_grid(para: Para, dtype=jnp.float32) -> CylGrid:
+    """Host-side (float64 numpy) grid construction.
+
+    Mirrors define_cylindrical_grid (cylindrical_grid.f90:183-495) for a
+    single-region model; multiple touching zones share the radial span.
+    """
+    n_rad, nz = para.grid.n_rad, para.grid.nz
+    r_lim, zmax = radial_vertical_walls(para)
+    r_lim2 = r_lim ** 2
+    r_centre = 0.5 * (r_lim[1:] + r_lim[:-1])
 
     # --- volumes: V(i,j) = 2*pi*(r_i+1^2 - r_i^2) * dz_i, then *0.5/n_az in 3D
     # 2D (half-disk mirror): factor 2 for z<0 symmetry built in

@@ -9,16 +9,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import cyl3d as _c3d
 from . import cylindrical as _cyl
 from . import spherical as _sph
 from . import voronoi as _vor
+from .cyl3d import Cyl3DGrid
 from .cylindrical import CylGrid
 from .spherical import SphGrid
 from .voronoi import VoronoiGrid
 
 
 def _mod(grid):
-    return _sph if isinstance(grid, SphGrid) else _cyl
+    if isinstance(grid, SphGrid):
+        return _sph
+    if isinstance(grid, Cyl3DGrid):
+        return _c3d
+    return _cyl
 
 
 def is_voronoi(grid) -> bool:
@@ -90,7 +96,25 @@ def cell_from_flat(grid, icell):
     ic = icell.astype(jnp.int32)
     if is_voronoi(grid):
         return ic + 1, jnp.ones_like(ic)
+    if isinstance(grid, Cyl3DGrid):
+        ri = (ic % grid.n_rad) + 1
+        rem = ic // grid.n_rad
+        j = rem % (2 * grid.nz) + 1
+        k = rem // (2 * grid.nz) + 1
+        return ri, _c3d.encode(grid, j, k)
     return (ic % grid.n_rad) + 1, (ic // grid.n_rad) + 1
+
+
+def cell_shape(grid):
+    """Numpy (C-order) shape of per-cell arrays for FITS output:
+    (nz, n_rad) in 2D, (n_az, 2*nz, n_rad) in 3D, (n_cells,) Voronoi
+    — matching the reference's [n_rad, nz(, n_az)] FITS axis order
+    (ecriture_temperature, output.f90:2523)."""
+    if is_voronoi(grid):
+        return (grid.n_cells,)
+    if isinstance(grid, Cyl3DGrid):
+        return (grid.n_az, 2 * grid.nz, grid.n_rad)
+    return (grid.nz, grid.n_rad)
 
 
 def distance_to_closest_wall(grid, ri, zj, x, y, z):

@@ -187,7 +187,7 @@ def rt_directions(para: Para) -> np.ndarray:
 def build_model(para: Para, dtype=jnp.float32,
                 cache_dir: str | None = ".mcfost_tpu_cache",
                 img_lambda: float | None = None, sph=None,
-                hydro=None):
+                hydro=None, lambda_list=None):
     """Build the full device model.  img_lambda switches to a
     single-wavelength grid for image mode (reference init_lambda mono
     branch, wavelengths.f90:41-45).  sph (an io.phantom.SPHModel) selects
@@ -196,9 +196,12 @@ def build_model(para: Para, dtype=jnp.float32,
     hydro (an io.hydro.StructuredHydro, or a (rho_dust, rho_gas, velocity)
     per-cell triple) replaces the analytic density on the para grid —
     the -density_file / -fargo3d / -athena++ / -idefix / -pluto path."""
-    from ..physics.wavelengths import mono_wavelength_grid
+    from ..physics.wavelengths import (file_wavelength_grid,
+                                       mono_wavelength_grid)
     if img_lambda is not None:
         wl = mono_wavelength_grid(img_lambda)
+    elif lambda_list is not None:
+        wl = file_wavelength_grid(lambda_list)
     else:
         wl = log_wavelength_grid(para.wavelengths.n_lambda,
                                  para.wavelengths.lambda_min,
@@ -212,7 +215,14 @@ def build_model(para: Para, dtype=jnp.float32,
         volume = _geom.host_arrays(grid, "volume")
         rho = vor.rho_dust
     elif para.grid.geometry == 2:
+        if para.grid.n_az > 1:
+            raise NotImplementedError(
+                "3D spherical grids (n_az > 1) are not supported yet; "
+                "use grid_type 1 (cylindrical) for 3D models")
         grid = build_spherical_grid(para, dtype=dtype)
+    elif para.grid.n_az > 1:
+        from ..grids.cyl3d import build_cyl3d_grid
+        grid = build_cyl3d_grid(para, dtype=dtype)
     else:
         grid = build_cylindrical_grid(para, dtype=dtype)
     rho_gas = None
@@ -226,6 +236,9 @@ def build_model(para: Para, dtype=jnp.float32,
         r_grid = _geom.host_arrays(grid, "r_grid")
         z_grid = _geom.host_arrays(grid, "z_grid")
         volume = _geom.host_arrays(grid, "volume")
+        phi_grid = (_geom.host_arrays(grid, "phi_grid")
+                    if para.grid.n_az > 1 and para.grid.geometry == 1
+                    else None)
         if hydro is not None:
             from ..io.hydro import StructuredHydro, regrid_to_model
             if isinstance(hydro, StructuredHydro):
@@ -242,14 +255,15 @@ def build_model(para: Para, dtype=jnp.float32,
                                  / (tot * cst.AU3_to_cm3))
         elif (para.physics.settling_type > 0 or len(para.zones) > 1):
             struct = density_mod.compute_density_structure(
-                para, grains, r_grid, z_grid, volume)
+                para, grains, r_grid, z_grid, volume, phi_grid=phi_grid)
             rho = struct.rho
             rho_gas = struct.rho_gas
             p_icell = struct.p_icell
             weights = struct.weights
         else:
             rho = density_mod.compute_dust_density(para, r_grid, z_grid,
-                                                   volume)
+                                                   volume,
+                                                   phi_grid=phi_grid)
     dust = build_dust_model(para, wl, cache_dir=cache_dir,
                             weights=weights, grains=grains)
     stars = build_star_model(para, wl)

@@ -117,12 +117,12 @@ def _zone_profile(z, r_grid, z_grid, para: Para, phi_grid=None):
 
 
 def compute_dust_density(para: Para, r_grid: np.ndarray, z_grid: np.ndarray,
-                         volume: np.ndarray) -> np.ndarray:
+                         volume: np.ndarray, phi_grid=None) -> np.ndarray:
     """Per-cell dust density [g/cm^3], numerically mass-normalised
     (no settling; kept for the uniform-dust fast path)."""
     rho = np.zeros_like(r_grid)
     for z in para.zones:
-        prof, _h, _ = _zone_profile(z, r_grid, z_grid, para)
+        prof, _h, _ = _zone_profile(z, r_grid, z_grid, para, phi_grid)
         total = (prof * volume).sum()
         if total > 0:
             mass_g = z.dust_mass * cst.Msun_to_g

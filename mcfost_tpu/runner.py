@@ -97,11 +97,12 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                                     threshold_lambda_index)
     t0 = time.time()
     ilam_th = threshold_lambda_index(host.wl.lam)
-    if para.grid.geometry == 1:
+    if para.grid.geometry == 1 and para.grid.n_az == 1:
         dark = compute_dark_zone(model, ilam_th)
     else:
         # reference: no dark zone for spherical grids
-        # (dust_transfer.f90:326-329)
+        # (dust_transfer.f90:326-329); the 2D column solver does not
+        # apply to 3D grids either
         import numpy as _np
         dark = _np.zeros(model.grid.n_cells, bool)
     if dark.any():
@@ -176,7 +177,8 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
             model = model._replace(kappa_factor=jax.device_put(
                 new_rho.astype(np.asarray(model.kappa_factor).dtype)))
             redo = 1
-    if para.physics.hydrostatic_eq and para.grid.geometry == 1:
+    if (para.physics.hydrostatic_eq and para.grid.geometry == 1
+            and para.grid.n_az == 1):
         from .physics.disk_physics import hydrostatic_density
         from .grids import geometry as _geom
         nz_, nrad_ = model.grid.nz, model.grid.n_rad
@@ -221,9 +223,10 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
     # outputs
     data_dir = os.path.join(root_dir, "data_th")
     os.makedirs(data_dir, exist_ok=True)
-    nz, n_rad = model.grid.nz, model.grid.n_rad
+    from .grids import geometry as _geomshape
+    cshape = _geomshape.cell_shape(model.grid)
     write_fits(os.path.join(data_dir, "Temperature.fits.gz"),
-               T.reshape(nz, n_rad).astype(np.float32),
+               T.reshape(cshape).astype(np.float32),
                keywords={"BUNIT": "K"})
 
     # .sed_th calibration (ecriture_sed(1), output.f90:3047-3077):
@@ -250,7 +253,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
             # output.f90:2243-2330)
             write_fits(os.path.join(data_dir, "J.fits.gz"),
                        (J * (wl.lam * 1e-6)[:, None]).reshape(
-                           wl.n, nz, n_rad).astype(np.float32),
+                           (wl.n,) + cshape).astype(np.float32),
                        extensions=[wl.lam.astype(np.float64)],
                        keywords={"BUNIT": "W.m-2.sr-1"})
         if output_uv:
@@ -261,7 +264,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                   * (J[sel] * (wl.dlam[sel] * 1e-6)[:, None]).sum(0)
                   / 5.29e-14)                      # Habing 1968 [W m^-2]
             write_fits(os.path.join(data_dir, "UV_field.fits.gz"),
-                       uv.reshape(nz, n_rad).astype(np.float32),
+                       uv.reshape(cshape).astype(np.float32),
                        keywords={"BUNIT": "Habing"})
 
         J_cells = J.T                                          # (C, L)
@@ -273,7 +276,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 T_sz = stoch.equilibrium_temperature_per_size(
                     host.dust.c_abs[ksl], J_cells, wl.lam)     # (K, C)
                 write_fits(os.path.join(data_dir, "Temperature_nLTE.fits.gz"),
-                           T_sz.reshape(-1, nz, n_rad).astype(np.float32),
+                           T_sz.reshape((-1,) + cshape).astype(np.float32),
                            extensions=[host.dust.grains.r_grain[ksl]
                                        .astype(np.float64)],
                            keywords={"BUNIT": "K"})
@@ -299,7 +302,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 proba = np.stack(probs)                        # (K, C, M)
                 write_fits(os.path.join(data_dir, "Proba_Tdust.fits.gz"),
                            proba.transpose(0, 2, 1).reshape(
-                               len(sizes), -1, nz, n_rad).astype(np.float32),
+                               (len(sizes), -1) + cshape).astype(np.float32),
                            extensions=[tab.T_bins.astype(np.float64),
                                        sizes.astype(np.float64)],
                            keywords={"BUNIT": "probability"})
@@ -371,8 +374,30 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
     from .transfer.sed import run_mc_sed, write_sed_mc
     from .transfer.raytrace import sed_rt as sed_rt_fn
 
+    # lambda-file observation grid for step 2 (the reference re-inits the
+    # wavelength grid from the file when 'use default wavelength grid' is F:
+    # init_lambda2 + lect_lambda, wavelengths.f90:74 / input.f90:520)
+    wlp = para.wavelengths
+    if not wlp.default_grid and wlp.wavelength_file:
+        from .physics.wavelengths import read_lambda_file
+        cand = [wlp.wavelength_file]
+        src = getattr(para, "source_path", None)
+        if src:
+            cand.append(os.path.join(os.path.dirname(src),
+                                     wlp.wavelength_file))
+        path = next((c for c in cand if os.path.isfile(c)), None)
+        if path is None:
+            print(f"  WARNING: wavelength file {wlp.wavelength_file} not "
+                  "found; using the default observation grid")
+        else:
+            if verbose:
+                print(f"  SED wavelengths from {path}")
+            model, host = build_model(
+                para, cache_dir=os.path.join(root_dir, ".mcfost_tpu_cache"),
+                lambda_list=read_lambda_file(path))
+
     key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
-    n_per_lambda = max(int(para.photons.n_lambda), 2000)
+    n_per_lambda = int(para.photons.n_lambda)
     t0 = time.time()
     out = run_mc_sed(model, host, T, key, n_per_lambda=n_per_lambda,
                      batch=batch, rt=True, n_az_rt=n_az_rt)
