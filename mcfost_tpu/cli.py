@@ -54,6 +54,12 @@ def main(argv=None):
     do_astrochem = False
     ml_model_path = None
     do_ml = False
+    from .physics.chemistry import ChemistrySettings
+    chem = ChemistrySettings()
+    jy = False
+    casa = False
+    safe_stop_s = None
+    not_random_voronoi = False
 
     i = 0
     while i < len(argv):
@@ -100,8 +106,14 @@ def main(argv=None):
             do_diag.append("disk")
         elif a == "-dust_prop":
             do_diag.append("dust")
-        elif a == "-tau_map":
+        elif a in ("-tau_map", "-optical_depth_map"):
             do_diag.append("tau")
+        elif a in ("-cd", "-column_density"):
+            do_diag.append("cd")
+        elif a == "-tau=1_surface":
+            do_diag.append(("tausurf", 1.0))
+        elif a == "-tau_surface":
+            i += 1; do_diag.append(("tausurf", float(argv[i])))
         elif a == "-no_sed":
             do_sed = False
         elif a == "-prodimo":
@@ -131,9 +143,44 @@ def main(argv=None):
                                float(argv[i + 3])); i += 3
         elif a == "-z_warp":
             i += 1; para.z_warp = float(argv[i])
+        elif a == "-freeze_out":
+            i += 1; chem.freeze_out = True
+            chem.T_freeze_out = float(argv[i])
+        elif a in ("-freeze_out_depletion", "-freeze-out_depletion"):
+            i += 1; chem.freeze_out_depletion = float(argv[i])
+        elif a == "-photodissociation":
+            chem.photo_dissociation = True
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1; chem.photodissociation_factor = float(argv[i])
+        elif a == "-photodesorption":
+            chem.photo_desorption = True
+        elif a == "-casa":
+            casa = True
+        elif a == "-Jy":
+            jy = True
+        elif a == "-safe_stop":
+            safe_stop_s = 3600.0
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1; safe_stop_s = float(argv[i])
+        elif a == "-not_random_Voronoi":
+            not_random_voronoi = True
+        elif a == "-mol_LTE":
+            para.mol.lte = True
+        elif a == "-mol_NLTE":
+            para.mol.lte = False
         else:
-            print(f"warning: ignoring unknown option {a}")
+            # Unknown flags are a hard error: a physics-changing reference
+            # flag silently ignored would compute the wrong model
+            # (reference errors out too, init_mcfost.f90 default case).
+            print(f"error: unknown option {a} "
+                  "(refusing to run a possibly different model)")
+            return 1
         i += 1
+    if safe_stop_s is not None:
+        os.environ["MCFOST_TPU_SAFE_STOP_S"] = str(safe_stop_s)
+        os.environ["MCFOST_TPU_START_TIME"] = str(time.time())
+    if not_random_voronoi:
+        os.environ["MCFOST_TPU_NOT_RANDOM_VORONOI"] = "1"
 
     import jax
     import numpy as np
@@ -145,7 +192,8 @@ def main(argv=None):
         # (reference -img flow, dust_transfer.f90:223)
         from .runner import run_image
         print(f"mcfost_tpu: image at {img_lambda} micron")
-        run_image(para, img_lambda, root_dir=root_dir, seed=seed)
+        run_image(para, img_lambda, root_dir=root_dir, seed=seed,
+                  jy=jy, casa=casa)
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
@@ -163,6 +211,14 @@ def main(argv=None):
             from .physics.diffusion import threshold_lambda_index
             diag.write_tau_map(model, host,
                                threshold_lambda_index(host.wl.lam), root_dir)
+        if "cd" in do_diag:
+            diag.write_column_density(model, host, root_dir)
+        for it_ in do_diag:
+            if isinstance(it_, tuple) and it_[0] == "tausurf":
+                from .physics.diffusion import threshold_lambda_index
+                diag.write_tau_surface(
+                    model, host, threshold_lambda_index(host.wl.lam),
+                    tau_s=it_[1], root_dir=root_dir)
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
@@ -248,16 +304,26 @@ def main(argv=None):
             from .physics.diffusion import threshold_lambda_index
             diag.write_tau_map(model, host,
                                threshold_lambda_index(host.wl.lam), root_dir)
+        if "cd" in do_diag:
+            diag.write_column_density(model, host, root_dir)
+        for it_ in do_diag:
+            if isinstance(it_, tuple) and it_[0] == "tausurf":
+                from .physics.diffusion import threshold_lambda_index
+                diag.write_tau_surface(
+                    model, host, threshold_lambda_index(host.wl.lam),
+                    tau_s=it_[1], root_dir=root_dir)
 
     if do_sed and para.wavelengths.compute_sed:
         print("mcfost_tpu: SED step (MC + ray-traced)")
-        run_sed_step(para, model, host, T, root_dir=root_dir, seed=seed)
+        run_sed_step(para, model, host, T, root_dir=root_dir, seed=seed,
+                     jy=jy)
 
     if do_mol:
-        from .transfer.mol import mol_cube
-        print("mcfost_tpu: molecular line transfer (LTE)")
+        from .runner import run_mol_step
+        mode = "LTE" if (para.mol.lte or not para.mol.lpop) else "NLTE"
+        print(f"mcfost_tpu: molecular line transfer ({mode})")
         t0 = time.time()
-        mol_cube(model, host, T, root_dir=root_dir)
+        run_mol_step(para, model, host, T, root_dir=root_dir, chem=chem)
         print(f"  lines: {time.time()-t0:.1f}s")
 
     if do_atom:

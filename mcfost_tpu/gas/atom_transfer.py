@@ -582,6 +582,11 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
             print(f"    MALI iter {it}: max dpop/pop = {dM:.2e}")
         if dM < tol:
             break
+        from ..utils.safestop import safe_stop_requested
+        if safe_stop_requested():
+            # reference -safe_stop (atom_transfer.f90:797-802)
+            print("    safe_stop: wall-clock budget reached")
+            break
     return pops, it, dM
 
 

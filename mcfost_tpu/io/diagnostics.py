@@ -87,3 +87,73 @@ def write_tau_map(model: Model, host: HostModel, ilam: int,
                .astype(np.float32),
                keywords={"LAMBDA": float(host.wl.lam[ilam])})
     return np.asarray(tau)
+
+
+def write_tau_surface(model: Model, host: HostModel, ilam: int,
+                      tau_s: float = 1.0, root_dir: str = "."):
+    """tau=<s>_surface.fits.gz: xyz [AU] of the tau_s point along each image
+    pixel ray, [3, RT_n_az, RT_n_incl, ny, nx] (write_tau_surface,
+    output.f90:1052-1120)."""
+    from ..transfer.raytrace import tau_surface_positions
+    from ..grids import geometry as geom
+    para = host.para
+    dirs = np.asarray(model.rt_dirs, np.float64)
+    n_rt = dirs.shape[0]
+    npx, npy = para.maps.nx, para.maps.ny
+    pix = para.maps.map_size / max(npx, npy)
+    rmax = float(geom.host_arrays(model.grid, "r_lim")[-1])
+    dtype = model.kappa.dtype
+    out = np.zeros((n_rt, npy, npx, 3), np.float32)
+    for i_rt in range(n_rt):
+        u, v, w = dirs[i_rt]
+        az = np.arctan2(u, -v) if (abs(u) > 1e-10 or abs(v + 1) > 1e-10) \
+            else 0.0
+        xpl = np.array([np.cos(az), np.sin(az), 0.0])
+        ypl = -np.cross(xpl, [u, v, w])
+        center = np.array([u, v, w]) * 10.0 * rmax
+        corner = center - 0.5 * npx * pix * xpl - 0.5 * npy * pix * ypl
+        ix, iy = np.meshgrid(np.arange(npx) + 0.5, np.arange(npy) + 0.5,
+                             indexing="ij")
+        px = corner[0] + ix * pix * xpl[0] + iy * pix * ypl[0]
+        py = corner[1] + ix * pix * xpl[1] + iy * pix * ypl[1]
+        pz = corner[2] + ix * pix * xpl[2] + iy * pix * ypl[2]
+        n = px.size
+        xs, ys, zs, found = tau_surface_positions(
+            model, jnp.asarray(px.ravel(), dtype),
+            jnp.asarray(py.ravel(), dtype), jnp.asarray(pz.ravel(), dtype),
+            jnp.full(n, -u, dtype), jnp.full(n, -v, dtype),
+            jnp.full(n, -w, dtype), jnp.full(n, ilam, jnp.int32),
+            jnp.asarray(tau_s, dtype))
+        for k, a in enumerate((xs, ys, zs)):
+            out[i_rt, :, :, k] = np.asarray(a, np.float64).reshape(
+                npx, npy).T
+    n_incl, n_az = para.maps.n_incl, para.maps.n_az_angles
+    arr = out.reshape(n_az, n_incl, npy, npx, 3).transpose(4, 0, 1, 2, 3)
+    d = os.path.join(root_dir, "data_th")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"tau={tau_s:g}_surface.fits.gz")
+    write_fits(path, np.ascontiguousarray(np.nan_to_num(arr)),
+               keywords={"BUNIT": "AU",
+                         "LAMBDA": float(host.wl.lam[ilam])})
+    return path
+
+
+def write_column_density(model: Model, host: HostModel, root_dir: str = "."):
+    """column_density.fits.gz: vertical + radial gas/dust columns per cell
+    [g cm^-2 and particles m^-2] (compute_column, optical_depth.f90:328)."""
+    from ..physics.chemistry import vertical_gas_column, _MU_H2_G
+    from ..grids import geometry as geom
+    d = os.path.join(root_dir, "data_disk")
+    os.makedirs(d, exist_ok=True)
+    shape = geom.cell_shape(model.grid)
+    cd_h2 = vertical_gas_column(model, host)              # m^-2
+    # surface densities in g/cm^2: N_H2 * mu / (1e4 cm^2/m^2)
+    sigma_gas = cd_h2 * _MU_H2_G / 1e4
+    g2d = host.para.zones[0].gas_to_dust
+    path = os.path.join(d, "column_density.fits.gz")
+    write_fits(path, sigma_gas.reshape(shape).astype(np.float32),
+               extensions=[(sigma_gas / max(g2d, 1e-30)).reshape(shape)
+                           .astype(np.float32),
+                           cd_h2.reshape(shape).astype(np.float32)],
+               keywords={"BUNIT": "g.cm-2"})
+    return path

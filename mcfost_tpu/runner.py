@@ -367,7 +367,7 @@ def run_sph(para: Para, sph, root_dir: str = ".",
 
 def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
                  seed: int | None = None, batch: int = 16384,
-                 n_az_rt: int = 45, verbose: bool = True):
+                 n_az_rt: int = 45, verbose: bool = True, jy: bool = False):
     """Step 2: MC SED + ray-traced SED; writes sed_mc.fits.gz and
     sed_rt.fits.gz (reference output contract: docs/outputs.rst:7-47)."""
     import jax
@@ -418,16 +418,24 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
     n_az = para.maps.n_az_angles
     L = host.wl.n
     arr = rt.reshape(L, n_az, n_incl, -1).transpose(3, 1, 2, 0)
+    unit = "W.m-2"
+    if jy:
+        # -Jy: lambda.F_lambda [W/m2] -> F_nu [Jy] = 1e26 * lamFlam / nu
+        # (reference output.f90 sed unit switch)
+        nu = cst.c_light / (host.wl.lam * 1e-6)
+        arr = arr * (1e26 / nu)[None, None, None, :]
+        unit = "Jy"
     write_fits(os.path.join(data_dir, "sed_rt.fits.gz"),
                np.ascontiguousarray(arr).astype(np.float32),
                extensions=[host.wl.lam.astype(np.float64)],
-               keywords={"BUNIT": "W.m-2"})
+               keywords={"BUNIT": unit})
     return out, rt
 
 
 def run_image(para: Para, img_lambda: float, root_dir: str = ".",
               seed: int | None = None, batch: int = 16384,
-              n_az_rt: int = 45, verbose: bool = True):
+              n_az_rt: int = 45, verbose: bool = True,
+              jy: bool = False, casa: bool = False):
     """Image mode (-img <lambda>): monochromatic MC + ray-traced map.
 
     The temperature is reused from a previous thermal run
@@ -472,8 +480,115 @@ def run_image(para: Para, img_lambda: float, root_dir: str = ".",
     arr = img.reshape(n_az, n_incl, ny, nx, ntype).transpose(4, 0, 1, 2, 3)
     data_dir = os.path.join(root_dir, f"data_{img_lambda:g}")
     os.makedirs(data_dir, exist_ok=True)
+    unit = "W.m-2.pixel-1"
+    if jy or casa:
+        nu = cst.c_light / (img_lambda * 1e-6)
+        arr = arr * (1e26 / nu)
+        unit = "JY/PIXEL"
+    if casa:
+        # -casa: CASA-compatible single-plane I map [1, 1, ny, nx]
+        # (reference lcasa output, output.f90 write RT with casa keywords)
+        arr = arr[0:1, 0:1, 0].astype(np.float32)
+        # arcsec/pix = size[AU]/npix / d[pc]; degrees = /3600
+        pixscale_deg = (para.maps.map_size / max(nx, ny)
+                        / para.maps.distance) / 3600.0
+        write_fits(os.path.join(data_dir, "RT.fits.gz"),
+                   np.ascontiguousarray(arr),
+                   keywords={"BUNIT": unit, "LAMBDA": float(img_lambda),
+                             "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+                             "CDELT1": -pixscale_deg,
+                             "CDELT2": pixscale_deg,
+                             "CRPIX1": nx / 2.0 + 1, "CRPIX2": ny / 2.0 + 1,
+                             "CRVAL1": 0.0, "CRVAL2": 0.0})
+        return img
     write_fits(os.path.join(data_dir, "RT.fits.gz"),
                np.ascontiguousarray(arr).astype(np.float32),
-               keywords={"BUNIT": "W.m-2.pixel-1",
+               keywords={"BUNIT": unit,
                          "LAMBDA": float(img_lambda)})
     return img
+
+
+def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
+                 chem=None, verbose: bool = True, write_extras: bool = True):
+    """Molecular line step honouring the para NLTE flags.
+
+    Mirrors mol_transfer.f90:60-140: chemistry cuts on the abundance
+    (freeze_out/photo_dissociation, :80-81), then either LTE populations
+    (lmol_LTE) or the NLTE loop (Sobolev initial solution + fixed-ray
+    lambda iteration standing in for the reference's 1+1D then full-MC
+    stages), then the ray-traced cubes; writes populations.fits.gz /
+    Tex.fits.gz / abundance.fits.gz next to lines.fits.gz
+    (output.f90:2871,3190; molecular_emission.f90:912)."""
+    from .physics.molecules import get_molecule, lte_populations
+    from .physics.chemistry import ChemistrySettings, apply_chemistry_cuts
+    from .transfer.mol import mol_cube, gas_number_density
+    from .grids import geometry as geom
+
+    m = para.mol.molecules[0]
+    mol = get_molecule(m.filename)
+    T_gas = np.asarray(T_gas, np.float64).reshape(-1)
+
+    # --- abundance: constant or file, then chemistry cuts
+    if m.cst_abundance or not m.abundance_file:
+        ab0 = np.full(T_gas.shape, m.abundance)
+    else:
+        from .io.fits import read_fits
+        cand = [m.abundance_file]
+        src = getattr(para, "source_path", None)
+        if src:
+            cand.append(os.path.join(os.path.dirname(src), m.abundance_file))
+        path = next((c for c in cand if os.path.isfile(c)), None)
+        if path is None:
+            print(f"  WARNING: abundance file {m.abundance_file} missing; "
+                  f"using constant {m.abundance}")
+            ab0 = np.full(T_gas.shape, m.abundance)
+        else:
+            ab0 = np.asarray(read_fits(path)[0][1], np.float64).reshape(-1)
+    chem = chem or ChemistrySettings()
+    abundance = apply_chemistry_cuts(model, host, T_gas, ab0, chem,
+                                     verbose=verbose)
+
+    # --- populations
+    pops = None
+    n_iter = 0
+    if para.mol.lpop and not para.mol.lte:
+        from .transfer.mol_nlte import nlte_populations
+        if verbose:
+            print(f"  NLTE populations ({mol.name.split()[0]}, "
+                  f"{m.level_max} levels)")
+        n_rays = 32 if para.mol.laccurate_pop else 8
+        pops, n_iter, diff = nlte_populations(
+            model, host, mol, T_gas, abundance, nlev=m.level_max,
+            n_rays=n_rays, initial="sobolev", verbose=verbose)
+        if verbose:
+            print(f"  NLTE converged in {n_iter} iters (max dpop {diff:.1e})")
+    else:
+        n_mol = gas_number_density(host) * abundance
+        pops = lte_populations(mol, T_gas, n_mol)
+
+    cube, cont, rt = mol_cube(model, host, T_gas, root_dir=root_dir,
+                              verbose=verbose, pops=pops,
+                              abundance=abundance)
+
+    if write_extras:
+        out_dir = os.path.join(root_dir, f"data_{mol.name.split()[0]}")
+        shape = geom.cell_shape(model.grid)
+        # populations.fits.gz: [n_cells..., n_levels] (ecriture_pops)
+        write_fits(os.path.join(out_dir, "populations.fits.gz"),
+                   pops.T.reshape((mol.n_levels,) + shape)
+                   .astype(np.float32))
+        # Tex.fits.gz for the ray-traced transitions (ecriture_Tex)
+        itr = np.array([t - 1 for t in m.transitions[:m.n_lines_rt]])
+        up, low = mol.trans_up[itr], mol.trans_low[itr]
+        dE = (mol.level_energy[up] - mol.level_energy[low]) * 1.602176634e-19
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = (pops[:, low] * mol.g[up][None, :]) / np.maximum(
+                pops[:, up] * mol.g[low][None, :], 1e-300)
+            tex = dE[None, :] / (cst.kb * np.log(np.maximum(ratio, 1e-30)))
+        tex = np.where(np.isfinite(tex), tex, 0.0)
+        write_fits(os.path.join(out_dir, "Tex.fits.gz"),
+                   tex.T.reshape((len(itr),) + shape).astype(np.float32),
+                   keywords={"BUNIT": "K"})
+        write_fits(os.path.join(out_dir, "abundance.fits.gz"),
+                   abundance.reshape(shape).astype(np.float32))
+    return cube, cont, rt, pops, n_iter

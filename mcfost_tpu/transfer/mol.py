@@ -232,7 +232,7 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
 
 def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
              root_dir: str = ".", n_vpoints: int = 8, verbose: bool = True,
-             pops: np.ndarray | None = None):
+             pops: np.ndarray | None = None, abundance=None):
     """Full -mol LTE pipeline: channel-map cubes for the parameter file's
     ray-tracing transitions, written as lines.fits.gz
     (emission_line_map, mol_transfer.f90:484-; docs/outputs.rst:80-96)."""
@@ -241,7 +241,8 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
     mol = get_molecule(m.filename)
     itrans = np.array([t - 1 for t in m.transitions[:m.n_lines_rt]])
     rt = MolRT(model, host, mol, T_gas, itrans,
-               abundance=m.abundance, v_turb=para.mol.v_turb,
+               abundance=m.abundance if abundance is None else abundance,
+               v_turb=para.mol.v_turb,
                v_turb_unit=para.mol.v_turb_unit, pops=pops)
 
     nv = m.n_speed

@@ -215,4 +215,9 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
             print(f"    NLTE iter {it}: max dpop/pop = {diff:.2e}")
         if diff < tol:
             break
+        from ..utils.safestop import safe_stop_requested
+        if safe_stop_requested():
+            print("    safe_stop: wall-clock budget reached, "
+                  "returning current populations")
+            break
     return pops, it, diff

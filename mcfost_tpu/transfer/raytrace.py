@@ -345,3 +345,54 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
         out[:, i_rt, 4] += fstar
 
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def tau_surface_positions(model: Model, x0, y0, z0, u, v, w, ilam,
+                          tau_s, max_steps: int = 4000):
+    """Position along each ray where the accumulated optical depth first
+    reaches ``tau_s`` (-tau=1_surface; reference compute_tau_surface role,
+    optical_depth.f90 + output.f90:1052-1120).
+
+    Returns (x, y, z, found) — found=False where the ray exits the model
+    before reaching tau_s (position reported as NaN, like the reference's
+    zeroed pixels)."""
+    grid = model.grid
+    n_cells = grid.n_cells
+    x0, y0, z0, ri, zj, entered = cyl.move_to_grid(grid, x0, y0, z0, u, v, w)
+
+    def cond(state):
+        return jnp.any(state[-1]) & (state[0] < max_steps)
+
+    def body(state):
+        it, x, y, z, ri, zj, tau, xs, ys, zs, found, alive = state
+        inside = cyl.is_inside(grid, ri, zj)
+        flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
+        kext = jnp.where(inside, model.kappa[model.p_icell[flat], ilam]
+                         * model.kappa_factor[flat], 0.0)
+        x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
+                                                 ri, zj)
+        dtau = l * kext
+        # crossing inside this cell?
+        hit = alive & ~found & (tau + dtau >= tau_s) & (kext > 0)
+        l_hit = jnp.where(kext > 0, (tau_s - tau) / jnp.maximum(kext, 1e-30),
+                          0.0)
+        xs = jnp.where(hit, x + u * l_hit, xs)
+        ys = jnp.where(hit, y + v * l_hit, ys)
+        zs = jnp.where(hit, z + w * l_hit, zs)
+        found = found | hit
+        tau = tau + jnp.where(alive, dtau, 0.0)
+        x, y, z = (jnp.where(alive, a, b) for a, b in
+                   ((x1, x), (y1, y), (z1, z)))
+        ri = jnp.where(alive, ri1, ri)
+        zj = jnp.where(alive, zj1, zj)
+        alive = alive & ~cyl.has_exited(grid, ri, zj, z) & ~found
+        return it + 1, x, y, z, ri, zj, tau, xs, ys, zs, found, alive
+
+    nan = jnp.full_like(x0, jnp.nan)
+    alive = entered & ~cyl.has_exited(grid, ri, zj, z0)
+    state = (jnp.zeros((), jnp.int32), x0, y0, z0, ri, zj,
+             jnp.zeros_like(x0), nan, nan, nan,
+             jnp.zeros_like(alive), alive)
+    st = jax.lax.while_loop(cond, body, state)
+    return st[7], st[8], st[9], st[10]
