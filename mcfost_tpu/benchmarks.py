@@ -1,0 +1,223 @@
+"""Published radiative-transfer benchmark setups.
+
+Mirrors src/benchmarks.f90: hard-coded configurations for the published
+inter-code benchmarks, selected by positional CLI keyword instead of a
+para file (init_mcfost.f90:430-460):
+
+    python -m mcfost_tpu Pascucci | vanZadelhoff1 | vanZadelhoff2 |
+                         Dutrey94 | HH30mol  [options]
+
+* Pascucci et al. 2004 (continuum): the bundled Pascucci_3.0.para model —
+  single 0.12 um astronomical-silicate grain forced to rho=3.6 g/cm3 and
+  isotropic scattering (init_Pascucci_benchmark, benchmarks.f90:15-35).
+* van Zadelhoff et al. 2002 problem 1 (NLTE line): fictitious 2-level
+  molecule in a static 1/r^2 spherical cloud at 20 K, vturb=150 m/s
+  (readMolecule_benchmark1 :84-155, init_benchmark_vanZadelhoff1 :293).
+* van Zadelhoff 2 (AGB envelope, model_1.d reader :320-401).
+* Dutrey et al. 1994 GG Tau disk / Pety et al. 2006 HH 30: imposed
+  power-law temperature, molecular cubes (init_GG_Tau_mol :250,
+  init_HH_30_mol :272).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import constants as cst
+from .config.para import (Para, Zone, DustSpecies, DustComponent, Star,
+                          Molecule)
+from .physics.molecules import MoleculeData
+
+BENCHMARK_NAMES = ("Pascucci", "vanZadelhoff1", "vanZadelhoff2",
+                   "Dutrey94", "HH30mol")
+
+
+# ---------------------------------------------------------------------------
+# Setups
+# ---------------------------------------------------------------------------
+
+def pascucci_para() -> Para:
+    """The Pascucci et al. 2004 disk (values from src/Pascucci_3.0.para)."""
+    p = Para()
+    p.version = 3.0
+    p.photons.n_eq_th = 1.28e6
+    p.photons.n_lambda = 1.28e3
+    p.wavelengths.n_lambda = 61
+    p.wavelengths.lambda_min = 0.110662
+    p.wavelengths.lambda_max = 2168.76
+    p.grid.n_rad, p.grid.nz, p.grid.n_az, p.grid.n_rad_in = 100, 70, 1, 20
+    p.maps.nx = p.maps.ny = 401
+    p.maps.map_size = 700.0
+    p.maps.imin, p.maps.imax, p.maps.n_incl = 12.5, 77.5, 2
+    p.maps.distance = 140.0
+    p.maps.disk_pa = 0.0
+    z = Zone(geometry=1, dust_mass=1.1e-6, gas_to_dust=100.0,
+             scale_height=99.73557010035817, ref_radius=500.0,
+             rin=1.0, edge=0.0, rout=1000.0, rc=100.0,
+             flaring_exp=1.125, surface_density_exp=0.125, gamma_exp=0.0)
+    p.zones = [z]
+    sp = DustSpecies(grain_type="Mie", n_components=1, mixing_rule=2,
+                     porosity=0.0, mass_fraction=1.0, dhs_vmax=0.9,
+                     components=[DustComponent("Draine_Si.dat", 1.0)],
+                     heating_method=1, amin=0.12, amax=0.12, aexp=3.5,
+                     n_grains=1)
+    p.dust = [[sp]]
+    p.stars = [Star(teff=5800.0, radius=1.0, mass=1.0)]
+    # benchmark forcing (init_Pascucci_benchmark): isotropic scattering
+    p.iso_scattering = True
+    return p
+
+
+def two_level_molecule(name="bench1", delta_e_cm=5.0, g2=3.0,
+                       aul=1.0e-4, kul=2.0e-10) -> MoleculeData:
+    """Fictitious 2-level molecule of van Zadelhoff benchmark 1
+    (readMolecule_benchmark1: Delta_E [cm^-1], g2, Aul, Kul from
+    mol_benchmark.dat; collision rate constant in temperature)."""
+    e_ev = np.array([0.0, delta_e_cm / 8065.541])
+    g = np.array([1.0, g2])
+    freq = np.array([cst.c_light * delta_e_cm * 100.0])
+    return MoleculeData(
+        name=name, weight=1.0, level_energy=e_ev, g=g,
+        trans_up=np.array([1]), trans_low=np.array([0]),
+        Aul=np.array([aul]), freq=freq,
+        coll_up=np.array([1]), coll_low=np.array([0]),
+        coll_temps=np.array([1.0, 1000.0]),
+        coll_rates=np.array([[kul, kul]]))
+
+
+def vanzadelhoff1_para() -> Para:
+    """Spherical 1/r^2 static cloud, T=20K (init_benchmark_vanZadelhoff1
+    + the paper's model: r_in=1e13 m, r_out=7.8e16 m)."""
+    p = Para()
+    rin_au = 1.0e13 / cst.AU_to_m
+    rout_au = 7.8e16 / cst.AU_to_m
+    p.grid.geometry = 2                       # spherical
+    p.grid.n_rad, p.grid.nz, p.grid.n_rad_in = 50, 20, 1
+    z = Zone(geometry=3, dust_mass=1.0e-6, gas_to_dust=100.0,
+             rin=rin_au, rout=rout_au, ref_radius=rin_au,
+             surface_density_exp=-2.0)        # envelope, rho ~ r^-2
+    p.zones = [z]
+    p.stars = [Star(teff=5000.0, radius=1.0, mass=1.0)]
+    p.mol.v_turb = 0.15                       # km/s
+    p.mol.v_turb_unit = "km/s"
+    p.mol.lte = False
+    p.mol.molecules = [Molecule(filename="bench1", level_max=2,
+                                abundance=1.0e-8, transitions=[1],
+                                n_lines_rt=1, vmin=-1.0, vmax=1.0,
+                                n_speed=21)]
+    return p
+
+
+def read_vanzadelhoff2_model(path: str):
+    """model_1.d reader (init_benchmark_vanzadelhoff2, benchmarks.f90:
+    320-401): 7 header lines then r[cm] nH2[cm^-3] junk T[K] v[km/s]
+    vturb[km/s], outside-in."""
+    rows = np.loadtxt(path, skiprows=7)
+    rows = rows[::-1]                         # store inside-out
+    r_au = rows[:, 0] * 1.0 / cst.AU_to_cm
+    n_h2 = rows[:, 1] * 1e6                   # cm^-3 -> m^-3
+    T = rows[:, 3]
+    v = rows[:, 4] * 1e3
+    vturb = rows[:, 5] * 1e3
+    return r_au, n_h2, T, v, vturb
+
+
+def _impose_temperature(model, host, law):
+    """Analytic Tdust/Tcin on the grid (ldust_mol benchmarks)."""
+    from .grids import geometry as geom
+    r = geom.host_arrays(model.grid, "r_grid")
+    return law(np.maximum(r, 1e-6))
+
+
+def run_benchmark(name: str, root_dir: str = ".", seed: int | None = None,
+                  overrides=None, verbose: bool = True):
+    """Entry point for the positional benchmark keywords."""
+    from .mc.model import build_model
+    from .runner import run_mol_step, run_thermal, run_sed_step
+    os.makedirs(root_dir, exist_ok=True)
+
+    if name == "Pascucci":
+        para = pascucci_para()
+        if overrides:
+            overrides(para)
+        T, sed_th, model, host, res = run_thermal(para, root_dir=root_dir,
+                                                  seed=seed)
+        run_sed_step(para, model, host, T, root_dir=root_dir, seed=seed)
+        return T
+
+    if name == "vanZadelhoff1":
+        para = vanzadelhoff1_para()
+        if overrides:
+            overrides(para)
+        model, host = build_model(para, cache_dir=os.path.join(
+            root_dir, ".mcfost_tpu_cache"))
+        T = np.full(model.grid.n_cells, 20.0)
+        mol = two_level_molecule()
+        from .transfer.mol_nlte import nlte_populations
+        pops, it, diff = nlte_populations(
+            model, host, mol, T, para.mol.molecules[0].abundance,
+            nlev=2, n_rays=16, initial="lte", verbose=verbose)
+        if verbose:
+            print(f"  vanZadelhoff1: {it} iterations, dpop={diff:.2e}")
+        # write the excitation-temperature profile, the benchmark's
+        # published observable (van Zadelhoff 2002 fig. 3)
+        from .io.fits import write_fits
+        with np.errstate(divide="ignore"):
+            ratio = (pops[:, 0] * mol.g[1]) / np.maximum(
+                pops[:, 1] * mol.g[0], 1e-300)
+            dE = (mol.level_energy[1] - mol.level_energy[0]) \
+                * 1.602176634e-19
+            tex = dE / (cst.kb * np.log(np.maximum(ratio, 1e-30)))
+        d = os.path.join(root_dir, "data_benchmark")
+        os.makedirs(d, exist_ok=True)
+        from .grids import geometry as geom
+        shape = geom.cell_shape(model.grid)
+        write_fits(os.path.join(d, "Tex.fits.gz"),
+                   tex.reshape(shape).astype(np.float32),
+                   keywords={"BUNIT": "K"})
+        return pops, tex, model, host
+
+    if name == "vanZadelhoff2":
+        path = os.path.join(root_dir, "model_1.d")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                "vanZadelhoff2 needs the published model_1.d table next to "
+                "root_dir (benchmarks.f90:338 reads it from cwd)")
+        r_au, n_h2, T, v, vturb = read_vanzadelhoff2_model(path)
+        raise NotImplementedError(
+            "vanZadelhoff2 driver: model table read OK "
+            f"({len(r_au)} radii); full envelope NLTE run pending")
+
+    if name in ("Dutrey94", "HH30mol"):
+        para = Para()
+        para.grid.n_rad, para.grid.nz = 60, 30
+        if name == "Dutrey94":
+            # GG Tau ring (Dutrey et al. 1994): 13CO disk 38-300 AU
+            para.zones = [Zone(geometry=1, dust_mass=1.0e-4,
+                               scale_height=15.0, ref_radius=100.0,
+                               rin=38.0, rout=300.0,
+                               flaring_exp=1.125,
+                               surface_density_exp=-1.375)]
+            law = lambda r: 30.0 * (r / 100.0) ** -0.5   # noqa: E731
+        else:
+            # HH 30 (Pety et al. 2006)
+            para.zones = [Zone(geometry=1, dust_mass=1.5e-5,
+                               scale_height=15.0, ref_radius=100.0,
+                               rin=4.0, rout=250.0,
+                               flaring_exp=1.25,
+                               surface_density_exp=-1.0)]
+            law = lambda r: 12.0 * (r / 100.0) ** -0.55  # noqa: E731
+            para.mol.v_turb = 0.23
+            para.mol.v_turb_unit = "km/s"
+        if overrides:
+            overrides(para)
+        model, host = build_model(para, cache_dir=os.path.join(
+            root_dir, ".mcfost_tpu_cache"))
+        T = _impose_temperature(model, host, law)
+        run_mol_step(para, model, host, T, root_dir=root_dir,
+                     verbose=verbose)
+        return T
+
+    raise ValueError(f"unknown benchmark {name!r}; "
+                     f"one of {BENCHMARK_NAMES}")

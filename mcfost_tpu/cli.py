@@ -35,6 +35,22 @@ def main(argv=None):
     if not argv[0].startswith("-"):
         para_file = argv.pop(0)
 
+    # positional benchmark keywords (init_mcfost.f90:430-460)
+    from .benchmarks import BENCHMARK_NAMES, run_benchmark
+    bench_name = next((b for b in BENCHMARK_NAMES
+                       if para_file and para_file.startswith(b)), None)
+    if bench_name is not None:
+        root = "."
+        seed = None
+        for j, a in enumerate(argv):
+            if a == "-root_dir":
+                root = argv[j + 1]
+            elif a == "-seed":
+                seed = int(argv[j + 1])
+        print(f"mcfost_tpu: running {bench_name} benchmark")
+        run_benchmark(bench_name, root_dir=root, seed=seed)
+        return 0
+
     para = read_para(para_file) if para_file else default_ref_para()
 
     root_dir = "."
@@ -74,6 +90,11 @@ def main(argv=None):
             i += 1; para.grid.nz = int(argv[i])
         elif a == "-n_az":
             i += 1; para.grid.n_az = int(argv[i])
+        elif a == "-resol":
+            para.maps.nx = int(argv[i + 1])
+            para.maps.ny = int(argv[i + 2]); i += 2
+        elif a == "-nphot_img":
+            i += 1; para.photons.n_image = float(argv[i])
         elif a == "-nphot_th":
             i += 1; para.photons.n_eq_th = float(argv[i])
         elif a == "-nphot_sed":
@@ -223,9 +244,18 @@ def main(argv=None):
         return 0
 
     if phantom_file is not None:
-        from .runner import run_phantom
+        from .runner import run_phantom, run_mol_step
         print(f"mcfost_tpu: Voronoi thermal MC from {phantom_file}")
-        run_phantom(para, phantom_file, root_dir=root_dir, seed=seed)
+        T, model, host, _res = run_phantom(para, phantom_file,
+                                           root_dir=root_dir, seed=seed)
+        if do_sed and para.wavelengths.compute_sed:
+            print("mcfost_tpu: SED step (MC + ray-traced)")
+            run_sed_step(para, model, host, T, root_dir=root_dir,
+                         seed=seed, jy=jy)
+        if do_mol:
+            mode = "LTE" if (para.mol.lte or not para.mol.lpop) else "NLTE"
+            print(f"mcfost_tpu: molecular line transfer ({mode})")
+            run_mol_step(para, model, host, T, root_dir=root_dir, chem=chem)
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 

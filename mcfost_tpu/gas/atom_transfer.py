@@ -644,7 +644,7 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
     npx, npy = para.maps.nx, para.maps.ny
     pix = para.maps.map_size / max(npx, npy)
     dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
-    rmax = float(geom.host_arrays(model.grid, "r_lim")[-1])
+    rmax = geom.model_extent(model.grid)[1]
 
     cube = np.zeros((n_rt, nv, nl, npy, npx))
     cont = np.zeros((n_rt, nl, npy, npx))

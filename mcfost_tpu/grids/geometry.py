@@ -152,3 +152,16 @@ def move_to_grid(grid, x, y, z, u, v, w):
         return x1, y1, z1, ri, tj, hit
     from ..transfer.raytrace import _move_to_grid
     return _move_to_grid(grid, x, y, z, u, v, w)
+
+
+def model_extent(grid):
+    """(rmin, rmax) of the model in AU for any grid kind — outer radial wall
+    for structured grids, seed-cloud extent for Voronoi meshes."""
+    import numpy as np
+    if is_voronoi(grid):
+        r = host_arrays(grid, "r_grid")
+        z = host_arrays(grid, "z_grid")
+        rmax = float(np.sqrt((r ** 2 + z ** 2).max()))
+        return float(max(r.min(), 1e-3)), rmax
+    rl = host_arrays(grid, "r_lim")
+    return float(rl[0]), float(rl[-1])

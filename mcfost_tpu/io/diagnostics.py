@@ -101,7 +101,7 @@ def write_tau_surface(model: Model, host: HostModel, ilam: int,
     n_rt = dirs.shape[0]
     npx, npy = para.maps.nx, para.maps.ny
     pix = para.maps.map_size / max(npx, npy)
-    rmax = float(geom.host_arrays(model.grid, "r_lim")[-1])
+    rmax = geom.model_extent(model.grid)[1]
     dtype = model.kappa.dtype
     out = np.zeros((n_rt, npy, npx, 3), np.float32)
     for i_rt in range(n_rt):

@@ -268,4 +268,84 @@ def phantom_to_sph(dump: PhantomDump) -> SPHModel:
 
 
 def read_phantom(path: str) -> SPHModel:
+    """Fortran-binary or HDF5 phantom dump, dispatched on the HDF5 magic
+    (reference: -phantom handles both, read_phantom.f90:63 vs :459)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"\x89HDF\r\n\x1a\n"):
+        return read_phantom_hdf5(path)
     return phantom_to_sph(read_dump(path))
+
+
+# ---------------------------------------------------------------------------
+# Phantom HDF5 dumps (reference read_phantom.f90:459-780 + hdf5_utils.f90)
+# ---------------------------------------------------------------------------
+
+def read_phantom_hdf5(path: str) -> SPHModel:
+    """Phantom HDF5 dump: groups header/particles/sinks with datasets
+    nparttot, massoftype, hfact, umass/utime/udist; xyz (N,3), h, vxyz,
+    itype, dustfrac (reference read_phantom.f90:579-700)."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        hdr = {k: np.asarray(v) for k, v in f["header"].items()}
+        p = f["particles"]
+        xyz = np.asarray(p["xyz"], np.float64)
+        part = {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+                "h": np.asarray(p["h"], np.float64)}
+        if "itype" in p:
+            part["itype"] = np.asarray(p["itype"], np.int32)
+        if "vxyz" in p:
+            v = np.asarray(p["vxyz"], np.float64)
+            part["vx"], part["vy"], part["vz"] = v[:, 0], v[:, 1], v[:, 2]
+        if "dustfrac" in p:
+            df = np.atleast_2d(np.asarray(p["dustfrac"], np.float64))
+            if df.shape[0] == part["h"].shape[0]:
+                df = df.T
+            for i in range(df.shape[0]):
+                part[f"dustfrac{i or ''}"] = df[i]
+        sink = {}
+        if "sinks" in f and f["sinks"].get("xyz") is not None \
+                and np.asarray(f["sinks"]["xyz"]).size:
+            s = f["sinks"]
+            sxyz = np.atleast_2d(np.asarray(s["xyz"], np.float64))
+            sink = {"x": sxyz[:, 0], "y": sxyz[:, 1], "z": sxyz[:, 2],
+                    "m": np.asarray(s["m"], np.float64),
+                    "h": np.asarray(s["h"], np.float64)}
+    dump = PhantomDump(fileid="FT:Phantom (HDF5)", header=hdr,
+                       blocks=[[part, sink]])
+    return phantom_to_sph(dump)
+
+
+def write_dump_hdf5(path: str, header: dict, particle_arrays: dict,
+                    sink_arrays: dict | None = None):
+    """HDF5 writer matching read_phantom_hdf5's layout (round-trip tests
+    + interop with phantom's --hdf5 builds)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        g = f.create_group("header")
+        for k, v in header.items():
+            g.create_dataset(k, data=v)
+        p = f.create_group("particles")
+        n = len(particle_arrays["x"])
+        p.create_dataset("xyz", data=np.stack(
+            [particle_arrays["x"], particle_arrays["y"],
+             particle_arrays["z"]], -1))
+        p.create_dataset("h", data=np.asarray(particle_arrays["h"]))
+        if "itype" in particle_arrays:
+            p.create_dataset("itype", data=np.asarray(
+                particle_arrays["itype"], np.int32))
+        if "vx" in particle_arrays:
+            p.create_dataset("vxyz", data=np.stack(
+                [particle_arrays["vx"], particle_arrays["vy"],
+                 particle_arrays["vz"]], -1))
+        dust = [k for k in particle_arrays if k.startswith("dustfrac")]
+        if dust:
+            p.create_dataset("dustfrac", data=np.stack(
+                [particle_arrays[k] for k in sorted(dust)]))
+        if sink_arrays:
+            s = f.create_group("sinks")
+            s.create_dataset("xyz", data=np.stack(
+                [sink_arrays["x"], sink_arrays["y"], sink_arrays["z"]], -1))
+            s.create_dataset("m", data=np.asarray(sink_arrays["m"]))
+            s.create_dataset("h", data=np.asarray(sink_arrays["h"]))
+        _ = n

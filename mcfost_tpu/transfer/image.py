@@ -39,7 +39,7 @@ def image_rt(model: Model, host: HostModel, xi, T_cells,
                                    n_sent_per_lambda, n_az_rt)
 
     from ..grids import geometry as _geom
-    rmax = float(_geom.host_arrays(model.grid, "r_lim")[-1])
+    rmax = _geom.model_extent(model.grid)[1]
     dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
     pix = map_size / max(npx, npy)                  # [AU]
     out = np.zeros((n_rt, npy, npx, N_TYPE))

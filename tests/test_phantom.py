@@ -129,3 +129,32 @@ def test_sph_to_voronoi_mass_conservation(dump_file):
     assert model.rho_dust == pytest.approx(model.rho_gas * 0.01)
     # most particles survive the default percentile box
     assert model.keep.mean() > 0.9
+
+
+def test_hdf5_roundtrip(tmp_path, dump_file):
+    """HDF5 dump -> same SPHModel as the Fortran-binary dump."""
+    h5 = str(tmp_path / "disc_00000.h5")
+    x, y, z, h = _synthetic_disk()
+    n = x.size
+    udist = cst.AU_to_cm
+    umass = cst.Msun_to_g
+    utime = np.sqrt(udist ** 3 / (ph.G_CGS * umass))
+    header = {"nparttot": np.int64(n), "ntypes": np.int32(1),
+              "npartoftype": np.int32(n), "nblocks": np.int32(1),
+              "massoftype": 1e-9, "hfact": 1.2, "time": 0.5,
+              "udist": udist, "umass": umass, "utime": utime}
+    parts = {"x": x, "y": y, "z": z, "h": h,
+             "vx": np.zeros(n), "vy": np.zeros(n), "vz": np.zeros(n),
+             "itype": np.ones(n, np.int8),
+             "dustfrac": np.full(n, 0.01)}
+    sinks = {"x": np.array([0.0]), "y": np.array([0.0]),
+             "z": np.array([0.0]), "m": np.array([1.0]),
+             "h": np.array([0.01])}
+    ph.write_dump_hdf5(h5, header, parts, sinks)
+
+    sph_h5 = ph.read_phantom(h5)          # magic-dispatched
+    sph_bin = ph.read_phantom(dump_file)
+    np.testing.assert_allclose(sph_h5.xyz, sph_bin.xyz, rtol=1e-12)
+    np.testing.assert_allclose(sph_h5.rho_gas, sph_bin.rho_gas, rtol=1e-12)
+    np.testing.assert_allclose(sph_h5.star_mass, sph_bin.star_mass)
+    assert sph_h5.dustfrac is not None
