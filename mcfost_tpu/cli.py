@@ -185,6 +185,8 @@ def main(argv=None):
                 i += 1; safe_stop_s = float(argv[i])
         elif a == "-not_random_Voronoi":
             not_random_voronoi = True
+        elif a == "-limb_darkening":
+            i += 1; para.limb_darkening = argv[i]
         elif a == "-mol_LTE":
             para.mol.lte = True
         elif a == "-mol_NLTE":

@@ -238,6 +238,7 @@ class Para:
     cavity: tuple | None = None             # (h[AU], r[AU], beta)
     puffed_rim: tuple | None = None         # (h_factor, r[AU], dr[AU])
     z_warp: float = 0.0
+    limb_darkening: str | float | None = None  # -limb_darkening (input.f90:628)
 
     @property
     def rmin(self) -> float:

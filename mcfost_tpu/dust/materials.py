@@ -103,7 +103,13 @@ def get_material(filename: str, data_dir: str | None = None) -> Material:
                               os.path.join(os.environ.get("MCFOST_UTILS", ""), "Dust")]):
         p = os.path.join(base, filename)
         if os.path.isfile(p):
-            return read_optical_indices_file(p)
+            try:
+                return read_optical_indices_file(p)
+            except (ValueError, IndexError):
+                # not an (n,k) indices file — likely a tabulated Q table
+                # (handled by dust.opacity_files); bulk properties fall
+                # back to the built-in grain density
+                return builtin_astrosil()
     return builtin_astrosil()
 
 

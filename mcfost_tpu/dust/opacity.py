@@ -230,6 +230,21 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
             for sp in species:
                 ksl = slice(k0, k0 + sp.n_grains)
                 a = grains.r_grain[ksl]
+                # tabulated Q table (Draine/Misselt/DustEM files, e.g. the
+                # PAH populations): bypass Mie (read_opacity.f90 path)
+                from . import opacity_files as opf
+                table = opf.try_read(sp.components[0].optical_indices_file)
+                if table is not None:
+                    out = opf.tabulated_optics(table, a, wl.lam, A)
+                    qext[ksl] = out["qext"].reshape(sp.n_grains, L)
+                    qsca[ksl] = out["qsca"].reshape(sp.n_grains, L)
+                    gsca[ksl] = out["gsca"].reshape(sp.n_grains, L)
+                    s11[ksl] = out["s11"].reshape(sp.n_grains, L, A)
+                    s12[ksl] = out["s12"].reshape(sp.n_grains, L, A)
+                    s33[ksl] = out["s33"].reshape(sp.n_grains, L, A)
+                    s34[ksl] = out["s34"].reshape(sp.n_grains, L, A)
+                    k0 += sp.n_grains
+                    continue
                 material = mat.get_material(sp.components[0].optical_indices_file)
                 coated = (sp.grain_type.lower() != "dhs"
                           and sp.n_components == 2 and sp.mixing_rule == 2)

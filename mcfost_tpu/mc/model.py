@@ -76,6 +76,10 @@ class Model(NamedTuple):
     kappa_ross: jax.Array      # (P, n_T) Rosseland-mean ext. / unit rho
     kappa_absp: jax.Array      # (P, n_T) Planck-mean abs. / unit rho
     zeta_inv: jax.Array        # (Nz,) inverse CDF of Min+09 eq. 7
+    # limb darkening: inverse CDF of mu I(mu) over the stellar surface
+    # (reference -limb_darkening, input.f90:628 read_limb_darkening_file +
+    # emit_packet's psi draw); None -> the cosine law sqrt(r)
+    limb_mu_inv: jax.Array | None = None
 
     @property
     def n_lambda(self) -> int:
@@ -334,9 +338,50 @@ def build_model(para: Para, dtype=jnp.float32,
                                             therm.tab_temp)
                                for p in range(P)])),
         zeta_inv=f(_zeta_inverse_table()),
+        limb_mu_inv=(f(_limb_table_from_para(para))
+                     if getattr(para, "limb_darkening", None) else None),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho, rho_gas=rho_gas,
                      velocity=velocity,
                      sph_keep=sph_keep if sph is not None else None)
     return model, host
+
+
+def limb_darkening_table(mu_i: np.ndarray, i_mu: np.ndarray,
+                         n_tab: int = 128) -> np.ndarray:
+    """Inverse CDF of mu*I(mu) for limb-darkened stellar emission.
+
+    mu_i/I_mu: the limb-darkening law (from a 2-column file, reference
+    read_limb_darkening_file input.f90:628, or an analytic law).  The
+    packet's surface-exit cosine is drawn as limb_mu_inv[r*n_tab] instead
+    of sqrt(r) (emit_packet_uniform_sphere, stars.f90:108-169)."""
+    order = np.argsort(mu_i)
+    mu = np.asarray(mu_i, np.float64)[order]
+    Imu = np.asarray(i_mu, np.float64)[order]
+    grid = np.linspace(max(mu[0], 1e-4), 1.0, 512)
+    pdf = grid * np.interp(grid, mu, Imu)
+    cdf = np.concatenate([[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1])
+                                           * np.diff(grid))])
+    cdf /= cdf[-1]
+    u = (np.arange(n_tab) + 0.5) / n_tab
+    return np.interp(u, cdf, np.concatenate([[grid[0]], grid[1:]]))
+
+
+def linear_limb_darkening(u_coeff: float, n_tab: int = 128) -> np.ndarray:
+    """I(mu) = 1 - u (1 - mu) (the classic linear law)."""
+    mu = np.linspace(0.0, 1.0, 256)
+    return limb_darkening_table(mu, 1.0 - u_coeff * (1.0 - mu), n_tab)
+
+
+def _limb_table_from_para(para: Para) -> np.ndarray:
+    """-limb_darkening argument: a 2-column (mu, I) file path or a linear
+    coefficient (reference: file only, input.f90:628)."""
+    ld = para.limb_darkening
+    if isinstance(ld, str):
+        try:
+            return linear_limb_darkening(float(ld))
+        except ValueError:
+            arr = np.loadtxt(ld)
+            return limb_darkening_table(arr[:, 0], arr[:, 1])
+    return linear_limb_darkening(float(ld))

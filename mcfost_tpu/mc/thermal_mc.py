@@ -96,7 +96,14 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
     srw = jnp.sqrt(jnp.maximum(1.0 - zn * zn, 0.0))
     arg = jnp.pi * (2.0 * r3 - 1.0)
     nx, ny, nz = srw * jnp.cos(arg), srw * jnp.sin(arg), zn
-    cospsi = jnp.sqrt(r4)
+    if model.limb_mu_inv is not None:
+        # limb-darkened exit cosine from the tabulated inverse CDF
+        # (reference -limb_darkening, stars.f90 psi draw)
+        nt = model.limb_mu_inv.shape[0]
+        cospsi = model.limb_mu_inv[
+            jnp.clip((r4 * nt).astype(jnp.int32), 0, nt - 1)]
+    else:
+        cospsi = jnp.sqrt(r4)
     phi = 2.0 * jnp.pi * r5
     us, vs, ws = cdapres(cospsi, phi, nx, ny, nz)
     if S == 1:

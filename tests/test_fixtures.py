@@ -38,9 +38,9 @@ MODELS = [
     ("discF_00500", True),
 ]
 
-COMMON = ["-nphot_th", "6000", "-nphot_sed", "250", "-resol", "31", "31",
-          "-seed", "1234"]
-GRID = ["-n_rad", "20", "-nz", "14"]
+COMMON = ["-nphot_th", "3000", "-nphot_sed", "120", "-resol", "21", "21",
+          "-seed", "1234", "-safe_stop", "45"]
+GRID = ["-n_rad", "16", "-nz", "10"]
 
 
 def MC_similar(x, y, threshold=0.01, mask_threshold=1e-24):

@@ -122,3 +122,17 @@ def test_mrw_matches_plain_walk():
     good = surf_a > 20.0
     rel = np.abs(surf_b[good] - surf_a[good]) / surf_a[good]
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_limb_darkening_biases_exit_cosine():
+    """u=0 reproduces the cosine law table; strong darkening shifts the
+    packet exit-cosine distribution toward the surface normal."""
+    import numpy as np
+    from mcfost_tpu.mc.model import linear_limb_darkening
+    u = (np.arange(128) + 0.5) / 128
+    t0 = linear_limb_darkening(0.0)
+    np.testing.assert_allclose(t0, np.sqrt(u), atol=1e-4)
+    t9 = linear_limb_darkening(0.9)
+    # I(mu) rises toward mu=1 relative to flat -> mean exit cosine larger
+    assert t9.mean() > t0.mean()
+    assert np.all(np.diff(t9) > 0)         # valid inverse CDF
