@@ -185,6 +185,12 @@ def main(argv=None):
                 i += 1; safe_stop_s = float(argv[i])
         elif a == "-not_random_Voronoi":
             not_random_voronoi = True
+        elif a == "-ISM_heating":
+            para.ism_model = 1
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1; para.chi_ism = float(argv[i])
+        elif a == "-ISM_heating_Bate":
+            para.ism_model = 2
         elif a == "-limb_darkening":
             i += 1; para.limb_darkening = argv[i]
         elif a == "-mol_LTE":

@@ -239,6 +239,8 @@ class Para:
     puffed_rim: tuple | None = None         # (h_factor, r[AU], dr[AU])
     z_warp: float = 0.0
     limb_darkening: str | float | None = None  # -limb_darkening (input.f90:628)
+    ism_model: int = 0             # -ISM_heating: 0 off, 1 ProDiMo, 2 Bate&Keto
+    chi_ism: float = 1.0
 
     @property
     def rmin(self) -> float:

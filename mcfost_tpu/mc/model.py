@@ -80,6 +80,11 @@ class Model(NamedTuple):
     # (reference -limb_darkening, input.f90:628 read_limb_darkening_file +
     # emit_packet's psi draw); None -> the cosine law sqrt(r)
     limb_mu_inv: jax.Array | None = None
+    # ISM heating (-ISM_heating): per-lambda ISM fraction of step-1
+    # emission + emitting-sphere radius (ism_energy_distribution +
+    # emit_packet_ISM, stars.f90:646-785)
+    frac_e_ism: jax.Array | None = None
+    r_ism: jax.Array | None = None
 
     @property
     def n_lambda(self) -> int:
@@ -285,7 +290,26 @@ def build_model(para: Para, dtype=jnp.float32,
             teff=np.repeat(stars.teff[:1], S), cdf_star=cdf)
     therm = thermal_mod.build_thermal_tables(
         wl, dust.kappa_abs, n_T=para.n_T, T_min=para.T_min, T_max=para.T_max)
-    em_cdf, l_tot = thermal_mod.emission_cdf(wl, stars.E_stars)
+    E_ism = None
+    r_ism = 0.0
+    frac_ism = None
+    if getattr(para, "ism_model", 0):
+        from ..physics.stars import ism_emission
+        from ..grids import geometry as _geom
+        rmin_, rmax_ = _geom.model_extent(grid)
+        try:
+            zmx = float(np.max(_geom.host_arrays(grid, "zmax")))
+        except (KeyError, TypeError, AttributeError):
+            zmx = 0.0
+        r_ism = 1.000001 * np.sqrt(rmax_ ** 2 + zmx ** 2)
+        E_ism = ism_emission(wl, r_ism, chi_ism=para.chi_ism,
+                             model=para.ism_model)
+        e_st = np.asarray(stars.E_stars, np.float64)
+        if e_st.ndim == 2:          # (S, L) -> per-lambda total
+            e_st = e_st.sum(0)
+        frac_ism = E_ism / np.maximum(e_st + E_ism, 1e-300)
+    em_cdf, l_tot = thermal_mod.emission_cdf(wl, stars.E_stars,
+                                             E_ism=E_ism)
 
     K, L = dust.tab_g.shape
     A = dust.prob_s11.shape[-1]
@@ -321,7 +345,9 @@ def build_model(para: Para, dtype=jnp.float32,
         star_r=f(stars.radius),
         cdf_star=f(stars.cdf_star),
         emission_cdf=f(em_cdf),
-        frac_e_stars=f(np.ones(L)),   # cold disk: all emission from stars
+        # cold disk: all step-1 emission from stars (minus the ISM share)
+        frac_e_stars=f(np.ones(L) if frac_ism is None
+                       else 1.0 - frac_ism),
         prob_e_cell=f(np.zeros((L, grid.n_cells + 1))),
         l_tot=f(l_tot),
         s11_rt=f(dust.s11_rt),
@@ -340,6 +366,8 @@ def build_model(para: Para, dtype=jnp.float32,
         zeta_inv=f(_zeta_inverse_table()),
         limb_mu_inv=(f(_limb_table_from_para(para))
                      if getattr(para, "limb_darkening", None) else None),
+        frac_e_ism=None if frac_ism is None else f(frac_ism),
+        r_ism=None if frac_ism is None else f(r_ism),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho, rho_gas=rho_gas,

@@ -121,8 +121,35 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
 
     if not disk:
         ri, zj = cyl.index_cell(model.grid, xs, ys, zs)
+        valid = jnp.ones_like(from_star)
+        if model.frac_e_ism is not None:
+            # ISM packets: uniform point on the R_ISM sphere, inward
+            # cosine-law direction, advanced to the grid boundary
+            # (emit_packet_ISM, stars.f90:728-785); packets missing the
+            # model count as emitted-and-escaped like the reference's
+            # lintersect=false branch
+            from_ism = (~from_star) \
+                & (r_sd <= model.frac_e_stars[ilam]
+                   + model.frac_e_ism[ilam])
+            ui, vi, wi = cdapres(-jnp.sqrt(r4), phi, nx, ny, nz)
+            xi0 = nx * model.r_ism
+            yi0 = ny * model.r_ism
+            zi0 = nz * model.r_ism
+            xg, yg, zg, rig, zjg, hit = cyl.move_to_grid(
+                model.grid, xi0, yi0, zi0, ui, vi, wi)
+            xs = jnp.where(from_ism, xg, xs)
+            ys = jnp.where(from_ism, yg, ys)
+            zs = jnp.where(from_ism, zg, zs)
+            us = jnp.where(from_ism, ui, us)
+            vs = jnp.where(from_ism, vi, vs)
+            ws = jnp.where(from_ism, wi, ws)
+            ri = jnp.where(from_ism, rig, ri)
+            zj = jnp.where(from_ism, zjg, zj)
+            valid = jnp.where(from_ism, hit, valid)
+            return (xs, ys, zs, us, vs, ws, ilam.astype(jnp.int32),
+                    ri, zj, ~from_ism, valid)
         return (xs, ys, zs, us, vs, ws, ilam.astype(jnp.int32),
-                ri, zj, jnp.ones_like(from_star))
+                ri, zj, jnp.ones_like(from_star), valid)
 
     # --- disk thermal emission (SED/image steps; prob_e_cell is zeros in
     # step 1 so this branch is never selected then)
@@ -143,7 +170,8 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
     ri, zj = cyl.index_cell(model.grid, x, y, z)
     ri = jnp.where(from_star, ri, ri_d.astype(jnp.int32))
     zj = jnp.where(from_star, zj, zj_d.astype(jnp.int32))
-    return x, y, z, u, v, w, ilam.astype(jnp.int32), ri, zj, from_star
+    return (x, y, z, u, v, w, ilam.astype(jnp.int32), ri, zj, from_star,
+            jnp.ones_like(from_star))
 
 
 def _tau_draw(r):
@@ -314,7 +342,7 @@ def advance(model: Model, key, state: MCState, n_packets,
             lam_forced = (ordinal % L).astype(jnp.int32)
         else:
             lam_forced = None
-        ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar = _emit(
+        ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid = _emit(
             model, R[:8], dtype, lam_forced, disk=mono)
         sel = lambda a, b: jnp.where(do_emit, a, b)
         x = sel(ex, s.x); y = sel(ey, s.y); z = sel(ez, s.z)
@@ -327,7 +355,8 @@ def advance(model: Model, key, state: MCState, n_packets,
         fscat = sel(jnp.zeros(B, bool), s.fscat)
         age = jnp.where(do_emit, 0, s.age)
         tau_rem = sel(_tau_draw(R[8]), s.tau_rem)
-        alive = s.alive | do_emit
+        # ISM packets that miss the model are emitted-and-escaped
+        alive = s.alive | (do_emit & evalid)
 
         # ---- star kill: packets crossing the cavity that hit the star die
         # (physical_length star test, optical_depth.f90:91-97 via

@@ -111,6 +111,28 @@ def _spectrum_from_fits(path: str, wl: WavelengthGrid, teff: float,
     return shape * (num / den)
 
 
+def ism_emission(wl: WavelengthGrid, r_ism_au: float,
+                 chi_ism: float = 1.0, model: int = 1) -> np.ndarray:
+    """E_ISM in the E_stars convention (ism_energy_distribution,
+    stars.f90:646-722): the ProDiMo-style field
+    chi*1.71*Wdil*B(20000K) + B(T_CMB) emitted inward from the R_ISM
+    sphere, normalised with the reference's
+    ``E_ISM *= 4 R_ISM^2 * 2/(h c^2) * 0.4`` (:721) — which in bb_shape
+    units (B_lambda / 2hc^2) is ``6.4 R^2 * shape``."""
+    wdil = 9.85357e-17            # reference parameters.f90:256
+    t_ism = 20000.0               # :258
+    if model == 2:
+        # Bate & Keto: Zucconi/Black diluted blackbodies (stars.f90:682-698)
+        shape = (1e-14 * bb_shape(wl.lam, 7500.0)
+                 + 1e-13 * bb_shape(wl.lam, 4000.0)
+                 + 4e-13 * bb_shape(wl.lam, 3000.0)
+                 + bb_shape(wl.lam, cst.T_Cmb))
+    else:
+        shape = (chi_ism * 1.71 * wdil * bb_shape(wl.lam, t_ism)
+                 + bb_shape(wl.lam, cst.T_Cmb))
+    return 6.4 * r_ism_au ** 2 * shape
+
+
 def ism_field(wl: WavelengthGrid, chi_ism: float = 1.0) -> np.ndarray:
     """ISM radiation field shape: CMB blackbody + a Mathis et al. (1983)
     like ISRF approximated as diluted blackbodies (ism_energy_distribution,

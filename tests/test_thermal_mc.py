@@ -136,3 +136,30 @@ def test_limb_darkening_biases_exit_cosine():
     # I(mu) rises toward mu=1 relative to flat -> mean exit cosine larger
     assert t9.mean() > t0.mean()
     assert np.all(np.diff(t9) > 0)         # valid inverse CDF
+
+
+def test_ism_emission_step1():
+    """-ISM_heating: ISM share of the step-1 emission CDF grows toward
+    the mm (CMB-dominated) bins and the MC runs with ISM packets emitted
+    from the R_ISM sphere (stars.f90:646-785)."""
+    import jax
+    import numpy as np
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.mc.model import build_model
+    from mcfost_tpu.mc.thermal_mc import run_thermal_mc
+
+    p = Para()
+    p.grid.n_rad, p.grid.nz, p.grid.n_rad_in = 12, 6, 2
+    p.wavelengths.n_lambda = 8
+    for sp in p.dust[0]:
+        sp.n_grains = 6
+    p.ism_model = 1
+    m, h = build_model(p)
+    fi = np.asarray(m.frac_e_ism)
+    assert fi.shape == (8,)
+    assert np.all((fi >= 0) & (fi <= 1))
+    assert fi[-1] > fi[0]                  # CMB wins in the mm
+    assert float(m.r_ism) > 300.0          # sphere encloses the disk
+    r = run_thermal_mc(m, jax.random.PRNGKey(0), 1500, batch=256)
+    assert int(r.emitted) >= 1500
+    assert np.isfinite(np.asarray(r.xkj)).all()
