@@ -76,6 +76,7 @@ def main(argv=None):
     casa = False
     safe_stop_s = None
     not_random_voronoi = False
+    spatial_dd = False
 
     i = 0
     while i < len(argv):
@@ -197,6 +198,11 @@ def main(argv=None):
             para.mol.lte = True
         elif a == "-mol_NLTE":
             para.mol.lte = False
+        elif a == "-spatial_dd":
+            # cell-sharded thermal MC (tallies split over devices, packets
+            # ring-routed to their owner slab) for models whose per-cell
+            # arrays exceed one chip's HBM — parallel/spatial.py
+            spatial_dd = True
         else:
             # Unknown flags are a hard error: a physics-changing reference
             # flag silently ignored would compute the wrong model
@@ -310,7 +316,8 @@ def main(argv=None):
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed,
-        output_j=output_j or need_j, output_uv=output_uv, hydro=hydro)
+        output_j=output_j or need_j, output_uv=output_uv, hydro=hydro,
+        spatial_dd=spatial_dd)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
     if need_j:
         from .mc import thermal_mc

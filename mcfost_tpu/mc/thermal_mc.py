@@ -246,14 +246,17 @@ def _row_searchsorted(tab, p, vals):
 
 def init_state(model: Model, batch: int, n_capt: int = 10,
                rt: bool = False, n_az_rt: int = 45,
-               jtally: bool = False) -> MCState:
+               jtally: bool = False, n_ct: int | None = None) -> MCState:
     """Fresh all-dead MC state (lanes are populated by refill).
 
     rt=True allocates the RT1 scattered-intensity tally
     (xI_scatt, reference dust_ray_tracing.f90:33): per (wavelength, cell,
-    azimuth bin, z-sign) and per (observer direction, Stokes/contrib type)."""
+    azimuth bin, z-sign) and per (observer direction, Stokes/contrib type).
+
+    n_ct: cell extent of the tally arrays — n_cells by default, or the
+    per-device slab size under spatial domain decomposition."""
     dtype = model.kappa.dtype
-    n_cells = model.grid.n_cells
+    n_cells = model.grid.n_cells if n_ct is None else n_ct
     L = model.n_lambda
     B = batch
     # NB: every field gets its own buffer (donation forbids aliased args)
@@ -281,50 +284,49 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
-                                             "rt", "n_az_rt", "mrw",
-                                             "mrw_gamma", "jtally",
-                                             "scat_method", "nabs_tally",
-                                             "dark", "age_cap"),
-                   donate_argnums=(2,))
-def advance(model: Model, key, state: MCState, n_packets,
-            n_iters: int = 2000, pola: bool = True,
-            mono: bool = False, rt: bool = False,
-            n_az_rt: int = 45, mrw: bool = True,
-            mrw_gamma: float = 2.0, jtally: bool = False,
-            scat_method: int = 2, nabs_tally: bool = False,
-            dark: bool = False, age_cap: int = 100000) -> MCState:
-    """Advance the MC by at most ``n_iters`` lock-step iterations.
+def make_mc_step(model: Model, key, n_packets, n_total=None,
+                 pola: bool = True, mono: bool = False, rt: bool = False,
+                 n_az_rt: int = 45, mrw: bool = True,
+                 mrw_gamma: float = 2.0, jtally: bool = False,
+                 scat_method: int = 2, nabs_tally: bool = False,
+                 dark: bool = False, age_cap: int = 100000,
+                 spatial=None):
+    """Build the fused one-iteration MC body ``body(MCState) -> MCState``.
 
-    Device executions are kept short (the host driver loops) so single XLA
-    invocations stay well under infrastructure deadlines and progress can be
-    reported.  State is donated: the loop runs in place on device.
+    Shared by the single/packet-DP driver (`advance`) and the spatially
+    decomposed driver (parallel/spatial.py).
 
-    mono=False: thermal step (etape 1) with B&W reemission.
-    mono=True: monochromatic observable step — forced scattering with albedo
-    weighting (dust_transfer.f90:1065-1077); model.prob_e_cell /
-    frac_e_stars must describe the per-wavelength emission split.
+    n_packets: local emission budget of this device; n_total: global packet
+    count setting the per-packet luminosity (equal when not sharded).
+
+    spatial: None, or ``(dev_id, n_dev, slab)`` — cell-slab ownership for
+    spatial domain decomposition (SURVEY §2.7 north star).  With it set:
+    * lanes whose current cell belongs to another device are *frozen*
+      (position/state untouched) until the caller ring-routes them to their
+      owner (`lax.ppermute` in parallel/spatial.py);
+    * all cell-indexed tallies (xkj, xJ, nabs, RT1 xi) address the local
+      slab ``flat - dev_id*slab`` — each device owns C/n_dev tally cells,
+      the axis that lets models exceed single-chip HBM;
+    * the B&W reemission temperature reads the owner's slab tally, which is
+      the *complete* running deposit for that cell (tighter than the DP
+      path, where each device sees only its private 1/n_dev share).
     """
     dtype = model.kappa.dtype
     grid = model.grid
     n_cells = grid.n_cells
     L = model.n_lambda
     nang = model.nang
-    B = state.x.shape[0]
-    n_capt = state.sed.shape[1]
-    zf = jnp.zeros(B, dtype)
 
     n_budget = jnp.asarray(n_packets, jnp.int32)
     # luminosity carried by each packet (repartition_wl_em,
     # thermal_emission.f90:344-356)
-    l_packet = model.l_tot / n_budget.astype(dtype)
-    it_end = state.it + n_iters
-
-    def cond(s: MCState):
-        return ((s.it < it_end)
-                & (jnp.any(s.alive) | (s.emitted < n_budget)))
+    n_tot = n_budget if n_total is None else jnp.asarray(n_total, jnp.int32)
+    l_packet = model.l_tot / n_tot.astype(dtype)
 
     def body(s: MCState):
+        B = s.x.shape[0]
+        n_capt = s.sed.shape[1]
+        zf = jnp.zeros(B, dtype)
         key_it = jax.random.fold_in(key, s.it)
         R = jax.random.uniform(key_it, (15, B), dtype)
 
@@ -373,6 +375,22 @@ def advance(model: Model, key, state: MCState, n_packets,
         # ---- 2. one wall crossing with tau bookkeeping
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
+        if spatial is not None:
+            # spatial DD: lanes inside a cell owned by another device are
+            # frozen in place this iteration; the driver ring-routes them.
+            # Lanes outside the grid (stellar cavity, entry from infinity)
+            # carry no deposit and may be advanced by any device.
+            dev_id, n_dev, slab = spatial
+            mine = (flat // slab) == dev_id
+            frozen = alive & inside & ~mine
+            act = alive & ~frozen
+            tloc = jnp.clip(flat - dev_id * slab, 0, slab - 1)
+            n_ct = slab              # cell extent of local tally arrays
+        else:
+            frozen = jnp.zeros(B, bool)
+            act = alive
+            tloc = flat
+            n_ct = n_cells
         P = model.n_buckets
         # per-cell quantities: n_cells is too large for a one-hot matmul,
         # so pack kappa_factor/volume/p_icell into one (n_cells, 3) table —
@@ -400,7 +418,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         # same per-thread-stale xT_ech state, thermal_emission.f90:683-702;
         # here the value is stale by at most the current iteration's
         # same-cell deposits from other lanes)
-        xkj_flat = s.xkj[flat]
+        xkj_flat = s.xkj[tloc]
 
         # ---- Modified Random Walk (Min et al. 2009; the reference has it
         # wired but disabled, src/MRW.f90 + dust_transfer.f90:1024-1041):
@@ -430,7 +448,7 @@ def advance(model: Model, key, state: MCState, n_packets,
             else:
                 rkross = jnp.sum(oh_t0 * kross_rows, axis=1) * kfac
                 dep_fac = jnp.sum(oh_t0 * kabsp_rows, axis=1)
-            do_mrw = alive & inside & (d_wall * rkross > mrw_gamma)
+            do_mrw = act & inside & (d_wall * rkross > mrw_gamma)
             # sphere-exit point and diffusion path length
             mu_u, mu_v, mu_w = isotropic_direction(R[1], R[2])
             nztab = model.zeta_inv.shape[0]
@@ -453,7 +471,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
                                                  ri, zj)
         dtau = l * opac
-        interact = alive & ~do_mrw & (dtau > tau_rem)
+        interact = act & ~do_mrw & (dtau > tau_rem)
         l_eff = jnp.where(interact, tau_rem / jnp.maximum(opac, 1e-30), l)
         l_eff = jnp.where(do_mrw, 0.0, l_eff)
 
@@ -466,22 +484,22 @@ def advance(model: Model, key, state: MCState, n_packets,
             pzs = z - model.star_pos[0, 2]
             t_ca2 = -(pxs * u + pys * v + pzs * w)
             d2s = pxs * pxs + pys * pys + pzs * pzs - t_ca2 * t_ca2
-            seg_hit = (alive & (t_ca2 > 0) & (t_ca2 < l_eff)
+            seg_hit = (act & (t_ca2 > 0) & (t_ca2 < l_eff)
                        & (d2s < model.star_r[0] ** 2))
-            alive = alive & ~seg_hit
+            act = act & ~seg_hit
 
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
         # it cancels against Qcool for uniform dust); MRW lanes deposit the
         # expected diffusion-walk absorption instead
-        dep_w = jnp.where(alive & inside, kabs_l * l_eff * sI, 0.0)
+        dep_w = jnp.where(act & inside, kabs_l * l_eff * sI, 0.0)
         dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
-        xkj = s.xkj.at[flat].add(dep_w)
+        xkj = s.xkj.at[tloc].add(dep_w)
 
         # per-lambda mean-intensity path tally (xJ_abs,
         # radiation_field.f90:60-66): sum of l * Stokes I per (cell, lambda)
         if jtally:
-            xj = s.xj.at[ilam * n_cells + flat].add(
-                jnp.where(alive & inside, l_eff * sI, 0.0))
+            xj = s.xj.at[ilam * n_ct + tloc].add(
+                jnp.where(act & inside, l_eff * sI, 0.0))
         else:
             xj = s.xj
 
@@ -497,8 +515,8 @@ def advance(model: Model, key, state: MCState, n_packets,
                              / (2.0 * jnp.pi) * n_az_rt).astype(jnp.int32),
                             0, n_az_rt - 1)
             psup = jnp.where(zm > 0.0, 0, 1)
-            base = ((ilam * n_cells + flat) * n_az_rt + kphi) * 2 + psup
-            valid = (alive & inside).astype(dtype) * l_eff
+            base = ((ilam * n_ct + tloc) * n_az_rt + kphi) * 2 + psup
+            valid = (act & inside).astype(dtype) * l_eff
             n_rt = model.rt_dirs.shape[0]
             A1 = nang + 1
             # all observer directions at once: (B, nRT)
@@ -562,7 +580,7 @@ def advance(model: Model, key, state: MCState, n_packets,
         # when the model has no dark zone (two per-cell gathers saved)
         if dark:
             flat1 = jnp.clip(cyl.flat_index(grid, ri1, zj1), 0, n_cells - 1)
-            into_dark = (alive & ~interact & ~do_mrw
+            into_dark = (act & ~interact & ~do_mrw
                          & cyl.is_inside(grid, ri1, zj1)
                          & model.dark_zone[flat1] & ~model.dark_zone[flat])
             u = jnp.where(into_dark, -u, u)
@@ -572,22 +590,24 @@ def advance(model: Model, key, state: MCState, n_packets,
             into_dark = jnp.zeros(B, bool)
         stay = interact | into_dark | do_mrw
         x = jnp.where(stay, jnp.where(interact, x + l_eff * u, x),
-                      jnp.where(alive, x1, x))
+                      jnp.where(act, x1, x))
         y = jnp.where(stay, jnp.where(interact, y + l_eff * v, y),
-                      jnp.where(alive, y1, y))
+                      jnp.where(act, y1, y))
         z = jnp.where(stay, jnp.where(interact, z + l_eff * w, z),
-                      jnp.where(alive, z1, z))
+                      jnp.where(act, z1, z))
         if mrw and not mono:
             x = jnp.where(do_mrw, x_mrw, x)
             y = jnp.where(do_mrw, y_mrw, y)
             z = jnp.where(do_mrw, z_mrw, z)
-        ri = jnp.where(stay | ~alive, ri, ri1)
-        zj = jnp.where(stay | ~alive, zj, zj1)
+        ri = jnp.where(stay | ~act, ri, ri1)
+        zj = jnp.where(stay | ~act, zj, zj1)
         tau_rem = jnp.where(interact, 0.0,
-                            jnp.maximum(tau_rem - dtau, 0.0))
+                            jnp.where(act,
+                                      jnp.maximum(tau_rem - dtau, 0.0),
+                                      tau_rem))
 
         # ---- 3. exits -> MC SED capture (capteur, output.f90:294-395)
-        exited = (alive & ~interact & ~do_mrw
+        exited = (act & ~interact & ~do_mrw
                   & cyl.has_exited(grid, ri, zj, z))
         wfold = jnp.abs(w)   # central symmetry fold
         capt = jnp.clip(((1.0 - wfold) * n_capt).astype(jnp.int32),
@@ -612,10 +632,10 @@ def advance(model: Model, key, state: MCState, n_packets,
         oh_sed = _one_hot(sed_idx, L * n_capt, dtype)
         sed = s.sed + jnp.einsum("bk,bc->kc", oh_sed, contrib).reshape(
             L, n_capt, 8)
-        alive = alive & ~exited
+        act = act & ~exited
 
         # ---- 4. interactions
-        interact = interact & alive
+        interact = interact & act
         if mono:
             # forced scattering: weight by albedo, kill faint packets
             sI = jnp.where(interact, sI * alb_l, sI)
@@ -623,7 +643,7 @@ def advance(model: Model, key, state: MCState, n_packets,
             sU = jnp.where(interact, sU * alb_l, sU)
             sV = jnp.where(interact, sV * alb_l, sV)
             faint = interact & (sI < 1e-12)
-            alive = alive & ~faint
+            act = act & ~faint
             interact = interact & ~faint
             do_scat = interact
             do_abs = jnp.zeros_like(interact)
@@ -731,7 +751,7 @@ def advance(model: Model, key, state: MCState, n_packets,
             lam_new = _count_below(cdfrow[:, :L - 1], R[10])
             ua, va, wa = isotropic_direction(R[11], R[13])
             if nabs_tally:
-                nabs = s.nabs.at[flat].add(jnp.where(do_abs, 1.0, 0.0))
+                nabs = s.nabs.at[tloc].add(jnp.where(do_abs, 1.0, 0.0))
             else:
                 nabs = s.nabs
 
@@ -764,19 +784,58 @@ def advance(model: Model, key, state: MCState, n_packets,
         # straggler age cap on device: a packet random-walking for an
         # extreme number of steps is killed and counted as lost (the bias
         # bound is n_lost / n_packets; the reference has no cap but also
-        # no lock-step cost for stragglers)
-        age = jnp.where(alive, age + 1, age)
-        overage = alive & (age > age_cap)
-        alive = alive & ~overage
+        # no lock-step cost for stragglers).  Frozen (awaiting-routing)
+        # lanes neither age nor die — they are not random-walking.
+        age = jnp.where(act, age + 1, age)
+        overage = act & (age > age_cap)
+        act = act & ~overage
         nkill = s.nkill + jnp.sum(overage.astype(jnp.int32))
 
         return MCState(x=x, y=y, z=z, u=u, v=v, w=w,
                        sI=sI, sQ=sQ, sU=sU, sV=sV,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
-                       alive=alive, fstar=fstar, fscat=fscat,
+                       alive=act | frozen, fstar=fstar, fscat=fscat,
                        emitted=emitted, nkill=nkill, xkj=xkj, xj=xj,
                        nabs=nabs, sed=sed, xi=xi, age=age, it=s.it + 1)
 
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
+                                             "rt", "n_az_rt", "mrw",
+                                             "mrw_gamma", "jtally",
+                                             "scat_method", "nabs_tally",
+                                             "dark", "age_cap"),
+                   donate_argnums=(2,))
+def advance(model: Model, key, state: MCState, n_packets,
+            n_iters: int = 2000, pola: bool = True,
+            mono: bool = False, rt: bool = False,
+            n_az_rt: int = 45, mrw: bool = True,
+            mrw_gamma: float = 2.0, jtally: bool = False,
+            scat_method: int = 2, nabs_tally: bool = False,
+            dark: bool = False, age_cap: int = 100000) -> MCState:
+    """Advance the MC by at most ``n_iters`` lock-step iterations.
+
+    Device executions are kept short (the host driver loops) so single XLA
+    invocations stay well under infrastructure deadlines and progress can be
+    reported.  State is donated: the loop runs in place on device.
+
+    mono=False: thermal step (etape 1) with B&W reemission.
+    mono=True: monochromatic observable step — forced scattering with albedo
+    weighting (dust_transfer.f90:1065-1077); model.prob_e_cell /
+    frac_e_stars must describe the per-wavelength emission split.
+    """
+    n_budget = jnp.asarray(n_packets, jnp.int32)
+    it_end = state.it + n_iters
+
+    def cond(s: MCState):
+        return ((s.it < it_end)
+                & (jnp.any(s.alive) | (s.emitted < n_budget)))
+
+    body = make_mc_step(model, key, n_budget, pola=pola, mono=mono, rt=rt,
+                        n_az_rt=n_az_rt, mrw=mrw, mrw_gamma=mrw_gamma,
+                        jtally=jtally, scat_method=scat_method,
+                        nabs_tally=nabs_tally, dark=dark, age_cap=age_cap)
     return jax.lax.while_loop(cond, body, state)
 
 

@@ -19,10 +19,22 @@ Geometry (walls, per-cell wall tables) is replicated — it is O(C) scalars,
 tiny next to the (L, C) tallies; densities/opacities stay in the per-
 bucket `p_icell` compression of the MC model.
 
-This module ships the *transport+tally* core (extinction deposition along
-rays, the xJ/xkj pattern of thermal_mc) with bitwise-checkable semantics;
-the fused thermal kernel plugs its interaction physics into the same
-routing skeleton next.
+Two kernels share the routing skeleton:
+
+* `spatial_deposit` — deterministic extinction deposition along rays
+  (no RNG), whose 8-dev == 1-dev float-tol test pins the
+  routing/ownership semantics exactly;
+* `run_thermal_mc_spatial` — the FULL fused thermal MC
+  (emission, scattering, B&W immediate reemission, MRW, SED/RT1
+  tallies; mc/thermal_mc.make_mc_step with ``spatial=`` ownership):
+  each device owns a slab of cells, advances only the lanes currently
+  inside its slab (plus lanes outside the grid), freezes the rest, and
+  ring-routes all lane state one hop per round.  xkj/xJ/nabs/xi tallies
+  are slab-local (memory per device = C/n_dev on the cell axis); only
+  the small (L, n_capt, 8) MC-SED tally is device-private and summed at
+  the end.  The B&W reemission temperature reads the owner's slab tally
+  — the complete running deposit for that cell, *tighter* than the
+  packet-DP path where each device sees only its private share.
 """
 from __future__ import annotations
 
@@ -34,6 +46,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..grids import geometry as geom
+from ..mc import thermal_mc
 from ..mc.model import Model
 
 
@@ -113,6 +126,157 @@ def _spatial_deposit_device(model: Model, x, y, z, u, v, w, ilam, wgt,
           u, v, w, wgt, ilam)
     st = jax.lax.while_loop(cond, body, st)
     return st[7]                          # tally
+
+
+# ---------------------------------------------------------------------------
+# Full thermal MC under spatial domain decomposition
+# ---------------------------------------------------------------------------
+
+# MCState fields with a per-lane (B,) leading axis: exactly these move with
+# the packet when it is ring-routed to its owner device.
+_LANE_FIELDS = ("x", "y", "z", "u", "v", "w", "sI", "sQ", "sU", "sV",
+                "ilam", "ri", "zj", "tau_rem", "alive", "fstar", "fscat",
+                "age")
+
+
+def _shift_lanes(s, axis: str, n_dev: int):
+    """One ring hop of all per-lane packet state (tallies/counters stay)."""
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    sh = lambda a: jax.lax.ppermute(a, axis, perm)  # noqa: E731
+    return s._replace(**{f: sh(getattr(s, f)) for f in _LANE_FIELDS})
+
+
+def _spatial_mc_chunk(mesh: Mesh, axis: str, n_dev: int, slab: int,
+                      n_total: int, n_rounds: int, n_inner: int,
+                      pola: bool, mono: bool, rt: bool, n_az_rt: int,
+                      mrw: bool, mrw_gamma: float, jtally: bool,
+                      scat_method: int, nabs_tally: bool, dark: bool,
+                      age_cap: int):
+    """Build the jitted per-chunk spatial advance.
+
+    Per device: ``n_rounds`` outer rounds of [``n_inner`` fused MC
+    iterations on owned/outside lanes  →  one ppermute ring hop of all
+    lane state], with a *collective* termination count so every device
+    executes the same number of collectives (a per-device exit would
+    deadlock the ring)."""
+
+    def dev_fn(model, keys, state, budgets):
+        dev = jax.lax.axis_index(axis)
+        key = keys[0]
+        budget = budgets[0]
+        mc = jax.tree.map(lambda a: a[0], state)
+        body = thermal_mc.make_mc_step(
+            model, key, budget, n_total, pola=pola, mono=mono, rt=rt,
+            n_az_rt=n_az_rt, mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
+            scat_method=scat_method, nabs_tally=nabs_tally, dark=dark,
+            age_cap=age_cap, spatial=(dev, n_dev, slab))
+
+        def work_of(m):
+            rem = jnp.maximum(budget - m.emitted, 0)
+            return jax.lax.psum(
+                jnp.sum(m.alive.astype(jnp.int32)) + rem, axis)
+
+        def round_body(st):
+            m, _, rnd = st
+            m = jax.lax.fori_loop(0, n_inner, lambda k, s2: body(s2), m)
+            m = _shift_lanes(m, axis, n_dev)
+            return (m, work_of(m), rnd + 1)
+
+        def cond(st):
+            return (st[1] > 0) & (st[2] < n_rounds)
+
+        mc, work, _ = jax.lax.while_loop(
+            cond, round_body, (mc, work_of(mc), jnp.zeros((), jnp.int32)))
+        return jax.tree.map(lambda a: a[None], mc), work[None]
+
+    f = jax.shard_map(dev_fn, mesh=mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis)),
+                      out_specs=(P(axis), P(axis)), check_vma=False)
+    return jax.jit(f, donate_argnums=(2,))
+
+
+def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
+                           batch_per_device: int = 4096, n_capt: int = 10,
+                           max_rounds: int = 1000000, n_inner: int = 48,
+                           rounds_per_call: int = 50, pola: bool = True,
+                           mono: bool = False, rt: bool = False,
+                           n_az_rt: int = 45, mrw: bool = True,
+                           mrw_gamma: float = 2.0, jtally: bool = False,
+                           scat_method: int = 2, nabs_tally: bool = False,
+                           age_cap: int = 100000,
+                           progress=None) -> thermal_mc.MCResult:
+    """Run the full thermal MC with cells sharded over ``mesh``.
+
+    Returns a globally-assembled MCResult identical in structure to the
+    replicated drivers'.  The per-device tally footprint on the cell axis
+    is C/n_dev — the memory-scaling axis of SURVEY §2.7 — at the price of
+    interior lanes idling while they ride the ring to their owner slab.
+    Deterministic per (key, mesh size): fixed ring schedule + per-device
+    counter RNG."""
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    n_cells = model.grid.n_cells
+    slab = slab_size(n_cells, n_dev)
+    n_per_dev = int(np.ceil(n_packets / n_dev))
+    keys = jax.random.split(key, n_dev)
+    budgets = jnp.full((n_dev,), n_per_dev, jnp.int32)
+
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape),
+        thermal_mc.init_state(model, batch_per_device, n_capt, rt=rt,
+                              n_az_rt=n_az_rt, jtally=jtally, n_ct=slab))
+    dark = bool(jax.device_get(jnp.any(model.dark_zone)))
+    chunk = _spatial_mc_chunk(mesh, axis, n_dev, slab,
+                              n_total=n_per_dev * n_dev,
+                              n_rounds=rounds_per_call, n_inner=n_inner,
+                              pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
+                              mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
+                              scat_method=scat_method,
+                              nabs_tally=nabs_tally, dark=dark,
+                              age_cap=age_cap)
+    summary = jax.jit(lambda s, wk: (jnp.max(s.it), jnp.sum(s.emitted),
+                                     jnp.sum(s.alive.astype(jnp.int32)),
+                                     wk[0]))
+    rounds = 0
+    while rounds * n_inner < max_rounds:
+        state, work = chunk(model, keys, state, budgets)
+        rounds += rounds_per_call
+        done, emitted, n_alive, wk = (
+            int(v) for v in jax.device_get(summary(state, work)))
+        if progress is not None:
+            progress(done, emitted, n_alive)
+        if wk == 0:
+            break
+
+    # ---- assemble the slab-sharded tallies back to global cell order
+    def slabs_to_cells(a):        # (n_dev, L, slab) -> (L, n_cells)
+        return a.transpose(1, 0, 2).reshape(a.shape[1], -1)[:, :n_cells]
+
+    st = jax.device_get(state)
+    L = model.n_lambda
+    xkj = np.asarray(st.xkj).reshape(-1)[:n_cells]
+    nabs = np.asarray(st.nabs).reshape(-1)[:n_cells]
+    xj = slabs_to_cells(np.asarray(st.xj).reshape(n_dev, L, slab)
+                        ).reshape(-1) if jtally else np.zeros(1)
+    if rt:
+        nrt, six = st.xi.shape[-2:]
+        xi = np.asarray(st.xi).reshape(n_dev, L, slab, n_az_rt * 2,
+                                       nrt, six)
+        xi = xi.transpose(1, 0, 2, 3, 4, 5).reshape(
+            L, n_dev * slab, n_az_rt * 2, nrt, six)[:, :n_cells]
+        xi = xi.reshape(L * n_cells * n_az_rt * 2, nrt, six)
+    else:
+        xi = np.asarray(st.xi).sum(0)
+    return thermal_mc.MCResult(
+        xkj=jnp.asarray(xkj),
+        nabs=jnp.asarray(nabs),
+        sed=jnp.sum(jnp.asarray(st.sed), axis=0),
+        emitted=jnp.sum(jnp.asarray(st.emitted)),
+        n_iters=jnp.max(jnp.asarray(st.it)),
+        n_lost=int(np.asarray(st.alive).sum() + np.asarray(st.nkill).sum()),
+        xi=jnp.asarray(xi),
+        xj=jnp.asarray(xj),
+    )
 
 
 def spatial_deposit(model: Model, mesh: Mesh, x, y, z, u, v, w, ilam, wgt,

@@ -62,8 +62,13 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 batch: int = 16384, n_capt: int = 10,
                 use_all_devices: bool = True, verbose: bool = True,
                 output_j: bool = False, output_uv: bool = False,
-                hydro=None):
-    """Execute the thermal MC step; returns (T_cells, sed_th, model, host)."""
+                hydro=None, spatial_dd: bool = False):
+    """Execute the thermal MC step; returns (T_cells, sed_th, model, host).
+
+    spatial_dd=True shards the grid cells (tallies) over the devices and
+    ring-routes packets to their owner slab (parallel/spatial.py) instead
+    of the default packet data-parallelism — for models whose per-cell
+    tally arrays exceed one chip's HBM (-spatial_dd)."""
     t0 = time.time()
     model, host = build_model(para, cache_dir=os.path.join(
         root_dir, ".mcfost_tpu_cache"), hydro=hydro)
@@ -123,7 +128,13 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
 
     t0 = time.time()
     devs = jax.devices()
-    if use_all_devices and len(devs) > 1:
+    if spatial_dd and len(devs) > 1:
+        from .parallel.spatial import run_thermal_mc_spatial
+        mesh = make_mesh(devs)
+        res = run_thermal_mc_spatial(model, key, n_packets, mesh,
+                                     batch_per_device=batch, n_capt=n_capt,
+                                     jtally=jtally)
+    elif use_all_devices and len(devs) > 1:
         mesh = make_mesh(devs)
         res = run_thermal_mc_sharded(model, key, n_packets, mesh,
                                      batch_per_device=batch, n_capt=n_capt,
@@ -211,7 +222,12 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
             print("  density updated (sublimation/hydrostatic): "
                   "re-running thermal MC")
         key, sub = jax.random.split(key)
-        if use_all_devices and len(devs) > 1:
+        if spatial_dd and len(devs) > 1:
+            from .parallel.spatial import run_thermal_mc_spatial
+            res = run_thermal_mc_spatial(model, sub, n_packets, mesh,
+                                         batch_per_device=batch,
+                                         n_capt=n_capt, jtally=jtally)
+        elif use_all_devices and len(devs) > 1:
             res = run_thermal_mc_sharded(model, sub, n_packets, mesh,
                                          batch_per_device=batch,
                                          n_capt=n_capt, jtally=jtally)

@@ -10,9 +10,9 @@ molecular_emission.f90:305-368), Doppler profiles with turbulence
 
 TPU-native: every (pixel, inclination) ray marches concurrently; the
 velocity channels of all ray-traced transitions ride along each ray as a
-vectorized axis.  The NLTE iteration (statistical equilibrium with the MC
-radiation field) is the next milestone; the scaffolding (collision rates in
-MoleculeData) is in place.
+vectorized axis.  NLTE level populations (statistical equilibrium against
+the angle-averaged radiation field) live in transfer/mol_nlte.py and are
+selected per the para flags (lpop / lmol_LTE) by the runner.
 """
 from __future__ import annotations
 

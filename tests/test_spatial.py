@@ -10,8 +10,10 @@ import pytest
 
 from mcfost_tpu.config.para import Para
 from mcfost_tpu.mc.model import build_model
+from mcfost_tpu.mc import thermal_mc
 from mcfost_tpu.parallel.mesh import make_mesh
-from mcfost_tpu.parallel.spatial import spatial_deposit, slab_size
+from mcfost_tpu.parallel.spatial import (run_thermal_mc_spatial,
+                                         spatial_deposit, slab_size)
 
 
 @pytest.fixture(scope="module")
@@ -68,6 +70,55 @@ def test_spatial_matches_single_device(small_model):
     assert t8.shape == t1.shape == (model.n_lambda, model.grid.n_cells)
     assert t1.sum() > 0, "rays deposited nothing"
     np.testing.assert_allclose(t8, t1, rtol=2e-5, atol=1e-7)
+
+
+def _run_spatial(model, seed=0, n=4096, **kw):
+    mesh = make_mesh(jax.devices())
+    return run_thermal_mc_spatial(
+        model, jax.random.PRNGKey(seed), n_packets=n, mesh=mesh,
+        batch_per_device=256, n_inner=24, rounds_per_call=40,
+        mrw=True, age_cap=20000, **kw)
+
+
+def test_spatial_thermal_mc_deterministic(small_model):
+    """Fixed ring schedule + counter RNG: same seed -> bitwise-equal
+    tallies (VERDICT r2 item 1 'deterministic per seed')."""
+    model, host = small_model
+    r1 = _run_spatial(model, n=1024)
+    r2 = _run_spatial(model, n=1024)
+    np.testing.assert_array_equal(np.asarray(r1.xkj), np.asarray(r2.xkj))
+    assert int(r1.emitted) == int(r2.emitted) == 1024
+
+
+def test_spatial_thermal_mc_matches_replicated(small_model):
+    """The full thermal MC with cells sharded over 8 devices agrees with
+    the replicated single-device run within MC noise (same physics,
+    different RNG streams) — the north-star criterion (VERDICT r2 item 1)."""
+    model, host = small_model
+    n = 4096
+    rs = _run_spatial(model, n=n)
+    rr = thermal_mc.run_thermal_mc(model, jax.random.PRNGKey(1), n,
+                                   batch=1024, age_cap=20000)
+    assert int(rs.emitted) == n
+    # global absorbed energy per packet
+    a_s = float(np.asarray(rs.xkj).sum()) / int(rs.emitted)
+    a_r = float(np.asarray(rr.xkj).sum()) / int(rr.emitted)
+    assert a_s > 0 and a_r > 0
+    assert abs(a_s - a_r) / a_r < 0.15, (a_s, a_r)
+    # cell temperatures agree where sampled (MC-percentile criterion,
+    # reference test_suite/test_mcfost.py:46-57 style)
+    T_s = np.asarray(thermal_mc.final_temperature(model, rs.xkj,
+                                                  int(rs.emitted)))
+    T_r = np.asarray(thermal_mc.final_temperature(model, rr.xkj,
+                                                  int(rr.emitted)))
+    good = (T_s > 5) & (T_r > 5)
+    assert good.sum() > model.grid.n_cells // 4
+    rel = np.abs(T_s[good] - T_r[good]) / T_r[good]
+    assert np.percentile(rel, 75) < 0.2
+    # MC SED captured on exit agrees in total energy
+    e_s = float(np.asarray(rs.sed)[..., 0].sum()) / int(rs.emitted)
+    e_r = float(np.asarray(rr.sed)[..., 0].sum()) / int(rr.emitted)
+    assert abs(e_s - e_r) / e_r < 0.1, (e_s, e_r)
 
 
 def test_slab_ownership_disjoint(small_model):
