@@ -77,6 +77,9 @@ def main(argv=None):
     safe_stop_s = None
     not_random_voronoi = False
     spatial_dd = False
+    rt_scheme = "rt1"
+    want_origin = False
+    want_reemission = False
 
     i = 0
     while i < len(argv):
@@ -194,10 +197,28 @@ def main(argv=None):
             para.ism_model = 2
         elif a == "-limb_darkening":
             i += 1; para.limb_darkening = argv[i]
+        elif a == "-origin":
+            # escaped-energy-by-origin-cell map (write_origin,
+            # output.f90:1366); image mode
+            want_origin = True
+        elif a == "-reemission_stats":
+            want_reemission = True
+        elif a == "-spot":
+            # hot/cold photospheric spot on star 1: T_spot, surface
+            # fraction, theta, phi (reference init_mcfost.f90:1111-1126)
+            para.spot = (float(argv[i + 1]), float(argv[i + 2]),
+                         float(argv[i + 3]), float(argv[i + 4])); i += 4
         elif a == "-mol_LTE":
             para.mol.lte = True
         elif a == "-mol_NLTE":
             para.mol.lte = False
+        elif a == "-rt2":
+            # RT2 ray-traced observables: per-cell specific intensity
+            # convolved with the phase matrix per viewing direction (the
+            # reference's 2D default scheme, dust_ray_tracing.f90:717-1240)
+            rt_scheme = "rt2"
+        elif a == "-rt1":
+            rt_scheme = "rt1"
         elif a == "-spatial_dd":
             # cell-sharded thermal MC (tallies split over devices, packets
             # ring-routed to their owner slab) for models whose per-cell
@@ -228,7 +249,7 @@ def main(argv=None):
         from .runner import run_image
         print(f"mcfost_tpu: image at {img_lambda} micron")
         run_image(para, img_lambda, root_dir=root_dir, seed=seed,
-                  jy=jy, casa=casa)
+                  jy=jy, casa=casa, scheme=rt_scheme, origin=want_origin)
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
@@ -317,7 +338,7 @@ def main(argv=None):
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed,
         output_j=output_j or need_j, output_uv=output_uv, hydro=hydro,
-        spatial_dd=spatial_dd)
+        spatial_dd=spatial_dd, reemission_stats=want_reemission)
     print(f"  T range: {T.min():.1f} .. {T.max():.1f} K")
     if need_j:
         from .mc import thermal_mc
@@ -361,7 +382,7 @@ def main(argv=None):
     if do_sed and para.wavelengths.compute_sed:
         print("mcfost_tpu: SED step (MC + ray-traced)")
         run_sed_step(para, model, host, T, root_dir=root_dir, seed=seed,
-                     jy=jy)
+                     jy=jy, scheme=rt_scheme)
 
     if do_mol:
         from .runner import run_mol_step

@@ -240,6 +240,8 @@ class Para:
     z_warp: float = 0.0
     limb_darkening: str | float | None = None  # -limb_darkening (input.f90:628)
     ism_model: int = 0             # -ISM_heating: 0 off, 1 ProDiMo, 2 Bate&Keto
+    # -spot T_spot surf_fraction theta phi (init_mcfost.f90:1111-1126)
+    spot: tuple | None = None
     chi_ism: float = 1.0
 
     @property

@@ -11,10 +11,12 @@ import jax.numpy as jnp
 
 from . import cyl3d as _c3d
 from . import cylindrical as _cyl
+from . import sph3d as _s3d
 from . import spherical as _sph
 from . import voronoi as _vor
 from .cyl3d import Cyl3DGrid
 from .cylindrical import CylGrid
+from .sph3d import Sph3DGrid
 from .spherical import SphGrid
 from .voronoi import VoronoiGrid
 
@@ -22,6 +24,8 @@ from .voronoi import VoronoiGrid
 def _mod(grid):
     if isinstance(grid, SphGrid):
         return _sph
+    if isinstance(grid, Sph3DGrid):
+        return _s3d
     if isinstance(grid, Cyl3DGrid):
         return _c3d
     return _cyl
@@ -96,12 +100,13 @@ def cell_from_flat(grid, icell):
     ic = icell.astype(jnp.int32)
     if is_voronoi(grid):
         return ic + 1, jnp.ones_like(ic)
-    if isinstance(grid, Cyl3DGrid):
+    if isinstance(grid, (Cyl3DGrid, Sph3DGrid)):
         ri = (ic % grid.n_rad) + 1
         rem = ic // grid.n_rad
         j = rem % (2 * grid.nz) + 1
         k = rem // (2 * grid.nz) + 1
-        return ri, _c3d.encode(grid, j, k)
+        enc = _s3d.encode if isinstance(grid, Sph3DGrid) else _c3d.encode
+        return ri, enc(grid, j, k)
     return (ic % grid.n_rad) + 1, (ic // grid.n_rad) + 1
 
 
@@ -112,7 +117,7 @@ def cell_shape(grid):
     (ecriture_temperature, output.f90:2523)."""
     if is_voronoi(grid):
         return (grid.n_cells,)
-    if isinstance(grid, Cyl3DGrid):
+    if isinstance(grid, (Cyl3DGrid, Sph3DGrid)):
         return (grid.n_az, 2 * grid.nz, grid.n_rad)
     return (grid.nz, grid.n_rad)
 
@@ -135,7 +140,7 @@ def move_to_grid(grid, x, y, z, u, v, w):
     if is_voronoi(grid):
         x1, y1, z1, ic, hit = _vor.move_to_grid(grid, x, y, z, u, v, w)
         return x1, y1, z1, ic, jnp.ones_like(ic), hit
-    if isinstance(grid, SphGrid):
+    if isinstance(grid, (SphGrid, Sph3DGrid)):
         dtype = x.dtype
         big = jnp.asarray(1.0e30, dtype)
         cm = 1.0 - (1e-6 if dtype == jnp.float64 else 2e-4)
@@ -148,7 +153,7 @@ def move_to_grid(grid, x, y, z, u, v, w):
         hit = (delta > 0.0) & (s1 > 0.0)
         s1 = jnp.where(hit, s1, 0.0)
         x1, y1, z1 = x + s1 * u, y + s1 * v, z + s1 * w
-        ri, tj = _sph.index_cell(grid, x1, y1, z1)
+        ri, tj = _mod(grid).index_cell(grid, x1, y1, z1)
         return x1, y1, z1, ri, tj, hit
     from ..transfer.raytrace import _move_to_grid
     return _move_to_grid(grid, x, y, z, u, v, w)

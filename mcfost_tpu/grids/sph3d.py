@@ -1,0 +1,349 @@
+"""3D spherical grid (n_az > 1): construction and vectorized traversal.
+
+Extends the 2D spherical grid (grids/spherical.py) with azimuthal
+phi-walls and *signed* latitude cells, following the reference's 3D mode
+(cross_spherical_cell phi-wall case, src/spherical_grid.f90:182-446;
+3D cell count n_cells = 2*n_rad*nz*n_az, grid.f90:277-284).
+
+Cell layout
+-----------
+* ``ri`` in 1..n_rad spherical shells (0 = inner cavity);
+* signed latitude index ``j`` in 1..2*nz over w = z/r: cells j>nz cover
+  w in [w_lim[j-nz-1], w_lim[j-nz]] (upper hemisphere), j<=nz mirror the
+  lower hemisphere (j=nz just below the midplane);
+* azimuthal index ``k`` in 1..n_az, uniform dphi = 2*pi/n_az.
+
+j and k are packed into one int ``zj = j + (2*nz+2)*(k-1)`` exactly like
+the 3D cylindrical grid, so the MC kernels' (ri, zj) packet state is
+unchanged.  Traversal = radial sphere quadratic + signed-nappe cone
+quadratic (midplane wall degenerates to the z=0 plane) + phi half-planes;
+nearest wall wins.  Polar walls (|w|=1) are not crossable (measure-zero
+axis rays are claimed by the r/phi walls first).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.para import Para
+from .cylindrical import _np_dt
+
+
+class Sph3DGrid(NamedTuple):
+    r_lim: jax.Array          # (n_rad+1,) spherical shell walls [AU]
+    r_lim2: jax.Array
+    w_lim: jax.Array          # (nz+1,) sin(latitude) walls, 0..1
+    phi_lim: jax.Array        # (n_az+1,) azimuthal walls — encodes n_az
+    volume: jax.Array         # (n_cells,)
+    r_grid: jax.Array         # (n_cells,) cylindrical radius of centre
+    z_grid: jax.Array         # (n_cells,) signed height of centre
+    phi_grid: jax.Array       # (n_cells,) centre azimuth
+
+    @property
+    def n_rad(self) -> int:
+        return self.r_lim.shape[0] - 1
+
+    @property
+    def nz(self) -> int:
+        return self.w_lim.shape[0] - 1
+
+    @property
+    def n_az(self) -> int:
+        return self.phi_lim.shape[0] - 1
+
+    @property
+    def n_cells(self) -> int:
+        return self.volume.shape[0]
+
+    @property
+    def _zstride(self) -> int:
+        return 2 * self.nz + 2
+
+
+def build_sph3d_grid(para: Para, dtype=jnp.float32) -> Sph3DGrid:
+    from .cylindrical import build_cylindrical_grid
+    n_rad, nz, n_az = para.grid.n_rad, para.grid.nz, para.grid.n_az
+    cylg = build_cylindrical_grid(para, dtype=jnp.float64)
+    r_lim = np.asarray(cylg.r_lim, np.float64)
+    r_lim2 = r_lim ** 2
+    r_lim3 = r_lim ** 3
+
+    w_lim = np.arange(nz + 1) / nz
+    dphi = 2.0 * np.pi / n_az
+    phi_lim = dphi * np.arange(n_az + 1)
+
+    # V(i,j,k) = (r3_{i+1}-r3_i)/3 * dw * dphi (solid-angle element)
+    rsph = np.sqrt(r_lim[1:] * r_lim[:-1])
+    Vi = (r_lim3[1:] - r_lim3[:-1]) / 3.0 * (1.0 / nz) * dphi   # (n_rad,)
+    volume = np.broadcast_to(Vi[None, None, :],
+                             (n_az, 2 * nz, n_rad)).reshape(-1)
+
+    # signed cell-centre latitude for j = 1..2nz
+    wc_half = 0.5 * (w_lim[1:] + w_lim[:-1])                     # (nz,)
+    wc = np.concatenate([-wc_half[::-1], wc_half])               # (2nz,)
+    uv = np.sqrt(np.maximum(1.0 - wc ** 2, 0.0))
+    r_grid = np.broadcast_to((rsph[None, :] * uv[:, None])[None],
+                             (n_az, 2 * nz, n_rad)).reshape(-1)
+    z_grid = np.broadcast_to((rsph[None, :] * wc[:, None])[None],
+                             (n_az, 2 * nz, n_rad)).reshape(-1)
+    phi_grid = np.broadcast_to(
+        ((np.arange(n_az) + 0.5) * dphi)[:, None, None],
+        (n_az, 2 * nz, n_rad)).reshape(-1)
+
+    grid = Sph3DGrid(
+        r_lim=jnp.asarray(np.asarray(r_lim, _np_dt(dtype))),
+        r_lim2=jnp.asarray(np.asarray(r_lim2, _np_dt(dtype))),
+        w_lim=jnp.asarray(np.asarray(w_lim, _np_dt(dtype))),
+        phi_lim=jnp.asarray(np.asarray(phi_lim, _np_dt(dtype))),
+        volume=jnp.asarray(np.asarray(volume, _np_dt(dtype))),
+        r_grid=jnp.asarray(np.asarray(r_grid, _np_dt(dtype))),
+        z_grid=jnp.asarray(np.asarray(z_grid, _np_dt(dtype))),
+        phi_grid=jnp.asarray(np.asarray(phi_grid, _np_dt(dtype))),
+    )
+    from . import geometry as _geom
+    _geom.register_host(grid, dict(
+        r_grid=r_grid.astype(np.float64), z_grid=z_grid.astype(np.float64),
+        phi_grid=phi_grid.astype(np.float64),
+        volume=volume.astype(np.float64),
+        r_lim=r_lim.astype(np.float64)))
+    return grid
+
+
+def _eps(dtype):
+    return 1.0e-14 if dtype == jnp.float64 else 3.0e-6
+
+
+# ---- index packing (same scheme as cyl3d) ----
+
+def decode(grid: Sph3DGrid, zj):
+    s = grid._zstride
+    return zj % s, zj // s + 1
+
+
+def encode(grid: Sph3DGrid, j, k):
+    return j + grid._zstride * (k - 1)
+
+
+def flat_index(grid: Sph3DGrid, ri, zj):
+    j, k = decode(grid, zj)
+    return ((ri - 1) + grid.n_rad * (j - 1)
+            + grid.n_rad * (2 * grid.nz) * (k - 1))
+
+
+def is_inside(grid: Sph3DGrid, ri, zj):
+    j, k = decode(grid, zj)
+    return ((ri >= 1) & (ri <= grid.n_rad)
+            & (j >= 1) & (j <= 2 * grid.nz))
+
+
+def has_exited(grid: Sph3DGrid, ri, zj, z):
+    return ri > grid.n_rad
+
+
+def _phi_index(grid: Sph3DGrid, x, y):
+    dphi = 2.0 * jnp.pi / grid.n_az
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    return jnp.clip((phi / dphi).astype(jnp.int32) + 1, 1, grid.n_az)
+
+
+def _lat_index(grid: Sph3DGrid, x, y, z):
+    """Signed latitude index j in 1..2nz from position."""
+    nz = grid.nz
+    r = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    w = z / r
+    jj = jnp.clip(jnp.searchsorted(grid.w_lim, jnp.abs(w), side="left"),
+                  1, nz).astype(jnp.int32)
+    return jnp.where(w >= 0.0, nz + jj, nz + 1 - jj)
+
+
+def index_cell(grid: Sph3DGrid, x, y, z):
+    r2 = x * x + y * y + z * z
+    ri = jnp.searchsorted(grid.r_lim2, r2, side="left").astype(jnp.int32)
+    inside_r = (ri >= 1) & (ri <= grid.n_rad)
+    j = _lat_index(grid, x, y, z)
+    k = _phi_index(grid, x, y)
+    return ri, encode(grid, jnp.where(inside_r, j, 1),
+                      jnp.where(inside_r, k, 1))
+
+
+def _signed_cone_crossing(x, y, z, u, v, w, wall_w, big, prec=1e-15):
+    """Smallest positive crossing of the half-cone at signed latitude
+    wall_w (w = z/r); wall_w == 0 is the midplane plane.  Wrong-nappe
+    roots (sign of z at the hit opposite to wall_w) are rejected."""
+    aw = jnp.abs(wall_w)
+    is_plane = aw < 1e-12
+    is_pole = aw > 1.0 - 1e-12
+    tan_w = wall_w / jnp.sqrt(jnp.maximum(1.0 - wall_w * wall_w, 1e-20))
+    tan2 = tan_w * tan_w
+    a = w * w - tan2 * (u * u + v * v)
+    a_safe = jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+    b = w * z - tan2 * (x * u + y * v)
+    # discriminant in the algebraically-stable form
+    #   delta = tan^2 [(wx-uz)^2 + (wy-vz)^2] - tan^4 (xv-yu)^2
+    # — the naive b^2 - a c cancels catastrophically in f32 for
+    # near-midplane cones (tan -> 0), silently losing the crossing
+    delta = (tan2 * ((w * x - u * z) ** 2 + (w * y - v * z) ** 2)
+             - tan2 * tan2 * (x * v - y * u) ** 2)
+    rac = jnp.sqrt(jnp.maximum(delta, 0.0))
+    t_1 = (-b - rac) / a_safe
+    t_2 = (-b + rac) / a_safe
+    lo = jnp.minimum(t_1, t_2)
+    hi = jnp.maximum(t_1, t_2)
+    ok_lo = (lo > prec) & ((z + lo * w) * wall_w >= 0.0)
+    ok_hi = (hi > prec) & ((z + hi * w) * wall_w >= 0.0)
+    t = jnp.where(ok_lo, lo, jnp.where(ok_hi, hi, big))
+    t = jnp.where(delta < 0.0, big, t)
+    # midplane: plane z = 0
+    w_safe = jnp.where(jnp.abs(w) > 1e-30, w, 1e-30)
+    t_plane = -z / w_safe
+    t_plane = jnp.where((t_plane > prec) & (jnp.abs(w) > 1e-30),
+                        t_plane, big)
+    t = jnp.where(is_plane, t_plane, t)
+    return jnp.where(is_pole, big, t)
+
+
+def cross_cell(grid: Sph3DGrid, x, y, z, u, v, w, ri, zj):
+    """One wall crossing: spherical shells + signed latitude cones +
+    phi half-planes (cross_spherical_cell, spherical_grid.f90:182-446)."""
+    dtype = x.dtype
+    eps = _eps(dtype)
+    cm, cp = 1.0 - eps, 1.0 + eps
+    big = jnp.asarray(1.0e30, dtype)
+    n_rad, nz, n_az = grid.n_rad, grid.nz, grid.n_az
+    j, k = decode(grid, zj)
+
+    r2 = x * x + y * y + z * z
+    b = x * u + y * v + z * w
+    in_cavity = ri == 0
+
+    # ---- radial sphere walls (same math as the 2D spherical grid)
+    r_out2 = grid.r_lim2[jnp.clip(ri, 0, n_rad)]
+    r_in2 = grid.r_lim2[jnp.clip(ri - 1, 0, n_rad)]
+    moving_in = b < 0.0
+    c_in = r2 - r_in2 * cm
+    delta_in = b * b - c_in
+    hits_inner = moving_in & (delta_in >= 0.0) & (ri > 0)
+    c_out = r2 - r_out2 * cp
+    delta = jnp.where(hits_inner, delta_in,
+                      jnp.maximum(b * b - c_out, 0.0))
+    delta_rad = jnp.where(hits_inner, -1, 1)
+    rac = jnp.sqrt(jnp.maximum(delta, 0.0))
+    s = -b - rac
+    s = jnp.where(s < 0.0, -b + rac, s)
+    s = jnp.maximum(s, 0.0)
+    c_cav = r2 - grid.r_lim2[0] * cp
+    rac_cav = jnp.sqrt(jnp.maximum(b * b - c_cav, 0.0))
+    s = jnp.where(in_cavity, (-b + rac_cav) * cp, s)
+
+    # ---- signed latitude walls: cell j spans [w_lo, w_hi]; both walls
+    # are pushed OUTWARD by eps (the reference's 1+-eps cone guards,
+    # spherical_grid.f90 correct_moins/plus) so a position that just
+    # overshot a wall cannot re-hit it at t ~ 0 and ping-pong
+    jc = jnp.clip(j, 1, 2 * nz)
+    upper_h = jc > nz
+    w_hi = jnp.where(upper_h, grid.w_lim[jnp.clip(jc - nz, 0, nz)],
+                     -grid.w_lim[jnp.clip(nz - jc, 0, nz)]) + eps
+    w_lo = jnp.where(upper_h, grid.w_lim[jnp.clip(jc - nz - 1, 0, nz)],
+                     -grid.w_lim[jnp.clip(nz - jc + 1, 0, nz)]) - eps
+    t_hi = _signed_cone_crossing(x, y, z, u, v, w, w_hi, big)
+    t_lo = _signed_cone_crossing(x, y, z, u, v, w, w_lo, big)
+    take_hi = t_hi < t_lo
+    t = jnp.where(take_hi, t_hi, t_lo) * cp
+    delta_j = jnp.where(take_hi, 1, -1)
+    t = jnp.where(in_cavity, big, t)
+
+    # ---- phi half-planes (identical geometry to the 3D cylindrical grid)
+    dphi = 2.0 * jnp.pi / n_az
+    a_uv = u * u + v * v
+    cross_z = x * v - y * u
+    kw = jnp.where(cross_z > 0.0, k, k - 1).astype(dtype) * dphi
+    sw, cw = jnp.sin(kw), jnp.cos(kw)
+    den = u * sw - v * cw
+    den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+    p = (y * cw - x * sw) / den_safe
+    p = jnp.where((jnp.abs(den) <= 1e-30) | (a_uv <= 1e-30) | in_cavity
+                  | (jnp.abs(cross_z) <= 0.0), big, p)
+    p = jnp.where(p < 0.0, big, p * cp)
+    delta_k = jnp.where(cross_z > 0.0, 1, -1)
+
+    length = jnp.minimum(jnp.minimum(s, t), p)
+    take_r = s <= length
+    take_p = (p <= length) & ~take_r
+
+    x1 = x + length * u
+    y1 = y + length * v
+    z1 = z + length * w
+
+    # radial crossing keeps (j, k); cavity entry re-bins both
+    ri1_r = ri + delta_rad
+    j_ent = _lat_index(grid, x1, y1, z1)
+    k_ent = _phi_index(grid, x1, y1)
+    j1_r = jnp.where(in_cavity, j_ent, j)
+    k1_r = jnp.where(in_cavity, k_ent, k)
+    j1_r = jnp.where(ri1_r == 0, 1, j1_r)
+    k1_r = jnp.where(ri1_r == 0, 1, k1_r)
+
+    ri1 = jnp.where(take_r, ri1_r, ri)
+    j1 = jnp.where(take_r, j1_r,
+                   jnp.where(take_p, j,
+                             jnp.clip(j + delta_j, 1, 2 * nz)))
+    k1 = jnp.where(take_r, k1_r,
+                   jnp.where(take_p, ((k - 1 + delta_k) % n_az) + 1, k))
+
+    z1 = jnp.where(z1 == 0.0, jnp.asarray(np.asarray(eps, _np_dt(dtype))),
+                   z1)
+    zj1 = encode(grid, j1.astype(jnp.int32), k1.astype(jnp.int32))
+    return (x1, y1, z1, ri1.astype(jnp.int32), zj1.astype(jnp.int32),
+            length)
+
+
+def pos_in_cell(grid: Sph3DGrid, ri, zj, rand1, rand2, rand3):
+    """Uniform random position inside cell (ri, j, k)."""
+    n_rad, nz, n_az = grid.n_rad, grid.nz, grid.n_az
+    j, k = decode(grid, zj)
+    r3a = grid.r_lim[jnp.clip(ri - 1, 0, n_rad)] ** 3
+    r3b = grid.r_lim[jnp.clip(ri, 0, n_rad)] ** 3
+    r = (r3a + rand1 * (r3b - r3a)) ** (1.0 / 3.0)
+    jc = jnp.clip(j, 1, 2 * nz)
+    upper_h = jc > nz
+    w_hi = jnp.where(upper_h, grid.w_lim[jnp.clip(jc - nz, 0, nz)],
+                     -grid.w_lim[jnp.clip(nz - jc, 0, nz)])
+    w_lo = jnp.where(upper_h, grid.w_lim[jnp.clip(jc - nz - 1, 0, nz)],
+                     -grid.w_lim[jnp.clip(nz - jc + 1, 0, nz)])
+    wv = w_lo + rand2 * (w_hi - w_lo)
+    uv = jnp.sqrt(jnp.maximum(1.0 - wv * wv, 0.0))
+    dphi = 2.0 * jnp.pi / n_az
+    phi = ((k - 1).astype(rand3.dtype) + rand3) * dphi
+    return r * uv * jnp.cos(phi), r * uv * jnp.sin(phi), r * wv
+
+
+def distance_to_closest_wall(grid: Sph3DGrid, ri, zj, x, y, z):
+    """Min distance to the cell walls (MRW sphere radius): shells exact,
+    cones/phi-planes via angular distance approximations."""
+    dtype = x.dtype
+    n_rad, nz, n_az = grid.n_rad, grid.nz, grid.n_az
+    j, k = decode(grid, zj)
+    ric = jnp.clip(ri, 1, n_rad)
+    jc = jnp.clip(j, 1, 2 * nz)
+    r = jnp.sqrt(x * x + y * y + z * z)
+    s1 = grid.r_lim[ric] - r
+    s2 = r - grid.r_lim[ric - 1]
+    wv = z / jnp.maximum(r, 1e-30)
+    upper_h = jc > nz
+    w_hi = jnp.where(upper_h, grid.w_lim[jnp.clip(jc - nz, 0, nz)],
+                     -grid.w_lim[jnp.clip(nz - jc, 0, nz)])
+    w_lo = jnp.where(upper_h, grid.w_lim[jnp.clip(jc - nz - 1, 0, nz)],
+                     -grid.w_lim[jnp.clip(nz - jc + 1, 0, nz)])
+    s3 = (w_hi - wv) * r
+    s4 = (wv - w_lo) * r
+    dphi = 2.0 * jnp.pi / n_az
+    p_lo = (k - 1).astype(dtype) * dphi
+    p_hi = k.astype(dtype) * dphi
+    s5 = jnp.abs(x * jnp.sin(p_lo) - y * jnp.cos(p_lo))
+    s6 = jnp.abs(x * jnp.sin(p_hi) - y * jnp.cos(p_hi))
+    m = jnp.minimum
+    return jnp.maximum(m(m(m(s1, s2), m(s3, s4)), m(s5, s6)), 0.0)

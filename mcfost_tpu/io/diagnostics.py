@@ -157,3 +157,39 @@ def write_column_density(model: Model, host: HostModel, root_dir: str = "."):
                            cd_h2.reshape(shape).astype(np.float32)],
                keywords={"BUNIT": "g.cm-2"})
     return path
+
+
+def write_origin(model: Model, orig, root_dir: str = ".",
+                 subdir: str = "data_th", lam_sel=None):
+    """origine.fits.gz: per-cell fraction of the escaped packet energy
+    that was last emitted in each cell (write_origin,
+    output.f90:1366-1420; star/ISM origin normalised in).
+
+    orig: flat (L*(C+1),) origin tally from the MC (slot C = star)."""
+    C = model.grid.n_cells
+    o = np.asarray(orig, np.float64).reshape(-1, C + 1)
+    if lam_sel is not None:
+        o = o[lam_sel:lam_sel + 1]
+    o = o.sum(0)
+    o_star = o[C]
+    o_disk = o[:C]
+    tot = o_disk.sum() + o_star
+    o_disk = o_disk / max(tot, 1e-300)
+    d = os.path.join(root_dir, subdir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "origine.fits.gz")
+    write_fits(path, o_disk.astype(np.float32),
+               keywords={"O_STAR": float(o_star / max(tot, 1e-300))})
+    return path
+
+
+def write_reemission_stats(model: Model, nabs, root_dir: str = "."):
+    """reemission_stats.fits.gz: number of absorption+reemission events
+    per cell during the thermal MC (reemission_stats,
+    output.f90:1553-1604)."""
+    d = os.path.join(root_dir, "data_th")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "reemission_stats.fits.gz")
+    write_fits(path, np.asarray(nabs, np.float32),
+               keywords={"BUNIT": "count"})
+    return path

@@ -143,20 +143,27 @@ def read_density_file(path: str, para: Para):
             f"density file grid ({n_rad}x{nzf}x{n_az}) does not match the "
             f"parameter file ({para.grid.n_rad}x{para.grid.nz}"
             f"x{para.grid.n_az})")
-    if nzf == 2 * para.grid.nz:
-        # full-plane file: fold to the upper half (the model grid mirrors)
-        dens = 0.5 * (dens[:, :, para.grid.nz:, :]
-                      + dens[:, :, :para.grid.nz, :][:, :, ::-1, :])
-    elif nzf != para.grid.nz:
-        raise ValueError(f"nz={nzf} in file vs {para.grid.nz} in para")
     if n_az > 1:
-        raise NotImplementedError("3D (n_az > 1) density files need the "
-                                  "3D cylindrical grid")
-
-    # model flat cell order is icell = (zj-1)*n_rad + (ri-1)
-    # (grids/cylindrical.py flat_index), i.e. radius fastest — exactly
-    # the FITS memory order of (nz, n_rad)
-    rho = dens.sum(0)[0].reshape(-1)        # (nz*n_rad,)
+        # 3D grid: signed-z cells, flat order (n_az, 2*nz, n_rad)
+        # (grids/cyl3d.py / sph3d.py flat_index); half-plane files are
+        # mirrored about the midplane
+        if nzf == para.grid.nz:
+            dens = np.concatenate([dens[:, :, ::-1, :], dens], axis=2)
+        elif nzf != 2 * para.grid.nz:
+            raise ValueError(f"nz={nzf} in file vs {para.grid.nz} "
+                             "(or 2x) in para")
+        rho = dens.sum(0).reshape(-1)       # (n_az*2nz*n_rad,)
+    else:
+        if nzf == 2 * para.grid.nz:
+            # full-plane file: fold to the upper half (the 2D grid mirrors)
+            dens = 0.5 * (dens[:, :, para.grid.nz:, :]
+                          + dens[:, :, :para.grid.nz, :][:, :, ::-1, :])
+        elif nzf != para.grid.nz:
+            raise ValueError(f"nz={nzf} in file vs {para.grid.nz} in para")
+        # model flat cell order is icell = (zj-1)*n_rad + (ri-1)
+        # (grids/cylindrical.py flat_index), i.e. radius fastest — exactly
+        # the FITS memory order of (nz, n_rad)
+        rho = dens.sum(0)[0].reshape(-1)    # (nz*n_rad,)
 
     gas = None
     vel = None

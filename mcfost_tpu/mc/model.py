@@ -85,6 +85,13 @@ class Model(NamedTuple):
     # emit_packet_ISM, stars.f90:646-785)
     frac_e_ism: jax.Array | None = None
     r_ism: jax.Array | None = None
+    # -spot hot/cold spot on star 1 (reference lspot packet reweighting,
+    # dust_transfer.f90:896-921): unit spot direction, cap cosine
+    # sqrt(1 - surf_fraction), and the per-lambda Planck intensity ratio
+    # (exp(hc/lambda k T_star)-1)/(exp(hc/lambda k T_spot)-1)
+    spot_dir: jax.Array | None = None
+    spot_cos: jax.Array | None = None
+    spot_corr: jax.Array | None = None
 
     @property
     def n_lambda(self) -> int:
@@ -225,10 +232,10 @@ def build_model(para: Para, dtype=jnp.float32,
         rho = vor.rho_dust
     elif para.grid.geometry == 2:
         if para.grid.n_az > 1:
-            raise NotImplementedError(
-                "3D spherical grids (n_az > 1) are not supported yet; "
-                "use grid_type 1 (cylindrical) for 3D models")
-        grid = build_spherical_grid(para, dtype=dtype)
+            from ..grids.sph3d import build_sph3d_grid
+            grid = build_sph3d_grid(para, dtype=dtype)
+        else:
+            grid = build_spherical_grid(para, dtype=dtype)
     elif para.grid.n_az > 1:
         from ..grids.cyl3d import build_cyl3d_grid
         grid = build_cyl3d_grid(para, dtype=dtype)
@@ -368,12 +375,32 @@ def build_model(para: Para, dtype=jnp.float32,
                      if getattr(para, "limb_darkening", None) else None),
         frac_e_ism=None if frac_ism is None else f(frac_ism),
         r_ism=None if frac_ism is None else f(r_ism),
+        **_spot_fields(para, wl, f),
     )
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho, rho_gas=rho_gas,
                      velocity=velocity,
                      sph_keep=sph_keep if sph is not None else None)
     return model, host
+
+
+def _spot_fields(para: Para, wl, f) -> dict:
+    """-spot T_spot surf_fraction theta phi (reference lspot,
+    init_mcfost.f90:1111-1126; packet reweighting
+    dust_transfer.f90:896-921)."""
+    spot = getattr(para, "spot", None)
+    if not spot:
+        return {}
+    t_spot, frac, theta, phi = spot
+    th, ph = np.deg2rad(theta), np.deg2rad(phi)
+    sdir = np.array([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                     np.cos(th)])
+    t_star = para.stars[0].teff
+    hc_lk = cst.hp * cst.c_light / (wl.lam * 1e-6 * cst.kb)
+    corr = (np.expm1(np.clip(hc_lk / t_star, 0, 500))
+            / np.maximum(np.expm1(np.clip(hc_lk / t_spot, 0, 500)), 1e-300))
+    return dict(spot_dir=f(sdir), spot_cos=f(np.sqrt(1.0 - frac)),
+                spot_corr=f(corr))
 
 
 def limb_darkening_table(mu_i: np.ndarray, i_mu: np.ndarray,

@@ -51,10 +51,17 @@ class MCState(NamedTuple):
                                # (xJ_abs, radiation_field.f90:20) or (1,)
     nabs: jax.Array            # (n_cells,) absorption counts
     sed: jax.Array             # (L, n_capt, 8) MC SED: I,Q,U,V + 4 contribs
-    xi: jax.Array              # RT1 scattered-intensity tally
-                               # (L*n_cells*n_az_rt*2, nRT, 6) or (1,1,1)
+    xi: jax.Array              # flat RT1 scattered-intensity tally
+                               # (L*C*n_az_rt*2*nRT*6,), or the flat RT2
+                               # specific-intensity tally
+                               # (L*C*(n_theta_I*n_phi_I+1)*6,), or (1,)
     age: jax.Array             # (B,) i32 iterations since lane emission
     it: jax.Array              # scalar i32
+    ocell: jax.Array           # (B,) i32 origin cell (-1 star/ISM); only
+                               # meaningful when the origin tally is on
+    orig: jax.Array            # (L*(C+1),) escaped energy by origin cell
+                               # (slot C = star/ISM) — write_origin
+                               # (output.f90:1366-1420) — or (1,)
 
 
 class MCResult(NamedTuple):
@@ -66,6 +73,7 @@ class MCResult(NamedTuple):
     n_lost: jax.Array          # lanes still alive at the iteration cap
     xi: jax.Array = None       # RT1 tally when rt was enabled
     xj: jax.Array = None       # per-lambda J tally when jtally was enabled
+    orig: jax.Array = None     # origin tally when origin was enabled
 
 
 def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
@@ -106,6 +114,16 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
         cospsi = jnp.sqrt(r4)
     phi = 2.0 * jnp.pi * r5
     us, vs, ws = cdapres(cospsi, phi, nx, ny, nz)
+    # -spot: packets emitted inside the spot cap carry the Planck
+    # intensity ratio as weight (dust_transfer.f90:896-921; star 1 only,
+    # like the reference)
+    if model.spot_corr is not None:
+        in_spot = (nx * model.spot_dir[0] + ny * model.spot_dir[1]
+                   + nz * model.spot_dir[2]) > model.spot_cos
+        w_emit = jnp.where(from_star & in_spot,
+                           _fg(model.spot_corr, ilam), 1.0)
+    else:
+        w_emit = jnp.ones_like(r_lam)
     if S == 1:
         rs = model.star_r[0] * (1.0 + 1e-6)
         xs = nx * rs + model.star_pos[0, 0]
@@ -147,9 +165,11 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
             zj = jnp.where(from_ism, zjg, zj)
             valid = jnp.where(from_ism, hit, valid)
             return (xs, ys, zs, us, vs, ws, ilam.astype(jnp.int32),
-                    ri, zj, ~from_ism, valid)
+                    ri, zj, ~from_ism, valid, w_emit,
+                    jnp.full_like(ilam, -1, jnp.int32))
         return (xs, ys, zs, us, vs, ws, ilam.astype(jnp.int32),
-                ri, zj, jnp.ones_like(from_star), valid)
+                ri, zj, jnp.ones_like(from_star), valid, w_emit,
+                jnp.full_like(ilam, -1, jnp.int32))
 
     # --- disk thermal emission (SED/image steps; prob_e_cell is zeros in
     # step 1 so this branch is never selected then)
@@ -171,7 +191,8 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
     ri = jnp.where(from_star, ri, ri_d.astype(jnp.int32))
     zj = jnp.where(from_star, zj, zj_d.astype(jnp.int32))
     return (x, y, z, u, v, w, ilam.astype(jnp.int32), ri, zj, from_star,
-            jnp.ones_like(from_star))
+            jnp.ones_like(from_star), w_emit,
+            jnp.where(from_star, -1, icell_d.astype(jnp.int32)))
 
 
 def _tau_draw(r):
@@ -246,12 +267,19 @@ def _row_searchsorted(tab, p, vals):
 
 def init_state(model: Model, batch: int, n_capt: int = 10,
                rt: bool = False, n_az_rt: int = 45,
-               jtally: bool = False, n_ct: int | None = None) -> MCState:
+               jtally: bool = False, n_ct: int | None = None,
+               rt2: bool = False, n_theta_i: int = 15,
+               n_phi_i: int = 15, origin: bool = False) -> MCState:
     """Fresh all-dead MC state (lanes are populated by refill).
 
     rt=True allocates the RT1 scattered-intensity tally
     (xI_scatt, reference dust_ray_tracing.f90:33): per (wavelength, cell,
     azimuth bin, z-sign) and per (observer direction, Stokes/contrib type).
+    rt2=True allocates the RT2 specific-intensity tally instead
+    (I_spec + I_spec_star, radiation_field.f90:91-130): per (wavelength,
+    cell, theta_I, phi_I) direction bin plus one direct-star bin, by
+    Stokes/contrib type.  Both are stored FLAT (1-D): a trailing (nRT, 6)
+    axis pair would be tile-padded to (4,128) on TPU — a 28x HBM blowup.
 
     n_ct: cell extent of the tally arrays — n_cells by default, or the
     per-device slab size under spatial domain decomposition."""
@@ -276,11 +304,16 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
             else jnp.zeros(1, dtype)),
         nabs=jnp.zeros(n_cells, dtype),
         sed=jnp.zeros((L, n_capt, 8), dtype),
-        xi=(jnp.zeros((L * n_cells * n_az_rt * 2,
-                       model.rt_dirs.shape[0], 6), dtype)
-            if rt else jnp.zeros((1, 1, 1), dtype)),
+        xi=(jnp.zeros(L * n_cells * (n_theta_i * n_phi_i + 1) * 6, dtype)
+            if rt2 else
+            jnp.zeros(L * n_cells * n_az_rt * 2
+                      * model.rt_dirs.shape[0] * 6, dtype)
+            if rt else jnp.zeros(1, dtype)),
         age=jnp.zeros(B, jnp.int32),
         it=jnp.zeros((), jnp.int32),
+        ocell=jnp.full(B, -1, jnp.int32),
+        orig=(jnp.zeros(L * (n_cells + 1), dtype) if origin
+              else jnp.zeros(1, dtype)),
     )
 
 
@@ -290,7 +323,9 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                  mrw_gamma: float = 2.0, jtally: bool = False,
                  scat_method: int = 2, nabs_tally: bool = False,
                  dark: bool = False, age_cap: int = 100000,
-                 spatial=None):
+                 spatial=None, rt2: bool = False,
+                 n_theta_i: int = 15, n_phi_i: int = 15,
+                 origin: bool = False):
     """Build the fused one-iteration MC body ``body(MCState) -> MCState``.
 
     Shared by the single/packet-DP driver (`advance`) and the spatially
@@ -344,32 +379,36 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             lam_forced = (ordinal % L).astype(jnp.int32)
         else:
             lam_forced = None
-        ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid = _emit(
-            model, R[:8], dtype, lam_forced, disk=mono)
+        (ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid,
+         ew_emit, eorig) = _emit(model, R[:8], dtype, lam_forced, disk=mono)
         sel = lambda a, b: jnp.where(do_emit, a, b)
         x = sel(ex, s.x); y = sel(ey, s.y); z = sel(ez, s.z)
         u = sel(eu, s.u); v = sel(ev, s.v); w = sel(ew, s.w)
         ilam = sel(eilam, s.ilam)
         ri = sel(eri, s.ri); zj = sel(ezj, s.zj)
-        sI = sel(jnp.ones(B, dtype), s.sI)
+        sI = sel(ew_emit, s.sI)
         sQ = sel(zf, s.sQ); sU = sel(zf, s.sU); sV = sel(zf, s.sV)
         fstar = sel(efstar, s.fstar)
         fscat = sel(jnp.zeros(B, bool), s.fscat)
+        ocell = sel(eorig, s.ocell) if origin else s.ocell
         age = jnp.where(do_emit, 0, s.age)
         tau_rem = sel(_tau_draw(R[8]), s.tau_rem)
         # ISM packets that miss the model are emitted-and-escaped
         alive = s.alive | (do_emit & evalid)
 
-        # ---- star kill: packets crossing the cavity that hit the star die
+        # ---- star kill: packets crossing the cavity that hit ANY star die
         # (physical_length star test, optical_depth.f90:91-97 via
-        # intersect_stars, stars.f90:812)
+        # intersect_stars looping all stars, stars.f90:812-938)
         in_cavity = alive & (ri == 0)
-        px = x - model.star_pos[0, 0]
-        py = y - model.star_pos[0, 1]
-        pz = z - model.star_pos[0, 2]
-        t_ca = -(px * u + py * v + pz * w)
-        d2 = px * px + py * py + pz * pz - t_ca * t_ca
-        hit_star = in_cavity & (t_ca > 0) & (d2 < model.star_r[0] ** 2)
+        hit_star = jnp.zeros(B, bool)
+        for s_i in range(model.star_r.shape[0]):
+            px = x - model.star_pos[s_i, 0]
+            py = y - model.star_pos[s_i, 1]
+            pz = z - model.star_pos[s_i, 2]
+            t_ca = -(px * u + py * v + pz * w)
+            d2 = px * px + py * py + pz * pz - t_ca * t_ca
+            hit_star = hit_star | (in_cavity & (t_ca > 0)
+                                   & (d2 < model.star_r[s_i] ** 2))
         alive = alive & ~hit_star
 
         # ---- 2. one wall crossing with tau bookkeeping
@@ -476,16 +515,18 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         l_eff = jnp.where(do_mrw, 0.0, l_eff)
 
         # Voronoi grids have no stellar cavity: stars sit inside cells, so
-        # the segment itself is tested against the star sphere
+        # the segment itself is tested against every star sphere
         # (intersect_stars along the step, optical_depth.f90:91-97)
         if cyl.is_voronoi(grid):
-            pxs = x - model.star_pos[0, 0]
-            pys = y - model.star_pos[0, 1]
-            pzs = z - model.star_pos[0, 2]
-            t_ca2 = -(pxs * u + pys * v + pzs * w)
-            d2s = pxs * pxs + pys * pys + pzs * pzs - t_ca2 * t_ca2
-            seg_hit = (act & (t_ca2 > 0) & (t_ca2 < l_eff)
-                       & (d2s < model.star_r[0] ** 2))
+            seg_hit = jnp.zeros(B, bool)
+            for s_i in range(model.star_r.shape[0]):
+                pxs = x - model.star_pos[s_i, 0]
+                pys = y - model.star_pos[s_i, 1]
+                pzs = z - model.star_pos[s_i, 2]
+                t_ca2 = -(pxs * u + pys * v + pzs * w)
+                d2s = pxs * pxs + pys * pys + pzs * pzs - t_ca2 * t_ca2
+                seg_hit = seg_hit | (act & (t_ca2 > 0) & (t_ca2 < l_eff)
+                                     & (d2s < model.star_r[s_i] ** 2))
             act = act & ~seg_hit
 
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
@@ -503,9 +544,38 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         else:
             xj = s.xj
 
+        # ---- RT2 specific-intensity tally (save_radiation_field RT2
+        # branch, radiation_field.f90:91-130): raw Stokes binned over the
+        # relative (theta, phi) direction bins; unscattered stellar packets
+        # go to the per-cell direct-star bin (I_spec_star) for the exact-
+        # angle convolution at image time (calc_Isca_rt2_star)
+        if rt2:
+            xm2 = x + 0.5 * l_eff * u
+            ym2 = y + 0.5 * l_eff * v
+            zm2 = z + 0.5 * l_eff * w
+            direct = fstar & ~fscat
+            phi_pos2 = jnp.arctan2(xm2, ym2)
+            phi_vol = jnp.arctan2(-u, -v)
+            rel = jnp.mod(phi_vol - phi_pos2, 2.0 * jnp.pi)
+            phi_b = jnp.clip((rel / (2.0 * jnp.pi)
+                              * n_phi_i).astype(jnp.int32), 0, n_phi_i - 1)
+            wmid = jnp.where(zm2 > 0.0, w, -w)   # midplane symmetry fold
+            th_b = jnp.clip(((wmid + 1.0) * 0.5
+                             * n_theta_i).astype(jnp.int32),
+                            0, n_theta_i - 1)
+            nb2 = n_theta_i * n_phi_i
+            b2 = jnp.where(direct, nb2, th_b * n_phi_i + phi_b)
+            base2 = (ilam * n_ct + tloc) * (nb2 + 1) + b2
+            valid2 = (act & inside).astype(dtype) * l_eff
+            fsv = fstar.astype(dtype)
+            vals2 = jnp.stack(
+                [sI, sQ, sU, sV, fsv * sI, (1.0 - fsv) * sI],
+                axis=-1) * valid2[:, None]                      # (B, 6)
+            lin2 = base2[:, None] * 6 + jnp.arange(6, dtype=jnp.int32)
+            xi = s.xi.at[lin2].add(vals2)
         # ---- RT1 scattered-intensity tally (calc_xI_scatt(_pola),
         # dust_ray_tracing.f90:480-632; angles in angles_scatt_rt1 :409-476)
-        if rt:
+        elif rt:
             from .sampling import rotation_to_frame
             xm = x + 0.5 * l_eff * u
             ym = y + 0.5 * l_eff * v
@@ -571,7 +641,11 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             vw = valid[:, None]
             vals = jnp.stack([S1o * vw, S2o * vw, S3o * vw, S4o * vw,
                               S1o * fs, S1o * fn], axis=-1)   # (B, nRT, 6)
-            xi = s.xi.at[base].add(vals)
+            # flat scatter into the 1-D tally (a (nRT, 6) trailing pair
+            # would be tile-padded 28x on TPU)
+            nrt6 = n_rt * 6
+            lin1 = base[:, None] * nrt6 + jnp.arange(nrt6, dtype=jnp.int32)
+            xi = s.xi.at[lin1].add(vals.reshape(B, nrt6))
         else:
             xi = s.xi
 
@@ -632,6 +706,14 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         oh_sed = _one_hot(sed_idx, L * n_capt, dtype)
         sed = s.sed + jnp.einsum("bk,bc->kc", oh_sed, contrib).reshape(
             L, n_capt, 8)
+        # escaped-energy-by-origin-cell tally (write_origin,
+        # output.f90:1366-1420; slot n_cells = star/ISM origin)
+        if origin:
+            oc = jnp.where(ocell >= 0, ocell, n_cells)
+            orig = s.orig.at[ilam * (n_cells + 1) + oc].add(
+                jnp.where(exited, sI, 0.0))
+        else:
+            orig = s.orig
         act = act & ~exited
 
         # ---- 4. interactions
@@ -796,7 +878,8 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
                        alive=act | frozen, fstar=fstar, fscat=fscat,
                        emitted=emitted, nkill=nkill, xkj=xkj, xj=xj,
-                       nabs=nabs, sed=sed, xi=xi, age=age, it=s.it + 1)
+                       nabs=nabs, sed=sed, xi=xi, age=age, it=s.it + 1,
+                       ocell=ocell, orig=orig)
 
     return body
 
@@ -805,7 +888,9 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                                              "rt", "n_az_rt", "mrw",
                                              "mrw_gamma", "jtally",
                                              "scat_method", "nabs_tally",
-                                             "dark", "age_cap"),
+                                             "dark", "age_cap", "rt2",
+                                             "n_theta_i", "n_phi_i",
+                                             "origin"),
                    donate_argnums=(2,))
 def advance(model: Model, key, state: MCState, n_packets,
             n_iters: int = 2000, pola: bool = True,
@@ -813,7 +898,9 @@ def advance(model: Model, key, state: MCState, n_packets,
             n_az_rt: int = 45, mrw: bool = True,
             mrw_gamma: float = 2.0, jtally: bool = False,
             scat_method: int = 2, nabs_tally: bool = False,
-            dark: bool = False, age_cap: int = 100000) -> MCState:
+            dark: bool = False, age_cap: int = 100000,
+            rt2: bool = False, n_theta_i: int = 15,
+            n_phi_i: int = 15, origin: bool = False) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -835,7 +922,9 @@ def advance(model: Model, key, state: MCState, n_packets,
     body = make_mc_step(model, key, n_budget, pola=pola, mono=mono, rt=rt,
                         n_az_rt=n_az_rt, mrw=mrw, mrw_gamma=mrw_gamma,
                         jtally=jtally, scat_method=scat_method,
-                        nabs_tally=nabs_tally, dark=dark, age_cap=age_cap)
+                        nabs_tally=nabs_tally, dark=dark, age_cap=age_cap,
+                        rt2=rt2, n_theta_i=n_theta_i, n_phi_i=n_phi_i,
+                        origin=origin)
     return jax.lax.while_loop(cond, body, state)
 
 
@@ -875,10 +964,13 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    compact_tail: bool = True, mrw: bool = True,
                    mrw_gamma: float = 2.0, age_cap: int = 100000,
                    jtally: bool = False, scat_method: int = 2,
-                   nabs_tally: bool = False, progress=None) -> MCResult:
+                   nabs_tally: bool = False, progress=None,
+                   rt2: bool = False, n_theta_i: int = 15,
+                   n_phi_i: int = 15, origin: bool = False) -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
     state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt,
-                       jtally=jtally)
+                       jtally=jtally, rt2=rt2, n_theta_i=n_theta_i,
+                       n_phi_i=n_phi_i, origin=origin)
     # static dark-zone switch: the reflection test costs two per-cell
     # gathers per iteration, elided when the model has no dark zone
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
@@ -890,7 +982,9 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                         pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
                         mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
                         scat_method=scat_method, nabs_tally=nabs_tally,
-                        dark=dark, age_cap=age_cap)
+                        dark=dark, age_cap=age_cap, rt2=rt2,
+                        n_theta_i=n_theta_i, n_phi_i=n_phi_i,
+                        origin=origin)
         # ONE jitted summary + ONE transfer per chunk: eager per-field
         # reads over a tunnelled TPU cost ~0.1s dispatch latency each
         done_iters, emitted, n_alive = (
@@ -913,7 +1007,7 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                     emitted=state.emitted, n_iters=state.it,
                     n_lost=jnp.sum(state.alive.astype(jnp.int32))
                     + state.nkill,
-                    xi=state.xi, xj=state.xj)
+                    xi=state.xi, xj=state.xj, orig=state.orig)
 
 
 def mean_intensity(model: Model, wl_dlam_um, xj, n_packets):

@@ -57,11 +57,14 @@ def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
                                 dark=dark, age_cap=age_cap)
         return jax.tree.map(lambda a: a[None], st)
 
-    return jax.shard_map(
+    # jit the shard_mapped chunk: without it every host-loop call re-traces
+    # the whole fused kernel (measured ~100x slowdown); state is donated so
+    # the sharded MCState advances in place
+    return jax.jit(jax.shard_map(
         dev_fn, mesh=mesh,
         in_specs=(P(), P("dp"), P("dp"), P("dp")),
         out_specs=P("dp"),
-        check_vma=False)
+        check_vma=False), donate_argnums=(2,))
 
 
 def _compact_sharded(state, b_small: int):

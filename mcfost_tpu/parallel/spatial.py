@@ -259,12 +259,11 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
     xj = slabs_to_cells(np.asarray(st.xj).reshape(n_dev, L, slab)
                         ).reshape(-1) if jtally else np.zeros(1)
     if rt:
-        nrt, six = st.xi.shape[-2:]
-        xi = np.asarray(st.xi).reshape(n_dev, L, slab, n_az_rt * 2,
-                                       nrt, six)
+        nrt = int(model.rt_dirs.shape[0])
+        xi = np.asarray(st.xi).reshape(n_dev, L, slab, n_az_rt * 2, nrt, 6)
         xi = xi.transpose(1, 0, 2, 3, 4, 5).reshape(
-            L, n_dev * slab, n_az_rt * 2, nrt, six)[:, :n_cells]
-        xi = xi.reshape(L * n_cells * n_az_rt * 2, nrt, six)
+            L, n_dev * slab, -1)[:, :n_cells]
+        xi = xi.reshape(-1)          # flat 1-D tally contract
     else:
         xi = np.asarray(st.xi).sum(0)
     return thermal_mc.MCResult(

@@ -62,7 +62,8 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 batch: int = 16384, n_capt: int = 10,
                 use_all_devices: bool = True, verbose: bool = True,
                 output_j: bool = False, output_uv: bool = False,
-                hydro=None, spatial_dd: bool = False):
+                hydro=None, spatial_dd: bool = False,
+                reemission_stats: bool = False):
     """Execute the thermal MC step; returns (T_cells, sed_th, model, host).
 
     spatial_dd=True shards the grid cells (tallies) over the devices and
@@ -141,8 +142,12 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                                      jtally=jtally)
     else:
         res = thermal_mc.run_thermal_mc(model, key, n_packets, batch=batch,
-                                        n_capt=n_capt, jtally=jtally)
+                                        n_capt=n_capt, jtally=jtally,
+                                        nabs_tally=reemission_stats)
     res.xkj.block_until_ready()
+    if reemission_stats:
+        from .io.diagnostics import write_reemission_stats
+        write_reemission_stats(model, res.nabs, root_dir)
     dt = time.time() - t0
     if verbose:
         print(f"  thermal MC: {int(res.emitted)} packets in {dt:.2f}s "
@@ -390,7 +395,8 @@ def run_sph(para: Para, sph, root_dir: str = ".",
 
 def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
                  seed: int | None = None, batch: int = 16384,
-                 n_az_rt: int = 45, verbose: bool = True, jy: bool = False):
+                 n_az_rt: int = 45, verbose: bool = True, jy: bool = False,
+                 scheme: str = "rt1"):
     """Step 2: MC SED + ray-traced SED; writes sed_mc.fits.gz and
     sed_rt.fits.gz (reference output contract: docs/outputs.rst:7-47)."""
     import jax
@@ -422,17 +428,19 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
     key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
     n_per_lambda = int(para.photons.n_lambda)
     t0 = time.time()
+    rt_kw = (dict(rt=True, n_az_rt=n_az_rt) if scheme == "rt1"
+             else dict(rt2=True))
     out = run_mc_sed(model, host, T, key, n_per_lambda=n_per_lambda,
-                     batch=batch, rt=True, n_az_rt=n_az_rt)
+                     batch=batch, **rt_kw)
     if verbose:
-        print(f"  SED MC: {time.time()-t0:.1f}s "
+        print(f"  SED MC ({scheme}): {time.time()-t0:.1f}s "
               f"({int(out['res'].emitted)} packets)")
     data_dir = os.path.join(root_dir, "data_th")
     write_sed_mc(data_dir, host, out["sed"])
 
     t0 = time.time()
     rt = sed_rt_fn(model, host, out["res"].xi, T, out["n_sent"],
-                   n_az_rt=n_az_rt)
+                   n_az_rt=n_az_rt, scheme=scheme)
     if verbose:
         print(f"  SED RT: {time.time()-t0:.1f}s")
     # sed_rt.fits.gz: [n_lambda, n_incl, n_az, n_contrib] + HDU2 lambda
@@ -458,7 +466,8 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
 def run_image(para: Para, img_lambda: float, root_dir: str = ".",
               seed: int | None = None, batch: int = 16384,
               n_az_rt: int = 45, verbose: bool = True,
-              jy: bool = False, casa: bool = False):
+              jy: bool = False, casa: bool = False, scheme: str = "rt1",
+              origin: bool = False):
     """Image mode (-img <lambda>): monochromatic MC + ray-traced map.
 
     The temperature is reused from a previous thermal run
@@ -484,15 +493,24 @@ def run_image(para: Para, img_lambda: float, root_dir: str = ".",
     key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 2)
     n_packets = int(para.photons.n_image)
     t0 = time.time()
+    rt_kw = (dict(rt=True, n_az_rt=n_az_rt) if scheme == "rt1"
+             else dict(rt2=True))
     out = run_mc_sed(model, host, T, key, n_per_lambda=n_packets,
-                     batch=batch, rt=True, n_az_rt=n_az_rt)
+                     batch=batch, origin=origin, **rt_kw)
     if verbose:
-        print(f"  image MC: {time.time()-t0:.1f}s "
+        print(f"  image MC ({scheme}): {time.time()-t0:.1f}s "
               f"({int(out['res'].emitted)} packets)")
+
+    if origin:
+        from .io.diagnostics import write_origin
+        p_or = write_origin(model, out["res"].orig, root_dir,
+                            subdir=f"data_{img_lambda:g}")
+        if verbose:
+            print(f"  wrote {p_or}")
 
     t0 = time.time()
     img = image_rt(model, host, out["res"].xi, T, out["n_sent"],
-                   n_az_rt=n_az_rt)
+                   n_az_rt=n_az_rt, scheme=scheme)
     if verbose:
         print(f"  image RT: {time.time()-t0:.1f}s")
 
@@ -579,10 +597,13 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
         if verbose:
             print(f"  NLTE populations ({mol.name.split()[0]}, "
                   f"{m.level_max} levels)")
-        n_rays = 32 if para.mol.laccurate_pop else 8
+        # staged driver (1+1D -> 100 fixed rays -> optional doubling MC,
+        # the reference's etapes, mol_transfer.f90:138-480); laccurate_pop
+        # appends the random-ray doubling stages
         pops, n_iter, diff = nlte_populations(
             model, host, mol, T_gas, abundance, nlev=m.level_max,
-            n_rays=n_rays, initial="sobolev", verbose=verbose)
+            n_rays=100, initial="sobolev", verbose=verbose,
+            accurate_pop=para.mol.laccurate_pop)
         if verbose:
             print(f"  NLTE converged in {n_iter} iters (max dpop {diff:.1e})")
     else:

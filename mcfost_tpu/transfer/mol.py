@@ -141,21 +141,41 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
                        emis_cont, dv_line, norme_m1, sigma2_m1, vfield, cmb,
                        tab_speed, x0, y0, z0, u, v, w,
                        nv: int, nt: int, n_vpoints: int = 8,
-                       max_steps: int = 2000):
+                       max_steps: int = 2000, skip_flat=None):
     """Backward velocity-resolved formal integration for a ray batch.
 
-    Returns (I (N, nt, nv), I_cont (N, nt)) specific intensities."""
+    Returns (I (N, nt, nv), I_cont (N, nt)) specific intensities.
+
+    skip_flat: optional (N,) flat cell index of each ray's OWN cell — its
+    contribution (emission AND attenuation) is excluded while the ray has
+    not yet left it, and the traversed path through it is returned as a
+    third output ds0 (N,).  This is the reference's ``labs`` bookkeeping
+    (integ_ray_mol, optical_depth.f90:511-514) that feeds the local
+    ALI-style sub-iteration of the NLTE solver."""
     grid = model.grid
     dtype = x0.dtype
     n_cells = grid.n_cells
 
-    x, y, z, ri, zj, hit = geom.move_to_grid(grid, x0, y0, z0, u, v, w)
+    # rays starting INSIDE the grid (cell-centre J-bar rays) must not be
+    # advanced: move_to_grid is an outside->boundary mover and would
+    # teleport them to the slab surface
+    ri0, zj0 = geom.index_cell(grid, x0, y0, z0)
+    inside0 = geom.is_inside(grid, ri0, zj0)
+    xm, ym, zm, rim, zjm, hitm = geom.move_to_grid(grid, x0, y0, z0, u, v, w)
+    x = jnp.where(inside0, x0, xm)
+    y = jnp.where(inside0, y0, ym)
+    z = jnp.where(inside0, z0, zm)
+    ri = jnp.where(inside0, ri0, rim)
+    zj = jnp.where(inside0, zj0, zjm)
+    hit = inside0 | hitm
     N = x.shape[0]
     I = jnp.zeros((N, nt, nv), dtype)
     Ic = jnp.zeros((N, nt), dtype)
     tau = jnp.zeros((N, nt, nv), dtype)
     tau_c = jnp.zeros((N, nt), dtype)
     alive = hit & ~geom.has_exited(grid, ri, zj, z)
+    ds0 = jnp.zeros(N, dtype)
+    left_own = jnp.zeros(N, bool)
 
     def v_proj(cell_v, xx, yy, zz):
         # cylindrical components projected on the ray (v_proj,
@@ -167,10 +187,10 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
                 + cell_v[:, 2] * w)
 
     def cond(st):
-        return jnp.any(st[-1]) & (st[0] < max_steps)
+        return jnp.any(st[10]) & (st[0] < max_steps)   # st[10] = alive
 
     def body(st):
-        it, x, y, z, ri, zj, tau, tau_c, I, Ic, alive = st
+        it, x, y, z, ri, zj, tau, tau_c, I, Ic, alive, ds0, left_own = st
         inside = geom.is_inside(grid, ri, zj)
         flat = jnp.clip(geom.flat_index(grid, ri, zj), 0, n_cells - 1)
         x1, y1, z1, ri1, zj1, l = geom.cross_cell(grid, x, y, z, u, v, w,
@@ -200,7 +220,13 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
                 + emis_cont[flat][:, :, None])
                / jnp.maximum(opac, 1e-30))
 
-        ok = (alive & inside)[:, None, None]
+        okl = alive & inside
+        if skip_flat is not None:
+            in_own = okl & ~left_own & (flat == skip_flat)
+            ds0 = ds0 + jnp.where(in_own, l, 0.0)
+            left_own = left_own | (okl & (flat != skip_flat))
+            okl = okl & ~in_own
+        ok = okl[:, None, None]
         I = I + jnp.where(ok, jnp.exp(-tau) * (-jnp.expm1(-dtau)) * Snu, 0.0)
         Ic = Ic + jnp.where(ok[:, :, 0],
                             jnp.exp(-tau_c) * (-jnp.expm1(-dtau_c)) * Snu_c,
@@ -219,14 +245,17 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
         d2 = x * x + y * y + z * z - t_ca * t_ca
         hit_star = in_cav & (t_ca > 0) & (d2 < model.star_r[0] ** 2)
         alive = (alive & ~geom.has_exited(grid, ri, zj, z) & ~hit_star)
-        return it + 1, x, y, z, ri, zj, tau, tau_c, I, Ic, alive
+        return (it + 1, x, y, z, ri, zj, tau, tau_c, I, Ic, alive,
+                ds0, left_own)
 
     st = (jnp.zeros((), jnp.int32), x, y, z, ri, zj, tau, tau_c, I, Ic,
-          alive)
+          alive, ds0, left_own)
     st = jax.lax.while_loop(cond, body, st)
     I, Ic, tau = st[8], st[9], st[6]
     # CMB attenuated by the total optical depth (integ_ray_mol :585-588)
     I = I + cmb[None, :, None] * jnp.exp(-tau)
+    if skip_flat is not None:
+        return I, Ic, st[11]
     return I, Ic
 
 

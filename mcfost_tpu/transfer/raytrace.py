@@ -108,6 +108,319 @@ def assemble_source_function(model: Model, host: HostModel,
     return eps
 
 
+def _sed_energy_tables(model: Model, host: HostModel, T_cells,
+                       n_sent_per_lambda):
+    """photon_energy (L,), kext_cell/ksca_cell (L,C), J_th (L,C) — shared
+    by the RT1 and RT2 source-function assemblies."""
+    wl = host.wl
+    wl_m = wl.lam * 1e-6
+    p_c = np.asarray(model.p_icell)
+    kabs = np.asarray(model.kappa_abs, np.float64)[p_c].T    # (L, C)
+    kext = np.asarray(model.kappa, np.float64)[p_c].T
+    alb = np.asarray(model.albedo, np.float64)[p_c].T
+    rho = host.rho_dust
+    V = np.asarray(model.volume, np.float64)
+    cst_wl = cst.thermal_const / np.maximum(
+        T_cells[None, :] * wl_m[:, None], 1e-30)
+    ok = cst_wl < 500.0
+    planck = np.where(ok, 1.0 / (wl_m[:, None] ** 5
+                                 * (np.exp(np.minimum(cst_wl, 500.0))
+                                    - 1.0)), 0.0)
+    E_disk = (4.0 * kabs * (rho * V)[None, :] * planck).sum(1)
+    photon_energy = ((host.stars.E_stars + E_disk) * wl.lam * 1e-6
+                     / (np.maximum(n_sent_per_lambda, 1.0)
+                        * cst.AU_to_cm * np.pi))
+    kext_cell = kext * rho[None, :]
+    ksca_cell = kext_cell * alb
+    j_th = (2.0 * cst.hp * cst.c_light ** 2 * planck * wl_m[:, None]
+            * kabs * rho[None, :])
+    return photon_energy, kext_cell, ksca_cell, j_th, V
+
+
+def assemble_source_function_rt2(model: Model, host: HostModel,
+                                 xi2, T_cells: np.ndarray,
+                                 n_sent_per_lambda: np.ndarray, i_rt: int,
+                                 nang_rt: int = 15, n_theta_i: int = 15,
+                                 n_phi_i: int = 15, n_super: int = 5,
+                                 pola: bool = True):
+    """RT2 source function for ONE viewing direction.
+
+    Convolves the per-cell specific intensity I(theta_I, phi_I) stored by
+    the MC (rt2 tally) with the cell phase matrix toward the observer ray
+    of each azimuthal position bin iscatt (calc_Isca_rt2,
+    dust_ray_tracing.f90:907-1240; source assembly init_dust_source_fct2
+    :717-806).  The direct stellar field (I_spec_star) is returned as a
+    per-cell source amplitude for the EXACT-angle on-the-fly convolution
+    in integrate_rays_rt2 — tighter than the reference's 1000-bin star
+    table (calc_Isca_rt2_star).
+
+    Returns (eps2 (L, C, nang_rt, 2, N_TYPE) jax array,
+             istar (L, C) numpy source amplitude / kappa_ext)."""
+    wl = host.wl
+    L = wl.n
+    C = model.grid.n_cells
+    dtype = model.kappa.dtype
+    nb = n_theta_i * n_phi_i
+    A1 = model.nang + 1
+    nang_scatt = model.nang
+
+    photon_energy, kext_cell, ksca_cell, j_th, V = _sed_energy_tables(
+        model, host, T_cells, n_sent_per_lambda)
+    factor = photon_energy[:, None] / V[None, :]              # (L, C)
+    fac_sca = factor * ksca_cell / np.maximum(kext_cell, 1e-300)
+
+    xi2 = np.asarray(xi2, np.float64).reshape(L, C, nb + 1, 6)
+    Inu = xi2[:, :, :nb, :]                                   # (L,C,nb,6)
+    istar = xi2[:, :, nb, 0] * fac_sca                        # (L,C)
+
+    # observer geometry (uv0, w0); our rt_dirs use phi=0 along -y, the
+    # RT2 table convention (u_rt = uv0 sin phis, v_rt = -uv0 cos phis)
+    d_obs = np.asarray(model.rt_dirs, np.float64)[i_rt]
+    uv0 = np.sqrt(max(d_obs[0] ** 2 + d_obs[1] ** 2, 1e-40))
+    w0 = d_obs[2]
+
+    # ---- (theta_I, phi_I, sub) -> scattering-angle bin per (iscatt, dir)
+    phis = 2.0 * np.pi * (np.arange(nang_rt) + 1.0) / nang_rt
+    u_rt = uv0 * np.sin(phis)                                 # (IS,)
+    v_rt = -uv0 * np.cos(phis)
+    f = (np.arange(n_super) + 1.0) / (n_super + 1.0)
+    t_idx = np.arange(n_theta_i) + 1.0
+    p_idx = np.arange(n_phi_i) + 1.0
+    # w_in (DIR, T, sub1), u/v_in (P, sub2)
+    sgn = np.array([-1.0, 1.0])                               # dir 0/1
+    w_in = (2.0 * ((t_idx[None, :, None] - f[None, None, :]) / n_theta_i)
+            - 1.0) * sgn[:, None, None]
+    w02 = np.sqrt(np.maximum(1.0 - w_in ** 2, 0.0))
+    phi_in = 2.0 * np.pi * (p_idx[:, None] - f[None, :]) / n_phi_i
+    su, cu = np.sin(phi_in), np.cos(phi_in)                   # (P, sub2)
+    # cos_scatt (IS, DIR, T, P, sub1, sub2)
+    cos_sc = (u_rt[:, None, None, None, None, None]
+              * (w02[None, :, :, None, :, None] * su[None, None, None, :,
+                                                     None, :])
+              + v_rt[:, None, None, None, None, None]
+              * (-w02[None, :, :, None, :, None] * cu[None, None, None, :,
+                                                      None, :])
+              + w0 * w_in[None, :, :, None, :, None])
+    sin_sc = np.sqrt(np.maximum(1.0 - cos_sc ** 2, 0.0))
+    k_tab = np.clip(np.rint(np.arccos(np.clip(cos_sc, -1, 1))
+                            * (nang_scatt / np.pi)), 0, nang_scatt
+                    ).astype(np.int64)
+    wsin = sin_sc / np.maximum(sin_sc.sum(axis=(-2, -1), keepdims=True),
+                               1e-300)
+    # weighted k histogram H (A1, IS*DIR*T*P) -> supersampled mean s11
+    flatk = (k_tab + (np.arange(nang_rt * 2 * n_theta_i * n_phi_i)
+                      .reshape(nang_rt, 2, n_theta_i, n_phi_i)
+                      [..., None, None] * A1)).reshape(-1)
+    H = np.zeros(nang_rt * 2 * n_theta_i * n_phi_i * A1)
+    np.add.at(H, flatk, wsin.reshape(-1))
+    H = H.reshape(nang_rt, 2, n_theta_i, n_phi_i, A1)
+
+    # centre-of-bin angle for the polarization terms + rotation angle
+    ic = n_super // 2
+    k_c = k_tab[:, :, :, :, ic, ic]                           # (IS,DIR,T,P)
+    if pola:
+        wc = w_in[None, :, :, None, ic]                       # (1,DIR,T,1)
+        w02c = np.sqrt(np.maximum(1.0 - wc ** 2, 0.0))
+        uc = w02c * su[None, None, None, :, ic]
+        vc = -w02c * cu[None, None, None, :, ic]
+        wc = np.broadcast_to(wc, uc.shape)
+        # omega rotation (reference rotation() + omega block,
+        # dust_ray_tracing.f90:1040-1075)
+        ur = u_rt[:, None, None, None]
+        vr = v_rt[:, None, None, None]
+        wr = np.broadcast_to(w0, ur.shape)
+        import jax.numpy as _jnp
+        from ..mc.sampling import rotation_to_frame
+        _, v1pj, v1pk = rotation_to_frame(
+            _jnp.asarray(uc), _jnp.asarray(vc), _jnp.asarray(wc),
+            _jnp.asarray(-ur * np.ones_like(uc)),
+            _jnp.asarray(-vr * np.ones_like(uc)),
+            _jnp.asarray(-wr * np.ones_like(uc)))
+        v1pj = np.asarray(v1pj, np.float64)
+        v1pk = np.asarray(v1pk, np.float64)
+        xnyp = np.sqrt(v1pj ** 2 + v1pk ** 2)
+        costhet = np.where(xnyp < 1e-10, 1.0, v1pj / np.maximum(xnyp,
+                                                                1e-30))
+        theta = np.arccos(np.clip(costhet, -1, 1))
+        theta = np.where(theta >= np.pi, 0.0, theta)
+        omega = np.where(v1pk < 0.0, -2.0 * theta, 2.0 * theta)
+        cosw = np.where(np.abs(np.cos(omega)) < 1e-6, 0.0, np.cos(omega))
+        sinw = np.where(np.abs(np.sin(omega)) < 1e-6, 0.0, np.sin(omega))
+
+    # ---- per-bucket convolution (einsum over the direction bins)
+    import jax.numpy as jnp2
+    P_b = model.n_buckets
+    p_c = np.asarray(model.p_icell)
+    s11_tab = np.asarray(model.s11_rt, np.float64)            # (P,L,A1)
+    r12_tab = np.asarray(model.s12_rt, np.float64)
+    r33_tab = np.asarray(model.s33_rt, np.float64)
+    r34_tab = np.asarray(model.s34_rt, np.float64)
+
+    out = np.zeros((L, C, nang_rt, 2, 6))
+    Hb = H.reshape(nang_rt * 2 * nb, A1)
+    for p in range(P_b):
+        cells = np.nonzero(p_c == p)[0] if P_b > 1 else slice(None)
+        s11s = (s11_tab[p] @ Hb.T).reshape(L, nang_rt, 2, n_theta_i,
+                                           n_phi_i)           # (L,IS,DIR,T,P)
+        I_p = Inu[:, cells]                                   # (L,Cp,nb,6)
+        Ib = I_p.reshape(I_p.shape[0], I_p.shape[1], n_theta_i, n_phi_i, 6)
+        # unpolarized terms: I (when pola is off), star/nonstar contribs
+        conv = np.einsum("lctpk,lsdtp->lcsdk", Ib[..., [0, 4, 5]],
+                         s11s, optimize=True)
+        if not pola:
+            out[:, cells, :, :, 0] += conv[..., 0]
+        out[:, cells, :, :, 4] += conv[..., 1]
+        out[:, cells, :, :, 5] += conv[..., 2]
+        if pola:
+            # centre-bin Mueller elements (RT2 sign convention,
+            # dust_ray_tracing.f90:1178-1186; s22=s11, s44=s33 for Mie)
+            s11c = s11s                                       # supersampled
+            r12 = r12_tab[p][:, k_c]                          # (L,IS,DIR,T,P)
+            r33 = r33_tab[p][:, k_c]
+            r34 = r34_tab[p][:, k_c]
+            s12 = -s11c * r12
+            s33 = -s11c * r33
+            s34 = -s11c * r34
+            s44 = s33
+            cw = cosw[None]                                   # (1,IS,DIR,T,P)
+            sw = sinw[None]
+            Iq = Ib[..., 1]
+            Iu = Ib[..., 2]
+            Iv = Ib[..., 3]
+            Ii = Ib[..., 0]
+            # C2/C3 depend on (is,dir) through cw/sw -> fold into weights
+            e = lambda Wt, S: np.einsum("lsdtp,lctp->lcsd", Wt, S,
+                                        optimize=True)
+            D1 = e(s11c, Ii) + e(s12 * cw, Iq) - e(s12 * sw, Iu)
+            D2I = e(s12 * cw, Ii) + e(s11c * cw * cw, Iq) \
+                - e(s11c * cw * sw, Iu)
+            D3I = e(s33 * sw * sw, Iq) + e(s33 * sw * cw, Iu) \
+                - e(s34 * sw, Iv)
+            # S2 = cosw*D2 + sinw*D3 (weights already folded above)
+            S2 = D2I + D3I
+            D2b = e(s12 * -sw, Ii) + e(s11c * -sw * cw, Iq) \
+                + e(s11c * sw * sw, Iu)
+            D3b = e(s33 * cw * sw, Iq) + e(s33 * cw * cw, Iu) \
+                - e(s34 * cw, Iv)
+            S3 = -(D2b + D3b)
+            S4 = e(s34 * sw, Iq) + e(s34 * cw, Iu) + e(s44, Iv)
+            out[:, cells, :, :, 0] += D1
+            out[:, cells, :, :, 1] += S2
+            out[:, cells, :, :, 2] += S3
+            out[:, cells, :, :, 3] += S4
+
+    out *= fac_sca[:, :, None, None, None]
+    jth_term = j_th / np.maximum(kext_cell, 1e-300)
+    eps2 = np.zeros((L, C, nang_rt, 2, N_TYPE))
+    eps2[..., 0] = out[..., 0] + jth_term[:, :, None, None]
+    eps2[..., 1] = out[..., 1]
+    eps2[..., 2] = out[..., 2]
+    eps2[..., 3] = out[..., 3]
+    eps2[..., 5] = out[..., 4]                                # star scat
+    eps2[..., 6] = jth_term[:, :, None, None]                 # disk thermal
+    eps2[..., 7] = out[..., 5]                                # disk scat
+    return jnp2.asarray(eps2, dtype), istar
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "pola"))
+def integrate_rays_rt2(model: Model, eps2: jax.Array, istar: jax.Array,
+                       x0, y0, z0, u, v, w, ilam,
+                       max_steps: int = 4000, pola: bool = True):
+    """Backward formal integration with the RT2 source function.
+
+    eps2: (L, C, nang_rt, 2, N_TYPE) for ONE viewing direction; sampled
+    with periodic linear interpolation over the azimuthal position angle
+    (dust_source_fct method 2, dust_ray_tracing.f90:1545-1575).  The
+    direct-star scattering term istar (L, C) is convolved on the fly with
+    the phase matrix at the EXACT scattering angle of each step."""
+    from ..mc.sampling import rotation_to_frame
+    grid = model.grid
+    dtype = x0.dtype
+    n_cells = grid.n_cells
+    nang_rt = eps2.shape[2]
+    A1 = model.nang + 1
+    nang_scatt = model.nang
+    L = model.n_lambda
+
+    x, y, z, ri, zj, hit = cyl.move_to_grid(grid, x0, y0, z0, u, v, w)
+    N = x.shape[0]
+    out = jnp.zeros((N, N_TYPE), dtype)
+    tau = jnp.zeros(N, dtype)
+    alive = hit & ~cyl.has_exited(grid, ri, zj, z)
+
+    def cond(state):
+        return jnp.any(state[-1]) & (state[0] < max_steps)
+
+    def body(state):
+        it, x, y, z, ri, zj, tau, out, alive = state
+        inside = cyl.is_inside(grid, ri, zj)
+        flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
+        p = model.p_icell[flat]
+        kext = jnp.where(inside, model.kappa[p, ilam]
+                         * model.kappa_factor[flat], 0.0)
+        x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
+                                                 ri, zj)
+        dtau = l * kext
+
+        xm = 0.5 * (x + x1)
+        ym = 0.5 * (y + y1)
+        zm = 0.5 * (z + z1)
+        phi_pos = jnp.mod(jnp.arctan2(xm, ym), 2 * jnp.pi)
+        xisc = phi_pos / (2 * jnp.pi) * nang_rt
+        fl = jnp.floor(xisc)
+        frac = (xisc - fl).astype(dtype)
+        ia = (fl.astype(jnp.int32) - 1) % nang_rt
+        ib = fl.astype(jnp.int32) % nang_rt
+        dirb = jnp.where(zm > 0.0, 1, 0)
+        S = (eps2[ilam, flat, ia, dirb] * (1.0 - frac)[:, None]
+             + eps2[ilam, flat, ib, dirb] * frac[:, None])   # (N, N_TYPE)
+
+        # exact-angle direct-star scattering (replaces eps_dust2_star)
+        rm = jnp.sqrt(jnp.maximum(xm * xm + ym * ym + zm * zm, 1e-30))
+        diu, div, diw = xm / rm, ym / rm, zm / rm
+        cos_sc = -(diu * u + div * v + diw * w)
+        k = jnp.clip(jnp.rint(jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
+                              * (nang_scatt / jnp.pi)).astype(jnp.int32),
+                     1, nang_scatt)
+        lin = (p * L + ilam) * A1 + k
+        s11 = model.s11_rt.reshape(-1)[lin]
+        amp = istar[ilam, flat]
+        S = S.at[:, 0].add(s11 * amp)
+        S = S.at[:, 5].add(s11 * amp)
+        if pola:
+            r12 = model.s12_rt.reshape(-1)[lin]
+            _, v1pj, v1pk = rotation_to_frame(diu, div, diw, u, v, w)
+            xnyp = jnp.sqrt(jnp.maximum(v1pj * v1pj + v1pk * v1pk, 0.0))
+            costhet = jnp.where(xnyp < 1e-10, 1.0,
+                                v1pj / jnp.maximum(xnyp, 1e-30))
+            theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
+            theta = jnp.where(theta >= jnp.pi, 0.0, theta)
+            omega = jnp.where(v1pk < 0.0, -2.0 * theta, 2.0 * theta)
+            s12 = -s11 * r12
+            S = S.at[:, 1].add(jnp.cos(omega) * s12 * amp)
+            S = S.at[:, 2].add(jnp.sin(omega) * s12 * amp)
+
+        wgt = jnp.where(alive & inside,
+                        jnp.exp(-tau) * (-jnp.expm1(-dtau)), 0.0)
+        out = out + wgt[:, None] * S
+
+        tau = tau + jnp.where(alive, dtau, 0.0)
+        x = jnp.where(alive, x1, x)
+        y = jnp.where(alive, y1, y)
+        z = jnp.where(alive, z1, z)
+        ri = jnp.where(alive, ri1, ri)
+        zj = jnp.where(alive, zj1, zj)
+        in_cav = ri == 0
+        hit_star = _any_star_hit(model, x, y, z, u, v, w) & in_cav
+        alive = (alive & ~cyl.has_exited(grid, ri, zj, z)
+                 & (tau < 50.0) & ~hit_star)
+        return it + 1, x, y, z, ri, zj, tau, out, alive
+
+    state = (jnp.zeros((), jnp.int32), x, y, z, ri, zj, tau, out, alive)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[7]
+
+
 def _move_to_grid(grid: cyl.CylGrid, x, y, z, u, v, w):
     """Advance rays from outside to the model boundary
     (move_to_grid_cyl, cylindrical_grid.f90:1284-1411). Returns new
@@ -213,11 +526,9 @@ def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
         ri = jnp.where(alive, ri1, ri)
         zj = jnp.where(alive, zj1, zj)
 
-        # star termination: entering the cavity and aimed at the star
+        # star termination: entering the cavity and aimed at any star
         in_cav = ri == 0
-        t_ca = -(x * u + y * v + z * w)
-        d2 = x * x + y * y + z * z - t_ca * t_ca
-        hit_star = in_cav & (t_ca > 0) & (d2 < model.star_r[0] ** 2)
+        hit_star = _any_star_hit(model, x, y, z, u, v, w) & in_cav
 
         alive = (alive & ~cyl.has_exited(grid, ri, zj, z)
                  & (tau < 50.0) & ~hit_star)
@@ -226,6 +537,20 @@ def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
     state = (jnp.zeros((), jnp.int32), x, y, z, ri, zj, tau, out, alive)
     state = jax.lax.while_loop(cond, body, state)
     return state[7]
+
+
+def _any_star_hit(model: Model, x, y, z, u, v, w):
+    """Forward ray-sphere test against every star (intersect_stars loops
+    all stars, stars.f90:812-938)."""
+    hit = jnp.zeros_like(x, bool)
+    for s_i in range(model.star_r.shape[0]):
+        px = x - model.star_pos[s_i, 0]
+        py = y - model.star_pos[s_i, 1]
+        pz = z - model.star_pos[s_i, 2]
+        t_ca = -(px * u + py * v + pz * w)
+        d2 = px * px + py * py + pz * pz - t_ca * t_ca
+        hit = hit | ((t_ca > 0) & (d2 < model.star_r[s_i] ** 2))
+    return hit
 
 
 def los_optical_depth(model: Model, x0, y0, z0, u, v, w, ilam,
@@ -264,12 +589,18 @@ def los_optical_depth(model: Model, x0, y0, z0, u, v, w, ilam,
 
 def sed_rt(model: Model, host: HostModel, xi, T_cells,
            n_sent_per_lambda, n_rad_rt: int = 128, n_phi_rt: int = 30,
-           n_az_rt: int = 45):
+           n_az_rt: int = 45, scheme: str = "rt1", nang_rt: int = 15,
+           n_theta_i: int = 15, n_phi_i: int = 15):
     """Ray-traced SED for all wavelengths and RT directions.
 
     Log-annuli image-plane sampling (dust_map method 1,
     dust_transfer.f90:1284-1344).  Returns (L, nRT, N_TYPE) lambda.F_lambda
-    in W/m^2."""
+    in W/m^2.
+
+    scheme: 'rt1' (angular-binned scattered intensity, 3D-capable) or
+    'rt2' (per-cell specific intensity convolved with the phase matrix per
+    viewing direction — the reference's 2D default; `xi` must then be the
+    rt2 tally of the MC)."""
     para = host.para
     wl = host.wl
     L = wl.n
@@ -277,8 +608,9 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     dtype = model.kappa.dtype
     dirs = np.asarray(model.rt_dirs, np.float64)
 
-    eps = assemble_source_function(model, host, xi, T_cells,
-                                   n_sent_per_lambda, n_az_rt)
+    if scheme == "rt1":
+        eps = assemble_source_function(model, host, xi, T_cells,
+                                       n_sent_per_lambda, n_az_rt)
 
     _rl = cyl.host_arrays(model.grid, "r_lim")
     rmax = float(_rl[-1])
@@ -324,8 +656,16 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
         ws = jnp.full(n_pix * L, -w, dtype)
         il = jnp.asarray(np.repeat(np.arange(L), n_pix), jnp.int32)
         ir = jnp.full(n_pix * L, i_rt, jnp.int32)
-        st = np.asarray(integrate_rays(model, eps, xs, ys, zs,
-                                       us, vs, ws, il, ir), np.float64)
+        if scheme == "rt1":
+            st = np.asarray(integrate_rays(model, eps, xs, ys, zs,
+                                           us, vs, ws, il, ir), np.float64)
+        else:
+            eps2, istar = assemble_source_function_rt2(
+                model, host, xi, T_cells, n_sent_per_lambda, i_rt,
+                nang_rt=nang_rt, n_theta_i=n_theta_i, n_phi_i=n_phi_i)
+            st = np.asarray(integrate_rays_rt2(
+                model, eps2, jnp.asarray(istar, dtype), xs, ys, zs,
+                us, vs, ws, il), np.float64)
         st = st.reshape(L, n_pix, N_TYPE)
         out[:, i_rt, :] += (st * pix_area[None, :, None]).sum(1) / dist2
 

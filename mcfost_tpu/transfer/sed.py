@@ -69,7 +69,9 @@ def sed_emission_tables(model: Model, host: HostModel, T_cells: np.ndarray):
 def run_mc_sed(model: Model, host: HostModel, T_cells: np.ndarray,
                key, n_per_lambda: int = 10000, batch: int = 16384,
                n_capt: int = 10, max_iters: int = 300000,
-               rt: bool = False, n_az_rt: int = 45, mesh=None):
+               rt: bool = False, n_az_rt: int = 45, mesh=None,
+               rt2: bool = False, n_theta_i: int = 15, n_phi_i: int = 15,
+               origin: bool = False):
     """Run the all-wavelength monochromatic MC and return the calibrated SED.
 
     Returns dict with 'sed' (L, n_capt, 9): lambda.F_lambda W/m^2 for
@@ -94,7 +96,9 @@ def run_mc_sed(model: Model, host: HostModel, T_cells: np.ndarray,
     else:
         res = thermal_mc.run_thermal_mc(model2, key, n_packets, batch=batch,
                                         n_capt=n_capt, max_iters=max_iters,
-                                        mono=True, rt=rt, n_az_rt=n_az_rt)
+                                        mono=True, rt=rt, n_az_rt=n_az_rt,
+                                        rt2=rt2, n_theta_i=n_theta_i,
+                                        n_phi_i=n_phi_i, origin=origin)
     sed_raw = np.asarray(res.sed, np.float64)           # (L, n_capt, 8)
     n_sent = np.full(L, n_per_lambda, np.float64)
     factor = (e_totale / n_sent) * host.wl.lam * 1e-6   # -> lambda F_lambda
