@@ -123,6 +123,100 @@ def read_vanzadelhoff2_model(path: str):
     return r_au, n_h2, T, v, vturb
 
 
+def run_vanzadelhoff2(r_au, n_h2, T_tab, v_tab, vturb_tab,
+                      root_dir: str = ".", abundance: float = 1.0e-8,
+                      nlev: int = 8, overrides=None, verbose: bool = True):
+    """van Zadelhoff et al. 2002 problem 2: HCO+ NLTE in the inside-out
+    collapsing AGB envelope of model_1.d (init_benchmark_vanzadelhoff2,
+    benchmarks.f90:320-401: log-log density interpolation, linear T/v/
+    vturb, radial infall velocity field).
+
+    Molecule: LAMDA hco+ file from $MCFOST_UTILS when available, else the
+    builtin spectroscopic-constant ladder (approximate collision rates).
+    Writes the Tex(r) profile of the 1-0 and 4-3 transitions — the
+    benchmark's published observable (vZ02 fig. 7)."""
+    from .mc.model import build_model
+    from .grids import geometry as geom
+    from .io.fits import write_fits
+    from .transfer.mol_nlte import nlte_populations
+
+    p = Para()
+    p.grid.geometry = 2
+    p.grid.n_rad, p.grid.nz, p.grid.n_rad_in = 50, 20, 1
+    z = Zone(geometry=3, dust_mass=1.0e-12, gas_to_dust=100.0,
+             rin=float(r_au[0]), rout=float(r_au[-1]),
+             ref_radius=float(r_au[0]), surface_density_exp=-2.0)
+    p.zones = [z]
+    p.stars = [Star(teff=4000.0, radius=1.0, mass=1.0)]
+    p.mol.lte = False
+    p.mol.molecules = [Molecule(filename="hco+@xpol", level_max=nlev,
+                                abundance=abundance, transitions=[1, 4],
+                                n_lines_rt=2, vmin=-4.0, vmax=4.0,
+                                n_speed=31)]
+    if overrides:
+        overrides(p)
+    model, host = build_model(p, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"))
+
+    # interpolate the table onto the grid (log-log density; linear T, v,
+    # vturb — benchmarks.f90:352-386)
+    rg = geom.host_arrays(model.grid, "r_grid")
+    zg = geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    lr = np.log(np.clip(rs, r_au[0], r_au[-1]))
+    n_cell = np.exp(np.interp(lr, np.log(r_au), np.log(n_h2)))   # m^-3
+    T_cell = np.interp(lr, np.log(r_au), T_tab)
+    v_cell = np.interp(lr, np.log(r_au), v_tab)                  # m/s
+    vt_cell = np.interp(lr, np.log(r_au), vturb_tab) / 1e3       # km/s
+
+    # impose the gas structure: rho_dust such that gas_number_density
+    # returns exactly the table's n_H2; radial (infall) velocity in
+    # cylindrical components
+    mu_mH = 2.3 * 1.007825 / 6.022140857e23
+    g2d = p.zones[0].gas_to_dust
+    rho_dust = n_cell * mu_mH / 1e6 / g2d                        # g/cm^3
+    vel = np.stack([v_cell * rg / np.maximum(rs, 1e-30),
+                    np.zeros_like(v_cell),
+                    v_cell * zg / np.maximum(rs, 1e-30)], 1)
+    host = host._replace(rho_dust=rho_dust, velocity=vel)
+    p.mol.v_turb = vt_cell
+    p.mol.v_turb_unit = "km/s"
+
+    from .physics.molecules import get_molecule, builtin_hcoplus
+    try:
+        mol = get_molecule("hco+@xpol")
+    except Exception:
+        if verbose:
+            print("  no LAMDA hco+ file found: using the builtin "
+                  "spectroscopic ladder (approximate collision rates)")
+        mol = builtin_hcoplus(max(nlev, 8))
+
+    pops, it, diff = nlte_populations(
+        model, host, mol, T_cell, abundance, nlev=nlev, n_rays=48,
+        initial="sobolev", verbose=verbose)
+    if verbose:
+        print(f"  vanZadelhoff2: {it} iterations, dpop={diff:.2e}")
+
+    # Tex(r) of the 1-0 and 4-3 lines in the midplane row
+    def tex_of(u_, l_):
+        dE = (mol.level_energy[u_] - mol.level_energy[l_]) * 1.602176634e-19
+        ratio = (pops[:, l_] * mol.g[u_]) / np.maximum(
+            pops[:, u_] * mol.g[l_], 1e-300)
+        return dE / (cst.kb * np.log(np.maximum(ratio, 1.0 + 1e-12)))
+
+    tex10 = tex_of(1, 0)
+    tex43 = tex_of(4, 3)
+    d = os.path.join(root_dir, "data_benchmark")
+    os.makedirs(d, exist_ok=True)
+    shape = geom.cell_shape(model.grid)
+    write_fits(os.path.join(d, "Tex_vz2.fits.gz"),
+               np.stack([tex10, tex43]).reshape(
+                   (2,) + shape).astype(np.float32),
+               extensions=[rs.astype(np.float64)],
+               keywords={"BUNIT": "K"})
+    return pops, (tex10, tex43), T_cell, model, host
+
+
 def _impose_temperature(model, host, law):
     """Analytic Tdust/Tcin on the grid (ldust_mol benchmarks)."""
     from .grids import geometry as geom
@@ -185,9 +279,9 @@ def run_benchmark(name: str, root_dir: str = ".", seed: int | None = None,
                 "vanZadelhoff2 needs the published model_1.d table next to "
                 "root_dir (benchmarks.f90:338 reads it from cwd)")
         r_au, n_h2, T, v, vturb = read_vanzadelhoff2_model(path)
-        raise NotImplementedError(
-            "vanZadelhoff2 driver: model table read OK "
-            f"({len(r_au)} radii); full envelope NLTE run pending")
+        return run_vanzadelhoff2(r_au, n_h2, T, v, vturb,
+                                 root_dir=root_dir, overrides=overrides,
+                                 verbose=verbose)
 
     if name in ("Dutrey94", "HH30mol"):
         para = Para()

@@ -59,6 +59,8 @@ class MCState(NamedTuple):
     it: jax.Array              # scalar i32
     ocell: jax.Array           # (B,) i32 origin cell (-1 star/ISM); only
                                # meaningful when the origin tally is on
+    nsent: jax.Array           # (L,) packets emitted per lambda (mono
+                               # received-budget mode) or (1,)
     orig: jax.Array            # (L*(C+1),) escaped energy by origin cell
                                # (slot C = star/ISM) — write_origin
                                # (output.f90:1366-1420) — or (1,)
@@ -74,6 +76,7 @@ class MCResult(NamedTuple):
     xi: jax.Array = None       # RT1 tally when rt was enabled
     xj: jax.Array = None       # per-lambda J tally when jtally was enabled
     orig: jax.Array = None     # origin tally when origin was enabled
+    nsent: jax.Array = None    # per-lambda emitted counts (mono mode)
 
 
 def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
@@ -269,7 +272,8 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
                rt: bool = False, n_az_rt: int = 45,
                jtally: bool = False, n_ct: int | None = None,
                rt2: bool = False, n_theta_i: int = 15,
-               n_phi_i: int = 15, origin: bool = False) -> MCState:
+               n_phi_i: int = 15, origin: bool = False,
+               mono: bool = False) -> MCState:
     """Fresh all-dead MC state (lanes are populated by refill).
 
     rt=True allocates the RT1 scattered-intensity tally
@@ -314,6 +318,7 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
         ocell=jnp.full(B, -1, jnp.int32),
         orig=(jnp.zeros(L * (n_cells + 1), dtype) if origin
               else jnp.zeros(1, dtype)),
+        nsent=jnp.zeros(L if mono else 1, dtype),
     )
 
 
@@ -325,7 +330,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                  dark: bool = False, age_cap: int = 100000,
                  spatial=None, rt2: bool = False,
                  n_theta_i: int = 15, n_phi_i: int = 15,
-                 origin: bool = False):
+                 origin: bool = False, mono_budget: str = "received"):
     """Build the fused one-iteration MC body ``body(MCState) -> MCState``.
 
     Shared by the single/packet-DP driver (`advance`) and the spatially
@@ -372,11 +377,23 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         emitted = s.emitted + jnp.sum(do_emit.astype(jnp.int32))
 
         if mono:
-            # observables step: deterministic round-robin wavelength so each
-            # lambda gets an equal packet budget (replaces the reference's
-            # per-wavelength etapes, dust_transfer.f90:381-415)
-            ordinal = s.emitted + rank - 1
-            lam_forced = (ordinal % L).astype(jnp.int32)
+            if mono_budget == "received":
+                # stop-when-received criterion (dust_transfer.f90:567-589):
+                # draw new packets from the per-lambda RECEIVED-count
+                # deficit, so strongly-extincted bins keep getting packets
+                # until their captured statistics match the others
+                rec = jnp.sum(s.sed[:, :, 0], axis=1)          # (L,)
+                target = n_budget.astype(dtype) / L
+                deficit = jnp.maximum(target - rec, 0.0)
+                deficit = jnp.where(jnp.sum(deficit) > 0.0, deficit, 1.0)
+                cdf = jnp.concatenate(
+                    [jnp.zeros(1, dtype),
+                     jnp.cumsum(deficit) / jnp.sum(deficit)])
+                lam_forced = _inv_cdf(cdf, R[0])
+            else:
+                # deterministic round-robin: equal per-lambda budget
+                ordinal = s.emitted + rank - 1
+                lam_forced = (ordinal % L).astype(jnp.int32)
         else:
             lam_forced = None
         (ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid,
@@ -391,6 +408,13 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         fstar = sel(efstar, s.fstar)
         fscat = sel(jnp.zeros(B, bool), s.fscat)
         ocell = sel(eorig, s.ocell) if origin else s.ocell
+        if mono:
+            # per-lambda emitted counts for the flux calibration
+            oh_sent = _one_hot(ilam, L, dtype) * do_emit.astype(
+                dtype)[:, None]
+            nsent = s.nsent + jnp.sum(oh_sent, axis=0)
+        else:
+            nsent = s.nsent
         age = jnp.where(do_emit, 0, s.age)
         tau_rem = sel(_tau_draw(R[8]), s.tau_rem)
         # ISM packets that miss the model are emitted-and-escaped
@@ -879,7 +903,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                        alive=act | frozen, fstar=fstar, fscat=fscat,
                        emitted=emitted, nkill=nkill, xkj=xkj, xj=xj,
                        nabs=nabs, sed=sed, xi=xi, age=age, it=s.it + 1,
-                       ocell=ocell, orig=orig)
+                       ocell=ocell, orig=orig, nsent=nsent)
 
     return body
 
@@ -890,7 +914,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                                              "scat_method", "nabs_tally",
                                              "dark", "age_cap", "rt2",
                                              "n_theta_i", "n_phi_i",
-                                             "origin"),
+                                             "origin", "mono_budget"),
                    donate_argnums=(2,))
 def advance(model: Model, key, state: MCState, n_packets,
             n_iters: int = 2000, pola: bool = True,
@@ -900,7 +924,8 @@ def advance(model: Model, key, state: MCState, n_packets,
             scat_method: int = 2, nabs_tally: bool = False,
             dark: bool = False, age_cap: int = 100000,
             rt2: bool = False, n_theta_i: int = 15,
-            n_phi_i: int = 15, origin: bool = False) -> MCState:
+            n_phi_i: int = 15, origin: bool = False,
+            mono_budget: str = "received") -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -924,7 +949,7 @@ def advance(model: Model, key, state: MCState, n_packets,
                         jtally=jtally, scat_method=scat_method,
                         nabs_tally=nabs_tally, dark=dark, age_cap=age_cap,
                         rt2=rt2, n_theta_i=n_theta_i, n_phi_i=n_phi_i,
-                        origin=origin)
+                        origin=origin, mono_budget=mono_budget)
     return jax.lax.while_loop(cond, body, state)
 
 
@@ -966,11 +991,12 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    jtally: bool = False, scat_method: int = 2,
                    nabs_tally: bool = False, progress=None,
                    rt2: bool = False, n_theta_i: int = 15,
-                   n_phi_i: int = 15, origin: bool = False) -> MCResult:
+                   n_phi_i: int = 15, origin: bool = False,
+                   mono_budget: str = "received") -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
     state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt,
                        jtally=jtally, rt2=rt2, n_theta_i=n_theta_i,
-                       n_phi_i=n_phi_i, origin=origin)
+                       n_phi_i=n_phi_i, origin=origin, mono=mono)
     # static dark-zone switch: the reflection test costs two per-cell
     # gathers per iteration, elided when the model has no dark zone
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
@@ -984,7 +1010,7 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                         scat_method=scat_method, nabs_tally=nabs_tally,
                         dark=dark, age_cap=age_cap, rt2=rt2,
                         n_theta_i=n_theta_i, n_phi_i=n_phi_i,
-                        origin=origin)
+                        origin=origin, mono_budget=mono_budget)
         # ONE jitted summary + ONE transfer per chunk: eager per-field
         # reads over a tunnelled TPU cost ~0.1s dispatch latency each
         done_iters, emitted, n_alive = (
@@ -1007,7 +1033,8 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                     emitted=state.emitted, n_iters=state.it,
                     n_lost=jnp.sum(state.alive.astype(jnp.int32))
                     + state.nkill,
-                    xi=state.xi, xj=state.xj, orig=state.orig)
+                    xi=state.xi, xj=state.xj, orig=state.orig,
+                    nsent=state.nsent)
 
 
 def mean_intensity(model: Model, wl_dlam_um, xj, n_packets):

@@ -96,7 +96,8 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
     state = jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape),
         thermal_mc.init_state(model, batch_per_device, n_capt,
-                              rt=rt, n_az_rt=n_az_rt, jtally=jtally))
+                              rt=rt, n_az_rt=n_az_rt, jtally=jtally,
+                              mono=mono))
 
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
     adv = _sharded_advance(mesh, iters_per_call, pola, mono, jtally, dark,
@@ -135,4 +136,5 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
         + jnp.sum(state.nkill),
         xj=jnp.sum(state.xj, axis=0),
         xi=jnp.sum(state.xi, axis=0),
+        nsent=jnp.sum(state.nsent, axis=0),
     )

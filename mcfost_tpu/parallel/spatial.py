@@ -224,7 +224,8 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
     state = jax.tree.map(
         lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape),
         thermal_mc.init_state(model, batch_per_device, n_capt, rt=rt,
-                              n_az_rt=n_az_rt, jtally=jtally, n_ct=slab))
+                              n_az_rt=n_az_rt, jtally=jtally, n_ct=slab,
+                              mono=mono))
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
     chunk = _spatial_mc_chunk(mesh, axis, n_dev, slab,
                               n_total=n_per_dev * n_dev,
@@ -275,6 +276,7 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
         n_lost=int(np.asarray(st.alive).sum() + np.asarray(st.nkill).sum()),
         xi=jnp.asarray(xi),
         xj=jnp.asarray(xj),
+        nsent=jnp.sum(jnp.asarray(st.nsent), axis=0),
     )
 
 

@@ -100,6 +100,48 @@ def builtin_co(n_levels: int = 20) -> MoleculeData:
                         coll_rates=rates)
 
 
+def builtin_hcoplus(n_levels: int = 10) -> MoleculeData:
+    """HCO+ rotational ladder from spectroscopic constants
+    (B0 = 1.487556 cm^-1 i.e. 44.594 GHz, mu = 3.89 D — giving the
+    standard A(1-0) ~ 4.2e-5 1/s).
+
+    Collision rates with H2 are an order-of-magnitude builtin
+    (~2.6e-10 cm^3/s, weak T dependence) used only when no LAMDA
+    hco+ file is available in MCFOST_UTILS — adequate for pipeline
+    validation; for published-accuracy benchmark comparisons point
+    MCFOST_UTILS at the real Flower 1999 rates."""
+    B0 = 1.487556             # cm^-1
+    D0 = 2.775e-6             # cm^-1
+    mu_D = 3.89               # Debye
+    J = np.arange(n_levels)
+    E_cm = B0 * J * (J + 1) - D0 * (J * (J + 1)) ** 2
+    g = 2.0 * J + 1.0
+    E_eV = E_cm / 8065.541
+
+    up = np.arange(1, n_levels)
+    low = up - 1
+    freq = (E_cm[up] - E_cm[low]) * 100.0 * cst.c_light   # Hz
+    mu_SI = mu_D * 3.33564e-30
+    A = (16.0 * np.pi ** 3 * freq ** 3
+         / (3.0 * 8.8541878128e-12 * cst.hp * cst.c_light ** 3)
+         * mu_SI ** 2 * up / (2.0 * up + 1.0))
+
+    cu, cl = [], []
+    for u_ in range(1, n_levels):
+        for l_ in range(u_):
+            cu.append(u_); cl.append(l_)
+    cu = np.array(cu); cl = np.array(cl)
+    temps = np.array([10., 20., 50., 100., 300., 1000.])
+    base = 2.6e-10 * np.exp(-0.3 * np.abs(cu - cl - 1))
+    rates = base[:, None] * (temps[None, :] / 100.0) ** 0.1    # cm^3/s
+
+    return MoleculeData(name="HCO+ (builtin)", weight=29.0,
+                        level_energy=E_eV, g=g,
+                        trans_up=up, trans_low=low, Aul=A, freq=freq,
+                        coll_up=cu, coll_low=cl, coll_temps=temps,
+                        coll_rates=rates)
+
+
 def read_lamda(path: str) -> MoleculeData:
     """Parse a LAMDA-format molecular data file (input.f90:56-194)."""
     with open(path) as f:

@@ -81,9 +81,12 @@ class MolRT:
         mH_kg = 1.007825 / 6.022140857e23 * 1e-3
         cs2 = cst.kb * np.maximum(T_gas, 1.0) / (2.3 * mH_kg)
         if v_turb_unit.lower().startswith("cs"):
-            vt2 = (v_turb ** 2) * cs2
+            vt2 = (np.asarray(v_turb, np.float64) ** 2) * cs2
         else:
-            vt2 = np.full_like(T_gas, (v_turb * 1e3) ** 2)
+            # scalar (para) or per-cell (benchmark tables) turbulence
+            vt = np.asarray(v_turb, np.float64) * 1e3
+            vt2 = np.ascontiguousarray(
+                np.broadcast_to(vt ** 2, T_gas.shape), np.float64)
         sigma2 = 2.0 * cst.kb * np.maximum(T_gas, 1.0) / (mol.weight * mH_kg) \
             + vt2
         self.dv_line = jnp.asarray(np.sqrt(sigma2), dtype)

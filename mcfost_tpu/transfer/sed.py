@@ -100,7 +100,13 @@ def run_mc_sed(model: Model, host: HostModel, T_cells: np.ndarray,
                                         rt2=rt2, n_theta_i=n_theta_i,
                                         n_phi_i=n_phi_i, origin=origin)
     sed_raw = np.asarray(res.sed, np.float64)           # (L, n_capt, 8)
-    n_sent = np.full(L, n_per_lambda, np.float64)
+    # per-lambda emitted counts: the received-budget mode sends MORE
+    # packets to strongly-extincted bins, so calibration must use the
+    # actual counts (stop-when-received, dust_transfer.f90:567-589)
+    if res.nsent is not None and res.nsent.shape[0] == L:
+        n_sent = np.maximum(np.asarray(res.nsent, np.float64), 1.0)
+    else:
+        n_sent = np.full(L, n_per_lambda, np.float64)
     factor = (e_totale / n_sent) * host.wl.lam * 1e-6   # -> lambda F_lambda
     out = np.zeros((L, n_capt, 9))
     out[..., :8] = sed_raw * factor[:, None, None]
