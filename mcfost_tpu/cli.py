@@ -80,6 +80,9 @@ def main(argv=None):
     rt_scheme = "rt1"
     want_origin = False
     want_reemission = False
+    iterate_ne = 0
+    healpix_lorder = None
+    ng_norder = 2
 
     i = 0
     while i < len(argv):
@@ -197,6 +200,16 @@ def main(argv=None):
             para.ism_model = 2
         elif a == "-limb_darkening":
             i += 1; para.limb_darkening = argv[i]
+        elif a == "-iterate_ne":
+            # re-solve ne from the NLTE ionization every n MALI
+            # iterations (atom_transfer.f90:155-165)
+            iterate_ne = 3
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1; iterate_ne = int(argv[i])
+        elif a == "-healpix_lorder":
+            i += 1; healpix_lorder = int(argv[i])
+        elif a == "-Ng_Norder":
+            i += 1; ng_norder = int(argv[i])
         elif a == "-origin":
             # escaped-energy-by-origin-cell map (write_origin,
             # output.f90:1366); image mode
@@ -396,7 +409,9 @@ def main(argv=None):
         from .gas.atom_transfer import atom_cube
         print("mcfost_tpu: atomic line transfer (H, NLTE)")
         t0 = time.time()
-        atom_cube(model, host, T.reshape(-1), root_dir=root_dir)
+        atom_cube(model, host, T.reshape(-1), root_dir=root_dir,
+                  iterate_ne=iterate_ne, healpix_lorder=healpix_lorder,
+                  ng_order=ng_norder)
         print(f"  atomic lines: {time.time()-t0:.1f}s")
 
     print(f"total: {time.time()-t_start:.1f}s")

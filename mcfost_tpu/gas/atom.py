@@ -74,6 +74,7 @@ class AtomModel:
     Grad: np.ndarray = None         # natural damping [1/s]
     cStark: np.ndarray = None       # quadratic Stark coefficient
     cvdW: np.ndarray = None         # (L, 4) van der Waals coefficients
+    vdw_method: np.ndarray = None   # (L,) 'UNSOLD' | 'BARKLEM' per line
     voigt: np.ndarray = None        # (L,) bool
     # bound-free
     cont_i: np.ndarray = None       # (K,)
@@ -351,12 +352,14 @@ def read_atom_file(path: str) -> AtomModel:
     cStark = np.zeros(nline)
     cvdW = np.zeros((nline, 4))
     voigt = np.ones(nline, bool)
+    vdw_method = np.full(nline, "UNSOLD", dtype="U8")
     for k in range(nline):
         t = next_tokens()
         j, i = int(float(t[0])), int(float(t[1]))
         li[k], lj[k] = min(i, j), max(i, j)
         fosc[k] = float(t[2])
         voigt[k] = t[3].upper() != "GAUSS"
+        vdw_method[k] = t[5].upper()[:8]
         cvdW[k] = [float(x) for x in t[6:10]]
         Grad[k] = float(t[10])
         cStark[k] = float(t[11])
@@ -413,7 +416,7 @@ def read_atom_file(path: str) -> AtomModel:
         E=E, g=g, stage=stage, label=labels,
         line_i=li, line_j=lj, Aji=Aji, Bji=Bji, Bij=Bij, fosc=fosc,
         lambda0=lam0_m / 1e-9, Grad=Grad, cStark=cStark, cvdW=cvdW,
-        voigt=voigt,
+        voigt=voigt, vdw_method=vdw_method,
         cont_i=ci, cont_j=cj, alpha0=alpha0, cont_lambda0=lam0c,
         hydrogenic=hyd, cont_lambda_file=lamf, cont_alpha_file=alpf,
         collisions=colls)

@@ -100,6 +100,23 @@ def line_damping(atom: AtomModel, T: np.ndarray, ne: np.ndarray,
              * C6_cgs[None, :] ** 0.4 * (nH1[:, None] * 1e-6))
     # per-line multiplier from the atom file (cvdW[0] scales the H term)
     g_vdw = g_vdw * atom.cvdW[None, :, 0]
+
+    # ABO (Anstee-Barklem-O'Mara) broadening for lines marked BARKLEM
+    # with (sigma[a0^2], alpha) in cvdW[0:2] (broad.f90:107-110 BARKLEM
+    # branch; sigma > 20 distinguishes a cross-section from an Unsold
+    # enhancement factor)
+    if atom.vdw_method is not None:
+        from .abo import abo_gamma_coeff
+        is_abo = (np.char.startswith(atom.vdw_method.astype("U8"),
+                                     "BARKLEM")
+                  & (atom.cvdW[:, 0] > 20.0))
+        if is_abo.any():
+            K = abo_gamma_coeff(atom.cvdW[:, 0], atom.cvdW[:, 1],
+                                atom.weight)
+            g_abo = (K[None, :]
+                     * T[:, None] ** (0.5 - 0.5 * atom.cvdW[None, :, 1])
+                     * nH1[:, None])
+            g_vdw = np.where(is_abo[None, :], g_abo, g_vdw)
     gamma = gamma + g_vdw
 
     # quadratic Stark: Gamma_S = cStark * ne, with the classical

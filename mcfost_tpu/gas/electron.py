@@ -103,3 +103,43 @@ def solve_ne(T: np.ndarray, nHtot: np.ndarray, max_iter: int = 100,
         if rel < tol:
             break
     return ne
+
+
+def solve_ne_nlte(T: np.ndarray, nHtot: np.ndarray, elem: str,
+                  n_elec_model: np.ndarray, ne0: np.ndarray | None = None,
+                  max_iter: int = 100, tol: float = 1e-6) -> np.ndarray:
+    """Electron density with the NLTE ionization of ``elem`` imposed:
+    its LTE (Saha) contribution is replaced by ``n_elec_model`` — the
+    per-cell free electrons implied by the model atom's actual ion
+    populations.  This is the ne re-iteration of the MALI loop
+    (-iterate_ne, atom_transfer.f90:155-165 + solve_ne re-entry)."""
+    T = np.maximum(np.asarray(T, np.float64), 1.0)
+    nHtot = np.asarray(nHtot, np.float64)
+    n_elec_model = np.asarray(n_elec_model, np.float64)
+    ne = np.asarray(ne0, np.float64).copy() if ne0 is not None \
+        else solve_ne(T, nHtot)
+    elem = elem.upper()
+
+    phi_hmin = 0.25 * (cst.hp ** 2 / (2.0 * np.pi * M_ELECTRON * cst.kb
+                                      * T)) ** 1.5 \
+        * np.exp(np.minimum(E_ION_HMIN / (cst.kb * T), 600.0))
+
+    for _ in range(max_iter):
+        fr = ionization_fractions(T, ne)
+        ne_new = n_elec_model.copy()
+        for name, _w, ab, chis, _u in ELEMENTS:
+            if name.upper() == elem:
+                continue                      # NLTE element imposed above
+            f = fr[name]
+            stages = np.arange(f.shape[1])
+            ne_new += ab * nHtot * (f * stages[None, :]).sum(axis=1)
+        if elem != "H":
+            nH1 = nHtot * fr["H"][:, 0]
+            ne_new = ne_new - ne * nH1 * phi_hmin
+        ne_new = np.maximum(ne_new, 1e-30)
+        ne_next = np.sqrt(ne * ne_new)
+        rel = np.max(np.abs(ne_next - ne) / np.maximum(ne, 1e-30))
+        ne = ne_next
+        if rel < tol:
+            break
+    return ne
