@@ -23,6 +23,18 @@ import sys
 import time
 
 
+def _backup_dir(path: str, no_backup: bool):
+    """Never overwrite existing outputs: move them to <dir>_old first
+    (reference behaviour, docs/running.rst:60-65; -no_backup disables)."""
+    if no_backup or not os.path.isdir(path):
+        return
+    import shutil
+    old = path + "_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -83,6 +95,9 @@ def main(argv=None):
     iterate_ne = 0
     healpix_lorder = None
     ng_norder = 2
+    t_file = None
+    no_backup = False
+    img_lambda_op = None
 
     i = 0
     while i < len(argv):
@@ -126,6 +141,12 @@ def main(argv=None):
             hydro_spec = ("pluto", argv[i + 1], argv[i + 2]); i += 2
         elif a == "-scale_length_units":
             i += 1; scale_length = float(argv[i])
+        elif a == "-model_1d":
+            i += 1; hydro_spec = ("model_1d", argv[i])
+        elif a == "-sphere_mesh":
+            i += 1; hydro_spec = ("sphere_mesh", argv[i])
+        elif a == "-mhd_voronoi":
+            i += 1; hydro_spec = ("mhd_voronoi", argv[i])
         elif a == "-mol":
             do_mol = True
         elif a == "-atom":
@@ -156,10 +177,60 @@ def main(argv=None):
             output_j = True
         elif a == "-output_UV_field":
             output_uv = True
-        elif a == "-iso":
+        elif a in ("-iso", "-isotropic"):
             para.iso_scattering = True
-        elif a == "-hg":
+        elif a in ("-hg", "-HG"):
             para.hg_scattering = True
+        elif a in ("-no_scattering", "-no_scatt"):
+            para.no_scattering = True
+        elif a == "-qsca=qabs":
+            para.qsca_equal_qabs = True
+        elif a == "-zoom":
+            i += 1; para.maps.map_size = para.maps.map_size / float(argv[i])
+        elif a == "-PA":
+            i += 1; para.maps.disk_pa = float(argv[i])
+        elif a == "-Tfile":
+            i += 1; t_file = argv[i]
+        elif a == "-no_backup":
+            no_backup = True
+        elif a == "-op":
+            # opacity-only mode: dust properties at one wavelength
+            # (lopacite_only, init_mcfost.f90:499-510)
+            i += 1; img_lambda_op = float(argv[i])
+            do_diag.append("dust")
+            do_sed = False
+            do_mol = False
+        elif a == "-max_mem":
+            i += 1; para.max_mem_gb = float(argv[i])
+        elif a == "-limit_mem":
+            i += 1; para.limit_mem = int(argv[i])
+        elif a == "-setup":
+            # offline variant of the reference's data-dir setup
+            # (init_mcfost.f90:394): create/inspect $MCFOST_UTILS; this
+            # build has no network egress so nothing is downloaded
+            base = os.environ.get("MCFOST_UTILS", "")
+            if not base:
+                print("error: MCFOST_UTILS is not set; point it at a "
+                      "directory holding Dust/ Molecules/ Atoms/ "
+                      "Stellar_Spectra/ data")
+                return 1
+            os.makedirs(base, exist_ok=True)
+            for sub in ("Dust", "Molecules", "Atoms", "Stellar_Spectra",
+                        "Lambda"):
+                d_ = os.path.join(base, sub)
+                os.makedirs(d_, exist_ok=True)
+                n_ = len(os.listdir(d_))
+                print(f"  {sub}/: {n_} files"
+                      + ("  (empty - populate manually; no network "
+                         "egress in this build)" if n_ == 0 else ""))
+            return 0
+        elif a == "-get_para":
+            # print the default parameter file version (the reference
+            # copies its bundled ref<version>.para)
+            from .config.para import write_para
+            write_para(para, "ref4.1_default.para")
+            print("wrote ref4.1_default.para")
+            return 0
         elif a == "-gap":
             para.gap_gaussian = (float(argv[i + 1]), float(argv[i + 2]),
                                  float(argv[i + 3])); i += 3
@@ -261,8 +332,11 @@ def main(argv=None):
         # (reference -img flow, dust_transfer.f90:223)
         from .runner import run_image
         print(f"mcfost_tpu: image at {img_lambda} micron")
+        _backup_dir(os.path.join(root_dir, f"data_{img_lambda:g}"),
+                    no_backup)
         run_image(para, img_lambda, root_dir=root_dir, seed=seed,
-                  jy=jy, casa=casa, scheme=rt_scheme, origin=want_origin)
+                  jy=jy, casa=casa, scheme=rt_scheme, origin=want_origin,
+                  t_file=t_file)
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
@@ -308,6 +382,20 @@ def main(argv=None):
         return 0
 
     hydro = None
+    if hydro_spec is not None and hydro_spec[0] in ("model_1d",
+                                                    "sphere_mesh",
+                                                    "mhd_voronoi"):
+        # full-gas-state atmosphere inputs -> atomic transfer directly
+        from .runner import (run_model_1d, run_mhd_voronoi,
+                             run_sphere_mesh)
+        kind, path = hydro_spec
+        print(f"mcfost_tpu: atomic transfer on {kind} model {path}")
+        fn = {"model_1d": run_model_1d, "sphere_mesh": run_sphere_mesh,
+              "mhd_voronoi": run_mhd_voronoi}[kind]
+        fn(para, path, root_dir=root_dir, iterate_ne=iterate_ne,
+           healpix_lorder=healpix_lorder, ng_order=ng_norder)
+        print(f"total: {time.time()-t_start:.1f}s")
+        return 0
     if hydro_spec is not None:
         from .io import hydro as hyd
         kind = hydro_spec[0]
@@ -347,6 +435,7 @@ def main(argv=None):
                                    scale_length_au=scale_length)
 
     need_j = do_prodimo or do_astrochem or do_ml
+    _backup_dir(os.path.join(root_dir, "data_th"), no_backup)
     print("mcfost_tpu: thermal Monte Carlo")
     T, sed_th, model, host, res = run_thermal(
         para, root_dir=root_dir, seed=seed,

@@ -12,6 +12,8 @@ formats raise with a clear message.
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -231,6 +233,8 @@ class Para:
     seed: int = 269753
     iso_scattering: bool = False
     hg_scattering: bool = False
+    no_scattering: bool = False    # -no_scattering (init_mcfost.f90:804)
+    qsca_equal_qabs: bool = False  # -qsca=qabs (init_mcfost.f90:807)
     # structural CLI extras (reference init_mcfost.f90 options):
     # -gap f r sigma (density.f90:911), -cavity h r beta (:901),
     # -puffed_up_rim h r dr (:533), -z_warp (:556)
@@ -242,6 +246,11 @@ class Para:
     ism_model: int = 0             # -ISM_heating: 0 off, 1 ProDiMo, 2 Bate&Keto
     # -spot T_spot surf_fraction theta phi (init_mcfost.f90:1111-1126)
     spot: tuple | None = None
+    # memory-tiering hints (-max_mem GB / -limit_mem n,
+    # init_mcfost.f90:702,1242; the TPU build's p_icell bucket compression
+    # already collapses per-cell tables, so these only cap MC batch sizes)
+    max_mem_gb: float | None = None
+    limit_mem: int = 0
     chi_ism: float = 1.0
 
     @property
@@ -498,3 +507,135 @@ def read_para(path: str) -> Para:
 def default_ref_para() -> Para:
     """The ref4.1 disk model (reference: src/ref4.1.para), as built-in defaults."""
     return Para()
+
+
+def write_para(para: Para, path: str):
+    """Write a 4.1-format parameter file from the configuration
+    (the -get_para role; format contract docs/parameter_file.rst +
+    src/ref4.1.para)."""
+    def b(v):
+        return "T" if v else "F"
+    w = para.wavelengths
+    g = para.grid
+    m = para.maps
+    lines = []
+    a = lines.append
+    a("4.1                       mcfost version")
+    a("")
+    a("#Number of photon packages")
+    a(f"  {para.photons.n_eq_th:.6g}   nbr_photons_eq_th")
+    a(f"  {para.photons.n_lambda:.6g}   nbr_photons_lambda")
+    a(f"  {para.photons.n_image:.6g}   nbr_photons_image")
+    a("")
+    a("#Wavelength")
+    a(f"  {w.n_lambda} {w.lambda_min:g} {w.lambda_max:g}   "
+      "n_lambda, lambda_min, lambda_max [mum]")
+    a(f"  {b(w.compute_temp)} {b(w.compute_sed)} {b(w.default_grid)}   "
+      "compute temperature?, compute sed?, use default wavelength grid?")
+    a(f"  {w.wavelength_file or 'IMLup.lambda'}   wavelength file")
+    a(f"  {b(w.separate_contributions)} {b(w.output_stokes)}   "
+      "separation of different contributions?, stokes parameters?")
+    a("")
+    a("#Grid geometry and size")
+    a(f"  {g.geometry}   1 = cylindrical, 2 = spherical")
+    a(f"  {g.n_rad} {g.nz} {g.n_az} {g.n_rad_in}   "
+      "n_rad, nz (or n_theta), n_az, n_rad_in")
+    a("")
+    a("#Maps")
+    a(f"  {m.nx} {m.ny} {m.map_size:g}   grid (nx,ny), size [AU]")
+    a(f"  {m.imin:g} {m.imax:g} {m.n_incl} {b(m.centered)}   "
+      "RT: imin, imax, n_incl, centered ?")
+    a(f"  {m.az_min:g} {m.az_max:g} {m.n_az_angles}   "
+      "RT: az_min, az_max, n_az angles")
+    a(f"  {m.distance:g}   distance (pc)")
+    a(f"  {m.disk_pa:g}   disk PA")
+    a("")
+    a("#Scattering method")
+    a(f"  {para.scattering_method}   0=auto, 1=grain prop, 2=cell prop")
+    a("")
+    a("#Symmetries")
+    a(f"  {b(para.sym_image)}   image symmetry")
+    a(f"  {b(para.sym_central)}   central symmetry")
+    a(f"  {b(para.sym_axial)}   axial symmetry")
+    a("")
+    a("#Disk physics")
+    ph = para.physics
+    a(f"  {ph.settling_type} {ph.exp_strat:g} {ph.a_strat:g}   "
+      "dust_settling, exp_strat, a_strat")
+    a(f"  {b(ph.radial_migration)}   dust radial migration")
+    a(f"  {b(ph.sublimate_dust)}   sublimate dust")
+    a(f"  {b(ph.hydrostatic_eq)}   hydrostatic equilibrium")
+    a(f"  {b(ph.viscous_heating)} {ph.alpha_viscosity:g}   "
+      "viscous heating, alpha_viscosity")
+    a("")
+    a("#Number of zones")
+    a(f"  {len(para.zones)}")
+    a("")
+    a("#Density structure")
+    for z in para.zones:
+        a(f"  {z.geometry}   zone type")
+        a(f"  {z.dust_mass:g} {z.gas_to_dust:g}   dust mass, gas-to-dust")
+        a(f"  {z.scale_height:g} {z.ref_radius:g} {z.vert_profile_exp:g}"
+          "   scale height, ref radius, profile exp")
+        a(f"  {z.rin:g} {z.edge:g} {z.rout:g} {z.rc:g}   "
+          "Rin, edge, Rout, Rc")
+        a(f"  {z.flaring_exp:g}   flaring exponent")
+        a(f"  {z.surface_density_exp:g} {z.gamma_exp:g}   "
+          "surface density exponent, -gamma_exp")
+    a("")
+    a("#Grain properties")
+    for iz, species in enumerate(para.dust):
+        a(f"  {len(species)}   number of species")
+        for sp in species:
+            a(f"  {sp.grain_type} {sp.n_components} {sp.mixing_rule} "
+              f"{sp.porosity:g} {sp.mass_fraction:g} {sp.dhs_vmax:g}   "
+              "grain type, n_components, mixing rule, porosity, "
+              "mass fraction, Vmax")
+            for c in sp.components:
+                a(f"  {c.optical_indices_file}  {c.volume_fraction:g}")
+            a(f"  {sp.heating_method}   heating method")
+            a(f"  {sp.amin:g} {sp.amax:g} {sp.aexp:g} {sp.n_grains}   "
+              "amin, amax, aexp, n_grains")
+    a("")
+    a("#Molecular RT settings")
+    mo = para.mol
+    a(f"  {b(mo.lpop)} {b(mo.laccurate_pop)} {b(mo.lte)}   "
+      "lpop, laccurate_pop, LTE")
+    vt = mo.v_turb if np.isscalar(mo.v_turb) else float(np.mean(mo.v_turb))
+    a(f"  {vt:g} {mo.v_turb_unit}   turbulence velocity, unit")
+    a(f"  {len(mo.molecules)}   number of molecules")
+    for mm in mo.molecules:
+        a(f"  {mm.filename} {mm.level_max}   molecular data file, level_max")
+        a(f"  {b(mm.cst_abundance)} {mm.abundance:g} "
+          f"{mm.abundance_file or 'abundance.fits.gz'}   "
+          "cst molecule abundance?, abundance, abundance file")
+        a(f"  {b(mm.ray_tracing)} {mm.n_lines_rt}   "
+          "ray tracing?, number of lines in ray-tracing")
+        a("  " + " ".join(str(t) for t in mm.transitions)
+          + "   transition numbers")
+        a(f"  {mm.vmin:g} {mm.vmax:g} {mm.n_speed}   "
+          "vmin, vmax [km/s], n_speed")
+    a("")
+    a("#Atoms settings")
+    a(f"  {len(para.atoms.atoms)}   n_atoms")
+    for at in para.atoms.atoms:
+        a(f"  {at.filename}")
+        a(f"  {b(at.non_lte)}   non-LTE?")
+        a(f"  {at.initial_solution}   initial solution")
+        a(f"  {at.vmax:g} {at.n_points}   vmax, n_points")
+        a(f"  {b(at.images)} {at.n_lines}   images (T) or total flux "
+          "(F)? number of lines")
+        for (ju, jl) in at.lines:
+            a(f"  {ju} {jl}")
+    a("")
+    a("#Star properties")
+    a(f"  {len(para.stars)}   n_stars")
+    for st in para.stars:
+        a(f"  {st.teff:g} {st.radius:g} {st.mass:g} {st.x:g} {st.y:g} "
+          f"{st.z:g} {b(st.auto_spectrum)}   "
+          "Teff, Rstar, Mstar, x, y, z, automatic spectrum?")
+        a(f"  {st.spectrum_file or 'lte4000-3.5.NextGen.fits.gz'}")
+        a(f"  {st.fuv:g} {st.slope_fuv:g}   fUV, slope_fUV")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path

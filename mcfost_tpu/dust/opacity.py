@@ -289,6 +289,56 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
             np.savez_compressed(cache_file, qext=qext, qsca=qsca, gsca=gsca,
                                 s11=s11, s12=s12, s33=s33, s34=s34)
 
+    # ---- scattering-physics overrides (applied post-cache so the cache
+    # stays keyed on the raw optics alone)
+    A_ = s11.shape[-1]
+    theta = np.linspace(0.0, np.pi, A_)
+    wsin = np.sin(theta) * (np.pi / (A_ - 1))
+    wsin[0] = 0.0
+    if getattr(para, "no_scattering", False):
+        # -no_scattering: pure absorption (lno_scattering,
+        # init_mcfost.f90:804-806)
+        qext = qext - qsca
+        qsca = np.zeros_like(qsca)
+        gsca = np.zeros_like(gsca)
+        s11 = np.zeros_like(s11)
+        s12 = np.zeros_like(s12)
+        s33 = np.zeros_like(s33)
+        s34 = np.zeros_like(s34)
+    elif getattr(para, "qsca_equal_qabs", False):
+        # -qsca=qabs (lqsca_equal_qabs, init_mcfost.f90:807-809)
+        qabs = np.maximum(qext - qsca, 0.0)
+        scale = qabs / np.maximum(qsca, 1e-300)
+        qsca = qabs
+        qext = 2.0 * qabs
+        s11 = s11 * scale[:, :, None]
+        s12 = s12 * scale[:, :, None]
+        s33 = s33 * scale[:, :, None]
+        s34 = s34 * scale[:, :, None]
+    if para.iso_scattering:
+        # -iso (lisotropic): angle-independent phase function with the
+        # same scattered energy, no polarization
+        s11_int = (s11 * wsin[None, None, :]).sum(-1) / wsin.sum()
+        s11 = np.broadcast_to(s11_int[:, :, None], s11.shape).copy()
+        s12 = np.zeros_like(s12)
+        s33 = s11.copy()
+        s34 = np.zeros_like(s34)
+        gsca = np.zeros_like(gsca)
+    elif para.hg_scattering:
+        # -hg: Henyey-Greenstein phase function at the Mie asymmetry g
+        # (hg, scattering.f90:1354-1383), same scattered energy
+        s11_int = (s11 * wsin[None, None, :]).sum(-1)       # (K, L)
+        g = np.clip(gsca, -0.99, 0.99)
+        hgp = ((1.0 - g[:, :, None] ** 2)
+               / np.maximum(1.0 + g[:, :, None] ** 2
+                            - 2.0 * g[:, :, None]
+                            * np.cos(theta)[None, None, :], 1e-6) ** 1.5)
+        hg_int = (hgp * wsin[None, None, :]).sum(-1)
+        s11 = hgp * (s11_int / np.maximum(hg_int, 1e-300))[:, :, None]
+        s12 = np.zeros_like(s12)
+        s33 = s11.copy()
+        s34 = np.zeros_like(s34)
+
     c_ext = qext * grains.s_grain[:, None]
     c_sca = qsca * grains.s_grain[:, None]
     c_abs = c_ext - c_sca

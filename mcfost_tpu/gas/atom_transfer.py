@@ -75,19 +75,29 @@ class GasState:
     T/nHtot/ne/vturb/velocity arrays, gas/atom_transfer.f90 init)."""
 
     def __init__(self, model: Model, host: HostModel, T_gas: np.ndarray,
-                 v_turb_kms: float = 0.0):
+                 v_turb_kms: float = 0.0, nHtot=None, ne=None,
+                 vfield=None):
+        """nHtot/ne/vfield: optional imposed per-cell values (the 1D
+        stellar-atmosphere / sphere-mesh / MHD input paths provide the
+        full gas state, read_1d_models.f90 + read_spherical_grid.f90)."""
         para = host.para
         self.T = np.maximum(np.asarray(T_gas, np.float64), 2.7)
-        g2d = para.zones[0].gas_to_dust
-        rho_gas = host.rho_dust * g2d                    # g/cm^3
-        mH = 1.008 * AMU_KG * 1e3                        # g
-        self.nHtot = rho_gas / (1.4 * mH) * 1e6          # m^-3 (He-corrected)
+        if nHtot is not None:
+            self.nHtot = np.asarray(nHtot, np.float64)
+        else:
+            g2d = para.zones[0].gas_to_dust
+            rho_gas = host.rho_dust * g2d                # g/cm^3
+            mH = 1.008 * AMU_KG * 1e3                    # g
+            self.nHtot = rho_gas / (1.4 * mH) * 1e6      # m^-3 (He-corr.)
         self.vturb = v_turb_kms * 1e3
-        self.ne = solve_ne(self.T, self.nHtot)
+        self.ne = np.asarray(ne, np.float64) if ne is not None \
+            else solve_ne(self.T, self.nHtot)
 
         # velocity field (C, 3) cylindrical: hydro velocities when the
         # model came from a hydro dump, else Keplerian azimuthal
-        if getattr(host, "velocity", None) is not None:
+        if vfield is not None:
+            self.vfield = np.asarray(vfield, np.float64)
+        elif getattr(host, "velocity", None) is not None:
             self.vfield = np.asarray(host.velocity, np.float64)
         else:
             mstar = para.stars[0].mass
@@ -712,7 +722,7 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
 def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
               root_dir: str = ".", verbose: bool = True,
               iterate_ne: int = 0, healpix_lorder: int | None = None,
-              ng_order: int = 2):
+              ng_order: int = 2, gas: GasState | None = None):
     """Full -atom pipeline: gas state, (N)LTE populations, channel maps
     for the parameter file's atomic lines + disk-integrated spectra
     (setup_image_grid / emission_line_map, gas/atom_transfer.f90:1044,
@@ -723,10 +733,11 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
         para.atoms.atoms = [Atom()]
     acfg = para.atoms.atoms[0]
     atom = get_atom(acfg.filename)
-    gas = GasState(model, host, T_dust,
-                   v_turb_kms=para.mol.v_turb
-                   if para.mol.v_turb_unit.lower().startswith("km")
-                   else 0.0)
+    if gas is None:
+        gas = GasState(model, host, T_dust,
+                       v_turb_kms=para.mol.v_turb
+                       if para.mol.v_turb_unit.lower().startswith("km")
+                       else 0.0)
     ntot = atom.abund * gas.nHtot
     nstar = lte_pops(atom, gas.T, gas.ne, ntot)
     if acfg.non_lte:

@@ -83,13 +83,36 @@ def tessellate(points: np.ndarray, bbox: np.ndarray, max_nb: int = 32):
 
     Returns (volumes (N,), neighbours (N, max_nb) int32, n_nb (N,),
     max_vertex_r (N,)).  Neighbour codes: >=0 seed id, -1..-6 box wall,
-    NONE_NB padding."""
-    lib = _load_native()
-    if lib is None:
-        raise RuntimeError("native libvoronoi.so unavailable")
+    NONE_NB padding.
+
+    Results are cached on disk keyed by the SHA1 of (points, bbox) —
+    the reference's tessellation cache (save_Voronoi_tesselation /
+    read_saved_Voronoi_tesselation, Voronoi.f90:647-751).  Cache
+    location: $MCFOST_TPU_VORONOI_CACHE, else ./.mcfost_tpu_cache when
+    that directory exists; set MCFOST_TPU_NO_VORONOI_CACHE=1 to skip."""
     pts = np.ascontiguousarray(points, np.float64)
     n = pts.shape[0]
     bbox = np.ascontiguousarray(bbox, np.float64)
+
+    cache_path = None
+    if not os.environ.get("MCFOST_TPU_NO_VORONOI_CACHE"):
+        cdir = os.environ.get("MCFOST_TPU_VORONOI_CACHE")
+        if cdir is None and os.path.isdir(".mcfost_tpu_cache"):
+            cdir = ".mcfost_tpu_cache"
+        if cdir:
+            import hashlib
+            key = hashlib.sha1(pts.tobytes()
+                               + bbox.tobytes()).hexdigest()[:16]
+            cache_path = os.path.join(cdir, f"voronoi_{key}.npz")
+            if os.path.isfile(cache_path):
+                d = np.load(cache_path)
+                if d["volumes"].shape[0] == n:
+                    return (d["volumes"], d["neighbours"], d["n_nb"],
+                            d["maxr"])
+
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native libvoronoi.so unavailable")
     while True:
         volumes = np.zeros(n)
         neighbours = np.zeros((n, max_nb), np.int32)
@@ -99,6 +122,13 @@ def tessellate(points: np.ndarray, bbox: np.ndarray, max_nb: int = 32):
                                         volumes, neighbours.reshape(-1),
                                         n_nb, maxr)
         if n_over == 0:
+            if cache_path is not None:
+                try:
+                    np.savez_compressed(cache_path, volumes=volumes,
+                                        neighbours=neighbours, n_nb=n_nb,
+                                        maxr=maxr)
+                except OSError:
+                    pass
             return volumes, neighbours, n_nb, maxr
         max_nb *= 2
 

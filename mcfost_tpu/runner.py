@@ -467,7 +467,7 @@ def run_image(para: Para, img_lambda: float, root_dir: str = ".",
               seed: int | None = None, batch: int = 16384,
               n_az_rt: int = 45, verbose: bool = True,
               jy: bool = False, casa: bool = False, scheme: str = "rt1",
-              origin: bool = False):
+              origin: bool = False, t_file: str | None = None):
     """Image mode (-img <lambda>): monochromatic MC + ray-traced map.
 
     The temperature is reused from a previous thermal run
@@ -480,7 +480,9 @@ def run_image(para: Para, img_lambda: float, root_dir: str = ".",
     model, host = build_model(para, cache_dir=os.path.join(
         root_dir, ".mcfost_tpu_cache"), img_lambda=img_lambda)
 
-    tfile = os.path.join(root_dir, "data_th", "Temperature.fits.gz")
+    # -Tfile overrides the default reuse path (init_mcfost.f90:773-776)
+    tfile = t_file if t_file else os.path.join(root_dir, "data_th",
+                                               "Temperature.fits.gz")
     if os.path.isfile(tfile):
         T = read_fits(tfile)[0][1].astype(np.float64).reshape(-1)
     else:
@@ -636,3 +638,153 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
         write_fits(os.path.join(out_dir, "abundance.fits.gz"),
                    abundance.reshape(shape).astype(np.float32))
     return cube, cont, rt, pops, n_iter
+
+
+def run_model_1d(para: Para, path: str, root_dir: str = ".",
+                 verbose: bool = True, **atom_kw):
+    """-model_1d: atomic transfer on a 1D stellar atmosphere whose full
+    gas state (T, rho, ne, vturb, v) comes from the model file
+    (read_model_1d, read_1d_models.f90:28-120)."""
+    from .io.atmos import read_model_1d
+    from .gas.atom_transfer import GasState, atom_cube
+    from .grids import geometry as _geom
+
+    atm = read_model_1d(path)
+    r_au = atm.r / cst.AU_to_m
+    para.grid.geometry = 2
+    para.grid.n_rad = max(len(r_au) - 1, 8)
+    para.grid.nz = 1
+    para.grid.n_az = 1
+    para.grid.n_rad_in = 1
+    para.zones[0].rin = float(r_au.min())
+    para.zones[0].rout = float(r_au.max())
+    para.zones[0].dust_mass = 1e-30       # dust-free atmosphere
+    model, host = build_model(para, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"))
+
+    rg = _geom.host_arrays(model.grid, "r_grid")
+    zg = _geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    lr = np.log(np.clip(rs, r_au.min(), r_au.max()))
+    lrt = np.log(r_au)
+    order = np.argsort(lrt)
+    T = np.interp(lr, lrt[order], atm.T[order])
+    nH = np.exp(np.interp(lr, lrt[order],
+                          np.log(np.maximum(atm.nHtot[order], 1e-30))))
+    ne = np.exp(np.interp(lr, lrt[order],
+                          np.log(np.maximum(atm.ne[order], 1e-30))))
+    vt = np.interp(lr, lrt[order], atm.vturb[order]) / 1e3    # km/s
+    vr = np.interp(lr, lrt[order], atm.v[order, 0])
+    # radial velocity -> cylindrical components
+    vfield = np.stack([vr * rg / np.maximum(rs, 1e-30),
+                       np.zeros_like(vr),
+                       vr * zg / np.maximum(rs, 1e-30)], 1)
+    gas = GasState(model, host, T, v_turb_kms=float(np.mean(vt)),
+                   nHtot=nH, ne=ne, vfield=vfield)
+    if verbose:
+        print(f"  1D atmosphere: {len(r_au)} radii, "
+              f"T {T.min():.0f}..{T.max():.0f} K")
+    atom_cube(model, host, T, root_dir=root_dir, verbose=verbose,
+              gas=gas, **atom_kw)
+    return model, host, gas
+
+
+def run_sphere_mesh(para: Para, path: str, root_dir: str = ".",
+                    verbose: bool = True, **atom_kw):
+    """-sphere_mesh: atomic transfer on a structured spherical model
+    with the full gas state from the file (read_spherical_grid.f90)."""
+    from .io.atmos import read_sphere_mesh
+    from .gas.atom_transfer import GasState, atom_cube
+    from .grids import geometry as _geom
+
+    sm = read_sphere_mesh(path)
+    n1, n2, n3 = sm.T.shape
+    para.grid.geometry = 2
+    para.grid.n_rad = n1
+    # reference: full-plane theta -> nz per half (read_spherical_grid:108)
+    full_plane = abs(sm.th_walls.max() - 0.5 * np.pi) > 1e-6
+    para.grid.nz = n2 // 2 if full_plane else n2
+    para.grid.n_az = n3
+    para.grid.n_rad_in = 1
+    para.zones[0].rin = float(sm.r_walls.min())
+    para.zones[0].rout = float(sm.r_walls.max())
+    para.zones[0].dust_mass = 1e-30
+    model, host = build_model(para, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"))
+
+    # interpolate the (r, theta) cubes onto the grid cell centres
+    rg = _geom.host_arrays(model.grid, "r_grid")
+    zg = _geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    th = np.arccos(np.clip(np.abs(zg) / np.maximum(rs, 1e-30), 0, 1))
+    # model axes at cell centres
+    rc = 0.5 * (sm.r_walls[1:] + sm.r_walls[:-1])
+    thc = 0.5 * (sm.th_walls[1:] + sm.th_walls[:-1])
+    i_r = np.clip(np.searchsorted(rc, rs), 0, n1 - 1)
+    # colatitude from pole; our th is from the POLE (z axis)
+    i_t = np.clip(np.searchsorted(thc, th), 0, n2 - 1)
+    i_p = np.zeros_like(i_r)
+
+    T = sm.T[i_r, i_t, i_p]
+    nH = sm.nHtot[i_r, i_t, i_p]
+    ne = sm.ne[i_r, i_t, i_p]
+    vr = sm.v[i_r, i_t, i_p, 0]
+    vth = sm.v[i_r, i_t, i_p, 1]
+    vph = sm.v[i_r, i_t, i_p, 2]
+    st = rg / np.maximum(rs, 1e-30)
+    ct = zg / np.maximum(rs, 1e-30)
+    vfield = np.stack([vr * st + vth * ct, vph, vr * ct - vth * st], 1)
+    gas = GasState(model, host, T, nHtot=nH, ne=ne, vfield=vfield)
+    if verbose:
+        print(f"  sphere mesh: {n1}x{n2}x{n3}, "
+              f"T {T.min():.0f}..{T.max():.0f} K")
+    atom_cube(model, host, T, root_dir=root_dir, verbose=verbose,
+              gas=gas, **atom_kw)
+    return model, host, gas
+
+
+def run_mhd_voronoi(para: Para, path: str, root_dir: str = ".",
+                    verbose: bool = True, **atom_kw):
+    """-mhd_voronoi: atomic transfer on an MHD (Bifrost-type) point
+    model tessellated into a Voronoi mesh, with the full gas state from
+    the file (setup_mhd_to_mcfost, mhd2mcfost.f90:21-167)."""
+    from .io.atmos import read_mhd_ascii
+    from .io.phantom import SPHModel
+    from .gas.atom_transfer import GasState, atom_cube
+
+    mhd = read_mhd_ascii(path)
+    n = mhd.xyz.shape[0]
+    star_xyz = np.array([[s.x, s.y, s.z] for s in para.stars])
+    star_mass = np.array([s.mass for s in para.stars])
+    sph = SPHModel(xyz=mhd.xyz, h=mhd.h,
+                   mass=mhd.mass_gas,
+                   rho_gas=np.ones(n),          # set after tessellation
+                   vxyz=mhd.v, dustfrac=None,
+                   star_xyz=star_xyz, star_mass=star_mass)
+    model, host = build_model(para, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"), sph=sph)
+    keep = host.sph_keep if getattr(host, "sph_keep", None) is not None \
+        else np.ones(n, bool)
+    from .grids import geometry as _geom
+    V = _geom.host_arrays(model.grid, "volume")      # AU^3 per cell
+    mass_g = mhd.mass_gas[keep]
+    rho_gas = mass_g / np.maximum(V * cst.AU3_to_cm3, 1e-300)  # g/cm^3
+    T = mhd.T[keep]
+    mh_g = 1.008 * 1.66053906660e-24
+    nH = rho_gas / (1.4 * mh_g) * 1e6                # m^-3
+    ne = mhd.ne_on_mass[keep] * mass_g / np.maximum(
+        V * cst.AU3_to_cm3, 1e-300) / mh_g * 1e6     # electrons per cm^3->m^3
+    vxyz = mhd.v[keep]
+    # cartesian -> cylindrical components at each site
+    xyz = mhd.xyz[keep]
+    rr = np.sqrt(np.maximum(xyz[:, 0] ** 2 + xyz[:, 1] ** 2, 1e-30))
+    vR = (vxyz[:, 0] * xyz[:, 0] + vxyz[:, 1] * xyz[:, 1]) / rr
+    vph = (-vxyz[:, 0] * xyz[:, 1] + vxyz[:, 1] * xyz[:, 0]) / rr
+    vfield = np.stack([vR, vph, vxyz[:, 2]], 1)
+    gas = GasState(model, host, T, nHtot=nH, ne=ne, vfield=vfield)
+    if verbose:
+        print(f"  MHD Voronoi: {int(keep.sum())} sites, "
+              f"T {T.min():.0f}..{T.max():.0f} K")
+    atom_cube(model, host, T, root_dir=root_dir, verbose=verbose,
+              gas=gas, **atom_kw)
+    return model, host, gas

@@ -81,3 +81,44 @@ def test_energy_and_batch_consistency():
     assert np.all(batch["qext"] >= batch["qsca"])
     assert np.all(batch["qsca"] > 0)
     assert np.all((batch["gsca"] > -1) & (batch["gsca"] < 1))
+
+
+def test_scattering_override_flags():
+    """-iso / -hg / -no_scattering / -qsca=qabs transform the dust optics
+    (init_mcfost.f90:804-809 + lisotropic; previously parsed but unused)."""
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.dust.opacity import build_dust_model
+    from mcfost_tpu.physics.wavelengths import log_wavelength_grid
+
+    def build(**kw):
+        para = Para()
+        for sp in para.dust[0]:
+            sp.n_grains = 4
+            sp.amax = 10.0
+        for k, v in kw.items():
+            setattr(para, k, v)
+        wl = log_wavelength_grid(8, 0.1, 1000.0)
+        return build_dust_model(para, wl)
+
+    base = build()
+    iso = build(iso_scattering=True)
+    # isotropic: s11 flat in angle, no polarization, same scattered energy
+    s = iso.s11_rt[0, 0]
+    pos = s > 0
+    assert pos.any()
+    assert np.allclose(s[pos], s[pos][0], rtol=1e-6)
+    assert np.allclose(iso.s12_rt, 0.0)
+    assert np.allclose(np.asarray(iso.albedo), np.asarray(base.albedo),
+                       rtol=1e-6)
+
+    nos = build(no_scattering=True)
+    assert np.allclose(np.asarray(nos.albedo), 0.0)
+
+    qq = build(qsca_equal_qabs=True)
+    assert np.allclose(np.asarray(qq.albedo), 0.5, atol=1e-6)
+
+    hg = build(hg_scattering=True)
+    # forward-peaked: more weight at theta=0 than the mean
+    s11h = hg.s11_rt[0, 0]
+    assert s11h[0] > s11h[len(s11h) // 2]
+    assert np.allclose(hg.s12_rt, 0.0)

@@ -42,3 +42,19 @@ def test_legacy_cavity_section_consumed():
 def test_too_old_rejected():
     with pytest.raises(NotImplementedError):
         read_para(f"{LEGACY}/ref2.18.para")
+
+
+def test_para_writer_roundtrip(tmp_path):
+    """-get_para: the 4.1 writer round-trips through our own parser."""
+    from mcfost_tpu.config.para import Para, write_para, read_para, Atom
+    p = Para()
+    p.atoms.atoms = [Atom()]
+    p.zones[0].dust_mass = 3.3e-4
+    p.stars[0].teff = 4321.0
+    path = str(tmp_path / "out.para")
+    write_para(p, path)
+    q = read_para(path)
+    assert q.zones[0].dust_mass == 3.3e-4
+    assert q.stars[0].teff == 4321.0
+    assert q.mol.molecules[0].transitions == p.mol.molecules[0].transitions
+    assert q.atoms.atoms[0].lines == p.atoms.atoms[0].lines

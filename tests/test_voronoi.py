@@ -138,3 +138,27 @@ def test_traversal_chord_and_cells(cloud):
     assert not alive.any()
     # chord length through the box: x from -1 to 1 -> 2.0
     np.testing.assert_allclose(total_l, 2.0, rtol=5e-3)
+
+
+def test_tessellation_cache(tmp_path, monkeypatch):
+    """Disk cache keyed on particle SHA1 (Voronoi.f90:647-751): second
+    tessellation of the same cloud comes from the cache bit-for-bit."""
+    import os
+    from mcfost_tpu.grids.voronoi import tessellate
+    monkeypatch.setenv("MCFOST_TPU_VORONOI_CACHE", str(tmp_path))
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-1, 1, (200, 3))
+    bbox = np.array([-1.2, 1.2, -1.2, 1.2, -1.2, 1.2])
+    v1, nb1, nn1, mr1 = tessellate(pts, bbox)
+    files = [f for f in os.listdir(str(tmp_path))
+             if f.startswith("voronoi_")]
+    assert len(files) == 1
+    # poison the library path indirectly: cached load must not need it
+    v2, nb2, nn2, mr2 = tessellate(pts, bbox)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(nb1, nb2)
+    # different cloud -> different cache entry
+    tessellate(rng.uniform(-1, 1, (180, 3)), bbox)
+    files = [f for f in os.listdir(str(tmp_path))
+             if f.startswith("voronoi_")]
+    assert len(files) == 2
