@@ -269,6 +269,8 @@ def main(argv=None):
                 i += 1; para.chi_ism = float(argv[i])
         elif a == "-ISM_heating_Bate":
             para.ism_model = 2
+        elif a in ("-Mueller", "-mueller", "-phase_function"):
+            i += 1; para.mueller_file = argv[i]
         elif a == "-limb_darkening":
             i += 1; para.limb_darkening = argv[i]
         elif a == "-iterate_ne":

@@ -6,8 +6,9 @@ read_para41x).  The configuration is represented as plain dataclasses; the
 parser is token-positional like the reference (values are whitespace-split,
 trailing comments on each line are ignored).
 
-Only the 4.1 and 4.0 formats are parsed natively for now; older legacy
-formats raise with a clear message.
+Formats 2.19 through 4.1 are parsed (the legacy ladder mirrors
+read_param.f90's version dispatch); write_para emits the current 4.1
+format (-get_para).
 """
 from __future__ import annotations
 
@@ -251,6 +252,9 @@ class Para:
     # already collapses per-cell tables, so these only cap MC batch sizes)
     max_mem_gb: float | None = None
     limit_mem: int = 0
+    # -Mueller <file>: user-supplied opacity + Mueller matrix
+    # (Mueller_input, scattering.f90:383-580)
+    mueller_file: str | None = None
     chi_ism: float = 1.0
 
     @property
@@ -349,10 +353,14 @@ def parse_para(text: str) -> Para:
     t = rd.line(1); p.maps.distance = float(t[0])
     t = rd.line(1); p.maps.disk_pa = float(t[0])
 
-    # Scattering method
-    t = rd.line(1); p.scattering_method = int(float(t[0]))
-    if version < 4.1 - 1e-6:
-        # 4.0 has a separate Mie/hg line
+    # Scattering method: 4.1 dropped the grain/cell line — its single
+    # line is the PHASE-FUNCTION method (read_para41x,
+    # read_param.f90:202-208: scattering_method forced 0 = auto)
+    if version >= 4.1 - 1e-6:
+        p.scattering_method = 0
+        t = rd.line(1); p.aniso_method = int(float(t[0]))
+    else:
+        t = rd.line(1); p.scattering_method = int(float(t[0]))
         t = rd.line(1); p.aniso_method = int(float(t[0]))
 
     # Symmetries
@@ -551,7 +559,7 @@ def write_para(para: Para, path: str):
     a(f"  {m.disk_pa:g}   disk PA")
     a("")
     a("#Scattering method")
-    a(f"  {para.scattering_method}   0=auto, 1=grain prop, 2=cell prop")
+    a(f"  {para.aniso_method}   1=exact phase function, 2=hg")
     a("")
     a("#Symmetries")
     a(f"  {b(para.sym_image)}   image symmetry")

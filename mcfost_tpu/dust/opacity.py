@@ -315,6 +315,10 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         s12 = s12 * scale[:, :, None]
         s33 = s33 * scale[:, :, None]
         s34 = s34 * scale[:, :, None]
+    # the para's anisotropy method 2 == HG with the same g
+    # (ref4.1.para scattering section / aniso_method)
+    if getattr(para, "aniso_method", 1) == 2 and not para.hg_scattering:
+        para.hg_scattering = True
     if para.iso_scattering:
         # -iso (lisotropic): angle-independent phase function with the
         # same scattered energy, no polarization
@@ -372,6 +376,14 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         weights = grains.n_grains[None, :]
     tabs = assemble_mix_tables(grains, weights, c_ext, c_sca, c_abs, gsca,
                                s11, s12, s33, s34)
+
+    # -Mueller <file>: user-supplied opacities + phase matrices replace
+    # the computed optics (Mueller_input, scattering.f90:383-580)
+    mfile = getattr(para, "mueller_file", None)
+    if mfile:
+        from .mueller_input import apply_mueller_input, read_mueller_file
+        tabs = apply_mueller_input(tabs, read_mueller_file(mfile),
+                                   wl.lam, nang)
 
     return DustModel(
         grains=grains, c_ext=c_ext, c_sca=c_sca, c_abs=c_abs,

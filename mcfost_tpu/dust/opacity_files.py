@@ -160,3 +160,57 @@ def tabulated_optics(table: OpacityTable, a_um: np.ndarray,
     return {"qext": qext.ravel(), "qsca": qsca.ravel(), "gsca": g.ravel(),
             "s11": s11.reshape(-1, A), "s12": zero.reshape(-1, A),
             "s33": s11.reshape(-1, A), "s34": zero.reshape(-1, A)}
+
+
+def read_dustem_heat_capacity(dustem_dir: str, name: str,
+                              rho1g: float) -> tuple | None:
+    """Tabulated specific heat (T [K], C [erg/g/K]) from
+    DustEM/hcap/C_<name>.DAT (read_DustEM_specific_heat,
+    read_DustEM.f90:202-235: rows of log10 T, log10 C_volumic; divided by
+    the bulk density to get the massic capacity).  None when absent."""
+    path = os.path.join(dustem_dir, "hcap", f"C_{name}.DAT")
+    if not os.path.isfile(path):
+        return None
+    vals = []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.split("#")[0].strip()
+            if ln:
+                vals.extend(float(t) for t in ln.split())
+    na = int(vals[0])
+    nT = int(vals[1 + na])
+    rows = np.asarray(vals[2 + na:2 + na + 2 * nT]).reshape(nT, 2)
+    T = 10.0 ** rows[:, 0]
+    C = 10.0 ** rows[:, 1] / max(rho1g, 1e-30)       # erg/K/g
+    return T, C
+
+
+def read_misselt_heat_capacity(path: str) -> tuple | None:
+    """Misselt-format opacity files carry a specific-heat section after a
+    'specific heat' marker: rows of (T [K], C [erg/g/K])
+    (Misselt_specific_heat, PAH.f90:220-239).  None when not found."""
+    if not os.path.isfile(path):
+        return None
+    T, C = [], []
+    in_sh = False
+    with open(path) as f:
+        for ln in f:
+            low = ln.lower()
+            if "heat" in low and ("specific" in low or "capacit" in low):
+                in_sh = True
+                continue
+            if not in_sh:
+                continue
+            ls = ln.split("#")[0].strip()
+            if not ls:
+                continue
+            toks = ls.split()
+            try:
+                t, c = float(toks[0]), float(toks[1])
+            except (ValueError, IndexError):
+                break
+            T.append(t)
+            C.append(c)
+    if not T:
+        return None
+    return np.asarray(T), np.asarray(C)

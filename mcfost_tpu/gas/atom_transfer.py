@@ -211,7 +211,8 @@ def integrate_atom_rays(model: Model, chi0, eta0, adamp, vth, chi_c, eta_c,
                         vfield, star_bnu, tab_speed, x0, y0, z0, u, v, w,
                         nl: int, nv: int, max_steps: int = 2000,
                         want_psi: bool = False, partners=None,
-                        dv_off=None, wt_off=None, n_overlap: int = 1):
+                        dv_off=None, wt_off=None, n_overlap: int = 1,
+                        star_bnu_cell=None):
     """Backward formal integration of N rays with nl lines x nv velocity
     channels riding along (integ_ray_atom, optical_depth.f90:1095-1211).
 
@@ -302,10 +303,17 @@ def integrate_atom_rays(model: Model, chi0, eta0, adamp, vth, chi_c, eta_c,
         d2 = x * x + y * y + z * z - t_ca * t_ca
         hit_star = alive & in_cav & (t_ca > 0) \
             & (d2 < model.star_r[0] ** 2)
+        if star_bnu_cell is None:
+            sb = star_bnu[None, :]
+        else:
+            # accretion-shock footprint: the boundary intensity depends
+            # on the column the ray arrived through (is_inshock split,
+            # stars.f90:940-1016)
+            sb = star_bnu_cell[flat]
         I = I + jnp.where(hit_star[:, None, None],
-                          jnp.exp(-tau) * star_bnu[None, :, None], 0.0)
+                          jnp.exp(-tau) * sb[:, :, None], 0.0)
         Ic = Ic + jnp.where(hit_star[:, None],
-                            jnp.exp(-tau_c) * star_bnu[None, :], 0.0)
+                            jnp.exp(-tau_c) * sb, 0.0)
         alive = alive & ~geom.has_exited(grid, ri, zj, z) & ~hit_star
         return it + 1, x, y, z, ri, zj, tau, tau_c, I, Ic, psi, alive
 
@@ -832,3 +840,56 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
         print(f"  atomic maps written: {out_dir}/atomic_maps.fits.gz "
               f"({nv} channels x {nl} lines x {n_rt} directions)")
     return cube, cont, rt, pops
+
+
+def accretion_shock_cells(gas: GasState, model: Model,
+                          T_star: float, T_hp: float | None = None,
+                          T_preshock: float | None = None):
+    """Per-cell accretion-shock flag + emission temperatures
+    (is_inshock, stars.f90:940-1016): cells with infalling radial
+    velocity deposit F_acc = 1/2 rho v^3; the heated photosphere
+    re-radiates 3/4 of it at T_hp and the pre-shock region 1/4 at
+    T_shock.  T_hp given (sphere-mesh/MHD inputs) or computed from
+    (3/4 F_acc / sigma)^(1/4); the shock is active where T_hp > T_star.
+
+    Returns (inshock (C,) bool, T_hp_cell (C,), T_pre_cell (C,))."""
+    from ..grids import geometry as _geom
+    rg = _geom.host_arrays(model.grid, "r_grid")
+    zg = _geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    # radial (spherical) velocity from the cylindrical components
+    vr = (gas.vfield[:, 0] * rg + gas.vfield[:, 2] * zg) \
+        / np.maximum(rs, 1e-30)
+    rho = gas.nHtot * 1.4 * 1.008 * AMU_KG                 # kg/m^3
+    sigma_sb = 5.670374419e-8
+    facc = 0.5 * rho * np.abs(np.minimum(vr, 0.0)) ** 3    # W/m^2
+    t_hp_c = (0.75 * facc / sigma_sb) ** 0.25
+    if T_hp is not None and T_hp > 0:
+        t_hp_c = np.where(facc > 0, T_hp, 0.0)
+    # pre-shock temperature ~ 3/16 mu m_H v^2 / k (strong-shock jump)
+    mu_amu = 0.6
+    t_pre_c = 3.0 / 16.0 * mu_amu * 1.008 * AMU_KG \
+        * np.minimum(vr, 0.0) ** 2 / cst.kb
+    if T_preshock is not None and T_preshock > 0:
+        t_pre_c = np.where(facc > 0, T_preshock, t_pre_c)
+    inshock = t_hp_c > max(T_star, 1.0)
+    return inshock, t_hp_c, t_pre_c
+
+
+def shock_boundary_bnu(atom_nu0: np.ndarray, inshock, t_hp, t_pre,
+                       star_bnu: np.ndarray):
+    """Cell-dependent stellar-boundary intensity for the formal solver:
+    inside the shock footprint the surface radiates
+    3/4 B_nu(T_hp) + 1/4 B_nu(T_shock) instead of the photosphere
+    (the reference's accretion-shock split, stars.f90:940-953).
+
+    Returns (C, nl) boundary B_nu."""
+    C = len(inshock)
+    nl = len(atom_nu0)
+    out = np.broadcast_to(np.asarray(star_bnu)[None, :], (C, nl)).copy()
+    if inshock.any():
+        sel = np.nonzero(inshock)[0]
+        b_hp = np.stack([bnu(t_hp[sel], nu) for nu in atom_nu0], 1)
+        b_pre = np.stack([bnu(t_pre[sel], nu) for nu in atom_nu0], 1)
+        out[sel] = 0.75 * b_hp + 0.25 * b_pre
+    return out

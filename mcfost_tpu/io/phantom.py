@@ -206,6 +206,10 @@ class SPHModel:
     star_xyz: np.ndarray       # (S, 3) [AU]
     star_mass: np.ndarray      # (S,) [Msun]
     time: float = 0.0
+    dust_moments: np.ndarray | None = None  # (4, N) nucleation K0..K3
+                                 # (read_phantom.f90:275-283); per-particle
+                                 # grain size distributions reconstruct via
+                                 # dust/moments.py (SPH2mcfost.f90:381)
 
 
 def phantom_to_sph(dump: PhantomDump) -> SPHModel:
@@ -253,6 +257,14 @@ def phantom_to_sph(dump: PhantomDump) -> SPHModel:
         dustfrac = np.stack([np.asarray(part[t], np.float64)[ok]
                              for t in dust_tags])
 
+    # dust nucleation moments K0..K3 (phantom dust growth,
+    # read_phantom.f90:275-283)
+    dust_moments = None
+    if all(f"K{k}" in part for k in range(4)):
+        dust_moments = np.stack([np.asarray(part[f"K{k}"],
+                                            np.float64)[ok]
+                                 for k in range(4)])
+
     star_xyz = np.zeros((0, 3))
     star_mass = np.zeros(0)
     if len(dump.blocks[0]) > 1 and dump.blocks[0][1]:
@@ -263,6 +275,7 @@ def phantom_to_sph(dump: PhantomDump) -> SPHModel:
 
     return SPHModel(xyz=xyz, h=hsml[ok] * ulength_au, mass=pmass,
                     rho_gas=rho_gas, vxyz=vxyz, dustfrac=dustfrac,
+                    dust_moments=dust_moments,
                     star_xyz=star_xyz, star_mass=star_mass,
                     time=float(np.atleast_1d(h.get("time", 0.0))[0]))
 

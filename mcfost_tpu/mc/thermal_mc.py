@@ -51,10 +51,13 @@ class MCState(NamedTuple):
                                # (xJ_abs, radiation_field.f90:20) or (1,)
     nabs: jax.Array            # (n_cells,) absorption counts
     sed: jax.Array             # (L, n_capt, 8) MC SED: I,Q,U,V + 4 contribs
-    xi: jax.Array              # flat RT1 scattered-intensity tally
-                               # (L*C*n_az_rt*2*nRT*6,), or the flat RT2
-                               # specific-intensity tally
-                               # (L*C*(n_theta_I*n_phi_I+1)*6,), or (1,)
+    xi: jax.Array              # RT tally, 2-D row-window layout:
+                               # RT1 (L*C*n_az_rt*2, nRT*6) or
+                               # RT2 (L*C*(n_theta_I*n_phi_I+1), 6) or
+                               # (1, 1).  Row-indexed scatter-adds are
+                               # ~6x faster than flat elementwise ones
+                               # inside the while_loop; a trailing
+                               # (nRT, 6) PAIR would tile-pad 28x on TPU
     age: jax.Array             # (B,) i32 iterations since lane emission
     it: jax.Array              # scalar i32
     ocell: jax.Array           # (B,) i32 origin cell (-1 star/ISM); only
@@ -308,11 +311,11 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
             else jnp.zeros(1, dtype)),
         nabs=jnp.zeros(n_cells, dtype),
         sed=jnp.zeros((L, n_capt, 8), dtype),
-        xi=(jnp.zeros(L * n_cells * (n_theta_i * n_phi_i + 1) * 6, dtype)
+        xi=(jnp.zeros((L * n_cells * (n_theta_i * n_phi_i + 1), 6), dtype)
             if rt2 else
-            jnp.zeros(L * n_cells * n_az_rt * 2
-                      * model.rt_dirs.shape[0] * 6, dtype)
-            if rt else jnp.zeros(1, dtype)),
+            jnp.zeros((L * n_cells * n_az_rt * 2,
+                       model.rt_dirs.shape[0] * 6), dtype)
+            if rt else jnp.zeros((1, 1), dtype)),
         age=jnp.zeros(B, jnp.int32),
         it=jnp.zeros((), jnp.int32),
         ocell=jnp.full(B, -1, jnp.int32),
@@ -595,8 +598,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             vals2 = jnp.stack(
                 [sI, sQ, sU, sV, fsv * sI, (1.0 - fsv) * sI],
                 axis=-1) * valid2[:, None]                      # (B, 6)
-            lin2 = base2[:, None] * 6 + jnp.arange(6, dtype=jnp.int32)
-            xi = s.xi.at[lin2].add(vals2)
+            xi = s.xi.at[base2].add(vals2, mode="promise_in_bounds")
         # ---- RT1 scattered-intensity tally (calc_xI_scatt(_pola),
         # dust_ray_tracing.f90:480-632; angles in angles_scatt_rt1 :409-476)
         elif rt:
@@ -665,11 +667,8 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             vw = valid[:, None]
             vals = jnp.stack([S1o * vw, S2o * vw, S3o * vw, S4o * vw,
                               S1o * fs, S1o * fn], axis=-1)   # (B, nRT, 6)
-            # flat scatter into the 1-D tally (a (nRT, 6) trailing pair
-            # would be tile-padded 28x on TPU)
-            nrt6 = n_rt * 6
-            lin1 = base[:, None] * nrt6 + jnp.arange(nrt6, dtype=jnp.int32)
-            xi = s.xi.at[lin1].add(vals.reshape(B, nrt6))
+            xi = s.xi.at[base].add(vals.reshape(B, n_rt * 6),
+                                   mode="promise_in_bounds")
         else:
             xi = s.xi
 

@@ -46,14 +46,31 @@ def _debye_f(n: int, x: np.ndarray) -> np.ndarray:
 
 
 def grain_enthalpy(a_um: float, T: np.ndarray, material: str,
-                   rho_bulk: float) -> np.ndarray:
+                   rho_bulk: float, sh_table=None) -> np.ndarray:
     """Grain enthalpy U(T) [J] (Draine & Li 2001 eqs 9-11).
 
     graphite / PAH:  U = (N-2) k [ 863 f2(T/863) + 2*2504 f2(T/2504) ]
     silicate:        U = (N-2) k [ 2*500 f2(T/500) + 1500 f3(T/1500) ]
     with N the number of atoms of the grain.
+
+    sh_table: optional (T_tab [K], C_tab [erg/g/K]) tabulated specific
+    heat from Misselt/DustEM opacity files (Misselt_specific_heat /
+    DustEM_specific_heat, PAH.f90:220-270): U = m_grain int C dT.
     """
     mass_g = (4.0 / 3.0) * np.pi * (a_um * 1e-4) ** 3 * rho_bulk
+    if sh_table is not None:
+        T_tab, C_tab = sh_table
+        order = np.argsort(T_tab)
+        T_tab = np.asarray(T_tab, np.float64)[order]
+        C_tab = np.asarray(C_tab, np.float64)[order]
+        # cumulative integral of C on the table grid, then interpolate
+        U_tab = np.concatenate([[0.0], np.cumsum(
+            0.5 * (C_tab[1:] + C_tab[:-1]) * np.diff(T_tab))])
+        U_per_g = np.interp(np.asarray(T, np.float64), T_tab, U_tab)
+        # below the table: extrapolate with the first C value
+        lo = np.asarray(T, np.float64) < T_tab[0]
+        U_per_g = np.where(lo, C_tab[0] * np.asarray(T, np.float64), U_per_g + C_tab[0] * T_tab[0])
+        return U_per_g * mass_g * 1e-7          # erg -> J
     if material in ("graphite", "PAH"):
         n_at = mass_g / (12.0 * amu_g)
         U_k = (863.0 * _debye_f(2, T / 863.0)
@@ -90,14 +107,15 @@ class NREGrainTables:
 def build_nre_tables(a_um: float, c_abs_um2: np.ndarray,
                      wl_um: np.ndarray, material: str, rho_bulk: float,
                      n_bins: int = 128, T_min: float = 1.5,
-                     T_max: float = 2500.0) -> NREGrainTables:
+                     T_max: float = 2500.0, sh_table=None) -> NREGrainTables:
     """Precompute the temperature/enthalpy grid and the radiated power
     Edot(T) per bin for one grain size (init of Temp_nRE,
-    thermal_emission.f90:1040-1078)."""
+    thermal_emission.f90:1040-1078).  sh_table: tabulated specific heat
+    (Misselt/DustEM files) overriding the analytic enthalpy."""
     edges = np.exp(np.linspace(np.log(T_min), np.log(T_max), n_bins + 1))
     T_bins = np.sqrt(edges[:-1] * edges[1:])
-    U_edges = grain_enthalpy(a_um, edges, material, rho_bulk)
-    U = grain_enthalpy(a_um, T_bins, material, rho_bulk)
+    U_edges = grain_enthalpy(a_um, edges, material, rho_bulk, sh_table)
+    U = grain_enthalpy(a_um, T_bins, material, rho_bulk, sh_table)
     dU = np.diff(U_edges)
 
     c_abs_m2 = c_abs_um2 * 1e-12

@@ -127,6 +127,24 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
               or any(sp.heating_method in (2, 3)
                      for _, sp, _ in _grain_ranges(para)))
 
+    # -max_mem: cap the packet-batch width so lanes + tallies fit the
+    # budget — the TPU analogue of the reference's memory tiering
+    # (max_mem/low_mem, mcfost_env.f90:27 + thermal_emission.f90:517-550;
+    # per-cell tables are already collapsed by the p_icell buckets)
+    if para.max_mem_gb:
+        C = model.grid.n_cells
+        L = model.n_lambda
+        tally_b = 4 * (C * 2 + (L * C if jtally else 0))
+        budget = para.max_mem_gb * 1e9 - tally_b
+        if budget < 0:
+            print(f"  WARNING: -max_mem {para.max_mem_gb} GB is below the "
+                  "tally footprint alone; use -spatial_dd on a multi-chip "
+                  "mesh to shard the cell axis")
+        else:
+            lane_b = 26 * 4 * 2          # state fields x bytes x donation
+            batch = max(min(batch, int(budget // lane_b // 256 * 256)),
+                        256)
+
     t0 = time.time()
     devs = jax.devices()
     if spatial_dd and len(devs) > 1:
@@ -318,11 +336,20 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                     sp.components[0].optical_indices_file)
                 sizes = host.dust.grains.r_grain[ksl]
                 rho_b = host.dust.grains.rho1g[ksl]
+                # tabulated heat capacities from Misselt/DustEM files
+                # when available (specific_heat dispatch, PAH.f90:14-37)
+                from .dust import opacity_files as opf
+                opname = sp.components[0].optical_indices_file
+                sh_tab = opf.read_misselt_heat_capacity(opname)
+                if sh_tab is None and os.environ.get("DUSTEM_DIR"):
+                    sh_tab = opf.read_dustem_heat_capacity(
+                        os.environ["DUSTEM_DIR"], opname,
+                        float(rho_b[0]))
                 probs, res_flags = [], []
                 for j, k in enumerate(range(ksl.start, ksl.stop)):
                     tab = stoch.build_nre_tables(
                         float(sizes[j]), host.dust.c_abs[k], wl.lam,
-                        fam, float(rho_b[j]))
+                        fam, float(rho_b[j]), sh_table=sh_tab)
                     P, is_re, _ = stoch.solve_temperature_distribution(
                         tab, J_cells)
                     probs.append(P)

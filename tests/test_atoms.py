@@ -380,3 +380,43 @@ def test_abo_line_damping_branch():
     assert np.isfinite(a_abo).all()
     assert (a_abo >= a_uns * 0.999).all()
     assert (a_abo > a_uns).any()
+
+
+def test_accretion_shock_cells():
+    """is_inshock physics (stars.f90:940-1016): infalling dense columns
+    flag the shock with T_hp from (3/4 F_acc/sigma)^(1/4)."""
+    from mcfost_tpu.gas.atom_transfer import (GasState,
+                                              accretion_shock_cells,
+                                              shock_boundary_bnu)
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.mc.model import build_model
+    para = Para()
+    para.grid.n_rad, para.grid.nz, para.grid.n_rad_in = 10, 6, 2
+    para.wavelengths.n_lambda = 6
+    for sp in para.dust[0]:
+        sp.n_grains = 4
+    model, host = build_model(para, cache_dir="/tmp/mcfost_tpu_test_cache")
+    C = model.grid.n_cells
+    T = np.full(C, 4000.0)
+    # free-fall onto the star at 300 km/s in dense gas
+    vfield = np.zeros((C, 3))
+    vfield[:, 0] = -3e5
+    nH = np.full(C, 1e19)
+    gas = GasState(model, host, T, nHtot=nH, ne=np.full(C, 1e15),
+                   vfield=vfield)
+    inshock, t_hp, t_pre = accretion_shock_cells(gas, model, T_star=4000.0)
+    # F_acc = 0.5 rho v^3: rho = 1.4*1.008*mH*1e19 ~ 2.36e-8 kg/m^3
+    # -> Facc ~ 3.2e8 W/m^2 -> T_hp ~ (0.75*F/sigma)^0.25 ~ 8.1e3 K
+    assert inshock.all()
+    assert 6000 < np.median(t_hp) < 12000, np.median(t_hp)
+    # strong-shock jump temperature ~ 1e6 K at 300 km/s
+    assert 5e5 < np.median(t_pre) < 3e6, np.median(t_pre)
+    nu0 = np.array([4.57e14])       # H alpha
+    sb = np.array([1e-10])
+    bb = shock_boundary_bnu(nu0, inshock, t_hp, t_pre, sb)
+    assert bb.shape == (C, 1)
+    assert (bb > 1e-10).all()       # hotter than the photosphere value
+    # no infall -> no shock
+    gas.vfield[:, 0] = +3e5
+    ins2, _, _ = accretion_shock_cells(gas, model, T_star=4000.0)
+    assert not ins2.any()

@@ -85,6 +85,12 @@ def _synth_phantom_dump(path):
     return path
 
 
+# image wavelengths of the reference's test_image sweep
+# (test_suite/test_mcfost.py:144-203); run on the primary fixture
+IMG_LAMBDAS = [1.0, 10.0, 100.0, 1000.0]
+IMG_MODEL = "ref3.0"
+
+
 @pytest.fixture(scope="module", params=MODELS,
                 ids=[m for m, _ in MODELS])
 def fixture_run(request, tmp_path_factory):
@@ -103,6 +109,13 @@ def fixture_run(request, tmp_path_factory):
         argv += ["-mol"]
     rc = cli.main(argv)
     assert rc == 0, f"{model_name} CLI run failed"
+    if model_name == IMG_MODEL:
+        # image sweep at the reference's 4 test wavelengths
+        for lam in IMG_LAMBDAS:
+            argv_img = [para, "-root_dir", out, "-img", str(lam),
+                        "-nphot_img", "4000", "-no_backup"] + COMMON + GRID
+            rc = cli.main(argv_img)
+            assert rc == 0, f"{model_name} -img {lam} failed"
     return model_name, do_mol, out
 
 
@@ -117,10 +130,16 @@ def test_temperature(fixture_run):
         assert T.ndim == 2
 
 
+def _sed_path(out):
+    p = os.path.join(out, "data_th", "sed_rt.fits.gz")
+    if not os.path.isfile(p):
+        pytest.skip("fixture has compute_sed = F (e.g. discF_00500)")
+    return p
+
+
 def test_sed(fixture_run):
     model_name, _, out = fixture_run
-    p = os.path.join(out, "data_th", "sed_rt.fits.gz")
-    hdus = read_fits(p)
+    hdus = read_fits(_sed_path(out))
     sed = hdus[0][1]
     # [n_contrib, n_az, n_incl, n_lambda] (ecriture_sed_ray_tracing)
     assert sed.ndim == 4
@@ -147,27 +166,109 @@ def test_mol_cube(fixture_run):
     assert os.path.isfile(os.path.join(d, "Tex.fits.gz"))
 
 
-def test_golden_consistency(fixture_run):
-    """Round-N vs round-N+1 regression via the reference's MC comparator.
-
-    Bootstraps the golden on first run (committed to the repo); afterwards
-    the same seed must reproduce T exactly-ish (same RNG stream) and the
-    SED within MC noise."""
+def test_sed_contrib_decomposition(fixture_run):
+    """With separate_contributions on, the 4 contribution channels sum to
+    the total Stokes-I SED (test_SED_contrib, test_mcfost.py:112-127)."""
     model_name, _, out = fixture_run
+    sed = read_fits(_sed_path(out))[0][1]
+    if sed.shape[0] < 8:
+        pytest.skip("contribution separation off for this fixture")
+    # our channel layout: I,Q,U,V, star, star_scat, disk_th, disk_th_scat
+    tot = sed[0]
+    parts = sed[4] + sed[5] + sed[6] + sed[7]
+    assert MC_similar(tot, parts, threshold=0.02, mask_threshold=1e-26), \
+        "contribution channels do not sum to the total SED"
+
+
+def test_images(fixture_run):
+    """Images at 1/10/100/1000 um on the primary fixture: shapes per the
+    RT.fits contract, finite, star flux at short wavelengths, polarized
+    channels present (test_image/test_pola, test_mcfost.py:144-243)."""
+    model_name, _, out = fixture_run
+    if model_name != IMG_MODEL:
+        pytest.skip("image sweep runs on the primary fixture only")
+    for lam in IMG_LAMBDAS:
+        p = os.path.join(out, f"data_{lam:g}", "RT.fits.gz")
+        assert os.path.isfile(p), f"missing image at {lam} um"
+        img = read_fits(p)[0][1]
+        # [contrib, az, incl, ny, nx]
+        assert img.ndim == 5
+        assert img.shape[-2:] == (21, 21)
+        assert np.isfinite(img).all()
+        assert img[0].max() > 0, f"empty image at {lam} um"
+    # short wavelength: direct star light dominates the inner pixels
+    img1 = read_fits(os.path.join(out, "data_1", "RT.fits.gz"))[0][1]
+    if img1.shape[0] >= 5:
+        assert img1[4].max() > 0, "no star contribution at 1 um"
+    # polarization channels (Q, U) when Stokes output is on
+    if img1.shape[0] >= 4:
+        assert np.isfinite(img1[1]).all() and np.isfinite(img1[2]).all()
+
+
+def test_golden_consistency(fixture_run):
+    """Round-N vs round-N+1 regression via the reference's MC comparator
+    (thresholds per test_suite/test_mcfost.py:68-245): T 5%, SED 10%,
+    images 10-13%, Stokes Q/U, contributions, mol-cube channel spectrum.
+
+    Bootstraps the golden on first run (committed to the repo)."""
+    model_name, do_mol, out = fixture_run
     T = read_fits(os.path.join(out, "data_th",
                                "Temperature.fits.gz"))[0][1]
-    sed = read_fits(os.path.join(out, "data_th", "sed_rt.fits.gz"))[0][1]
+    sed_file = os.path.join(out, "data_th", "sed_rt.fits.gz")
+    payload = {"T": T}
+    if os.path.isfile(sed_file):
+        payload["sed"] = read_fits(sed_file)[0][1]
+    sed = payload.get("sed")
+    if model_name == IMG_MODEL:
+        for lam in IMG_LAMBDAS:
+            img = read_fits(os.path.join(out, f"data_{lam:g}",
+                                         "RT.fits.gz"))[0][1]
+            payload[f"img_{lam:g}"] = img
+    if do_mol:
+        cubes = glob.glob(os.path.join(out, "data_*", "lines.fits.gz"))
+        if cubes:
+            cube = read_fits(cubes[0])[0][1]
+            # channel spectrum: spatially integrated per (v, trans, incl)
+            payload["mol_spec"] = np.asarray(cube, np.float64).sum(
+                axis=(-2, -1))
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gpath = os.path.join(GOLDEN_DIR, f"{model_name}.npz")
     if not os.path.isfile(gpath):
-        np.savez_compressed(gpath, T=T, sed=sed)
+        np.savez_compressed(gpath, **payload)
         pytest.skip(f"golden bootstrapped: {gpath}")
     g = np.load(gpath)
-    if g["T"].shape != T.shape or g["sed"].shape != sed.shape:
+    if g["T"].shape != T.shape or (
+            sed is not None and "sed" in g.files
+            and g["sed"].shape != sed.shape):
         pytest.skip("golden shape mismatch (fixture config changed); "
                     "delete tests/goldens to re-bootstrap")
     assert MC_similar(g["T"], T, threshold=0.05, mask_threshold=1.0), \
         "Temperature drifted beyond the reference's 5% MC criterion"
-    assert MC_similar(g["sed"][0], sed[0], threshold=0.1,
-                      mask_threshold=1e-24), \
-        "SED drifted beyond the reference's 10% MC criterion"
+    if sed is not None and "sed" in g.files:
+        assert MC_similar(g["sed"][0], sed[0], threshold=0.1,
+                          mask_threshold=1e-24), \
+            "SED drifted beyond the reference's 10% MC criterion"
+    if sed is not None and sed.shape[0] >= 8 and "sed" in g.files:
+        for c in (4, 5, 6, 7):
+            assert MC_similar(g["sed"][c], sed[c], threshold=0.15,
+                              mask_threshold=1e-24), \
+                f"SED contribution {c} drifted beyond 15%"
+    for key in payload:
+        if key.startswith("img_") and key in g.files:
+            if g[key].shape != payload[key].shape:
+                continue
+            assert MC_similar(g[key][0], payload[key][0], threshold=0.13,
+                              mask_threshold=1e-26), \
+                f"{key} Stokes I drifted beyond the 13% criterion"
+            if payload[key].shape[0] >= 3:
+                # polarized flux P = sqrt(Q^2+U^2) (test_pola :205-243)
+                P_g = np.hypot(g[key][1], g[key][2])
+                P_n = np.hypot(payload[key][1], payload[key][2])
+                assert MC_similar(P_g, P_n, threshold=0.25,
+                                  mask_threshold=1e-26), \
+                    f"{key} polarized flux drifted"
+    if "mol_spec" in payload and "mol_spec" in g.files \
+            and g["mol_spec"].shape == payload["mol_spec"].shape:
+        assert MC_similar(g["mol_spec"], payload["mol_spec"],
+                          threshold=0.1, mask_threshold=1e-30), \
+            "mol channel spectrum drifted beyond 10%"

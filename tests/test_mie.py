@@ -122,3 +122,57 @@ def test_scattering_override_flags():
     s11h = hg.s11_rt[0, 0]
     assert s11h[0] > s11h[len(s11h) // 2]
     assert np.allclose(hg.s12_rt, 0.0)
+
+
+def test_mueller_input_file(tmp_path):
+    """-Mueller: user-supplied dustkapscatmat optics replace the Mie
+    tables (Mueller_input, scattering.f90:383-580)."""
+    import os
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.dust.opacity import build_dust_model
+    from mcfost_tpu.dust.mueller_input import read_mueller_file
+    from mcfost_tpu.physics.wavelengths import log_wavelength_grid
+
+    # synthesize a format-1 file: Rayleigh-like matrix, albedo 0.3
+    W, A = 5, 19
+    lam = np.geomspace(0.2, 500.0, W)
+    kabs = 700.0 * (lam / 1.0) ** -1.0
+    ksca = 300.0 * (lam / 1.0) ** -1.0
+    ang = np.linspace(0, 180, A)
+    mu = np.cos(np.deg2rad(ang))
+    f11 = 0.75 * (1 + mu ** 2)
+    p = str(tmp_path / "dustkapscatmat_x.inp")
+    with open(p, "w") as f:
+        f.write("# synthetic\n1\n%d\n%d\n" % (W, A))
+        for w in range(W):
+            f.write(f"{lam[w]} {kabs[w]} {ksca[w]} 0.0\n")
+        for a_ in ang:
+            f.write(f"{a_}\n")
+        for w in range(W):
+            for k in range(A):
+                f12 = -0.75 * (mu[k] ** 2 - 1)
+                f.write(f"{f11[k]} {f12} {f11[k]} {1.5*mu[k]} 0.0 "
+                        f"{1.5*mu[k]}\n")
+
+    mf = read_mueller_file(p)
+    assert mf.lam_um.shape == (W,) and mf.f11.shape == (W, A)
+
+    para = Para()
+    para.wavelengths.n_lambda = 8
+    for sp_ in para.dust[0]:
+        sp_.n_grains = 4
+    para.mueller_file = p
+    wl = log_wavelength_grid(8, 0.3, 300.0)
+    dm = build_dust_model(para, wl)
+    # albedo 0.3 everywhere, from the file
+    assert np.allclose(np.asarray(dm.albedo), 0.3, atol=1e-3)
+    # kappa follows the file's 1/lambda shape
+    k = np.asarray(dm.kappa)[0]
+    r = k[0] / k[-1]
+    expect = (wl.lam[-1] / wl.lam[0])
+    assert abs(r / expect - 1) < 0.1, (r, expect)
+    # phase matrix: Rayleigh s12 ratio at 90 deg ~ -(-1)... = 1 in our
+    # sign convention (s12_rt stores -f12/f11 applied with a minus later)
+    s12r = np.asarray(dm.s12_rt)[0, 0]
+    A1 = s12r.shape[0]
+    assert abs(abs(s12r[A1 // 2]) - 1.0) < 0.05

@@ -158,3 +158,48 @@ def test_hdf5_roundtrip(tmp_path, dump_file):
     np.testing.assert_allclose(sph_h5.rho_gas, sph_bin.rho_gas, rtol=1e-12)
     np.testing.assert_allclose(sph_h5.star_mass, sph_bin.star_mass)
     assert sph_h5.dustfrac is not None
+
+
+def test_dust_moments_roundtrip(tmp_path):
+    """Nucleation moments K0..K3 survive the dump round-trip and feed the
+    moment reconstruction (read_phantom.f90:275-283 + SPH2mcfost.f90:381)."""
+    import math
+    from mcfost_tpu import constants as cst
+    from mcfost_tpu.io import phantom as ph
+    from mcfost_tpu.dust.moments import reconstruct_gamma_dist
+    rng = np.random.default_rng(3)
+    n = 40
+    udist = cst.AU_to_cm
+    umass = cst.Msun_to_g
+    utime = np.sqrt(udist ** 3 / (ph.G_CGS * umass))
+    header = {"nparttot": np.int64(n), "ntypes": np.int32(1),
+              "npartoftype": np.int32(n), "nblocks": np.int32(1),
+              "massoftype": 1e-8, "hfact": 1.2, "time": 0.0,
+              "udist": udist, "umass": umass, "utime": utime}
+    # moments of a generalized gamma with (d/p, p) = (2, 1)
+    def ratio(a, b):
+        return math.exp(math.lgamma(a) - math.lgamma(b))
+    mu = np.array([3.0 * 2.0 ** (k / 3.0) * ratio(2.0 + k / 3.0, 2.0)
+                   for k in range(4)])
+    parts = {"x": rng.uniform(-5, 5, n), "y": rng.uniform(-5, 5, n),
+             "z": rng.uniform(-1, 1, n), "h": np.full(n, 0.6),
+             "itype": np.ones(n, np.int8)}
+    for k in range(4):
+        parts[f"K{k}"] = np.full(n, mu[k])
+    p = str(tmp_path / "dumpK")
+    ph.write_dump(p, header, parts, {"x": np.array([0.0]),
+                                     "y": np.array([0.0]),
+                                     "z": np.array([0.0]),
+                                     "m": np.array([1.0]),
+                                     "h": np.array([0.05])})
+    sph = ph.read_phantom(p)
+    assert sph.dust_moments is not None
+    assert sph.dust_moments.shape == (4, n)
+    np.testing.assert_allclose(sph.dust_moments[:, 0], mu)
+    lam, res, ierr = reconstruct_gamma_dist(sph.dust_moments[:, 0])
+    assert ierr in (1, 5)
+    # the (d/p, p) pair is not unique, but the matched moments are
+    from mcfost_tpu.dust.moments import gamma_func_moment
+    for k in (2, 3):
+        got = gamma_func_moment(mu, lam[0], lam[1], k)
+        assert abs(got / mu[k] - 1.0) < 0.12, (k, got, mu[k])

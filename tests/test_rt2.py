@@ -51,9 +51,9 @@ def test_rt2_tally_shapes(disk):
                      rt2=True, n_theta_i=13, n_phi_i=13)
     xi = np.asarray(out["res"].xi)
     L, C = model.n_lambda, model.grid.n_cells
-    assert xi.shape == (L * C * (13 * 13 + 1) * 6,)
+    assert xi.shape == (L * C * (13 * 13 + 1), 6)
     assert np.isfinite(xi).all()
-    assert xi[0::6].sum() > 0          # Stokes I deposits
+    assert xi[:, 0].sum() > 0          # Stokes I deposits
     # direct-star bin received energy
     xi5 = xi.reshape(L, C, 13 * 13 + 1, 6)
     assert xi5[:, :, -1, 0].sum() > 0

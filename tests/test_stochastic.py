@@ -145,3 +145,40 @@ def test_equilibrium_temperature_per_size(wl):
     assert np.all(T > 1.0) and np.all(T < 3000.0)
     # small grains absorb UV efficiently but emit poorly -> hotter
     assert T[0, 0] > T[2, 0]
+
+
+def test_tabulated_specific_heat_enthalpy():
+    """Misselt/DustEM tabulated C(T) drives the enthalpy grid
+    (specific_heat dispatch, PAH.f90:14-37): U = m int C dT, monotonic,
+    and recovering C on differentiation."""
+    from mcfost_tpu.physics.stochastic import grain_enthalpy
+    T_tab = np.geomspace(2.0, 3000.0, 60)
+    C_tab = 1e4 * (T_tab / 100.0) ** 2        # erg/g/K, Debye-like T^2
+    T = np.geomspace(3.0, 2500.0, 100)
+    U = grain_enthalpy(0.01, T, "silicate", 2.5, sh_table=(T_tab, C_tab))
+    assert np.isfinite(U).all() and (np.diff(U) > 0).all()
+    # dU/dT ~ m C(T) in the mid range
+    mass_g = (4.0 / 3.0) * np.pi * (0.01e-4) ** 3 * 2.5
+    mid = slice(30, 70)
+    dUdT = np.gradient(U, T)[mid]
+    expect = mass_g * np.interp(T[mid], T_tab, C_tab) * 1e-7
+    assert np.allclose(dUdT, expect, rtol=0.15)
+
+
+def test_dustem_heat_capacity_reader(tmp_path):
+    import os
+    from mcfost_tpu.dust.opacity_files import read_dustem_heat_capacity
+    d = tmp_path / "hcap"
+    os.makedirs(d)
+    nT = 8
+    logT = np.linspace(0.5, 3.5, nT)
+    logC = 2.0 * logT - 1.0
+    with open(d / "C_amC.DAT", "w") as f:
+        f.write("# comment\n2\n0.01 0.1\n%d\n" % nT)
+        for k in range(nT):
+            f.write(f"{logT[k]} {logC[k]}\n")
+    out = read_dustem_heat_capacity(str(tmp_path), "amC", rho1g=2.0)
+    assert out is not None
+    T, C = out
+    np.testing.assert_allclose(T, 10.0 ** logT)
+    np.testing.assert_allclose(C, 10.0 ** logC / 2.0)
