@@ -294,6 +294,23 @@ def main(argv=None):
             # fraction, theta, phi (reference init_mcfost.f90:1111-1126)
             para.spot = (float(argv[i + 1]), float(argv[i + 2]),
                          float(argv[i + 3]), float(argv[i + 4])); i += 4
+        elif a == "-only_top":
+            para.mol_half = 1
+        elif a == "-only_bottom":
+            para.mol_half = 2
+        elif a == "-star_bb":
+            for st_ in para.stars:
+                st_.auto_spectrum = False
+                st_.blackbody = True
+        elif a in ("-scatt_method", "-scattering_method"):
+            i += 1; para.scattering_method = int(argv[i])
+        elif a == "-aggregate":
+            # the reference's own GMM path is disabled
+            # (mueller_gmm: "needs to be updated", scattering.f90:619)
+            print("error: GMM aggregates are disabled in the reference "
+                  "(mueller_gmm needs to be updated, scattering.f90:619) "
+                  "and are not implemented here either")
+            return 1
         elif a == "-mol_LTE":
             para.mol.lte = True
         elif a == "-mol_NLTE":

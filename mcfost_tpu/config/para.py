@@ -255,6 +255,9 @@ class Para:
     # -Mueller <file>: user-supplied opacity + Mueller matrix
     # (Mueller_input, scattering.f90:383-580)
     mueller_file: str | None = None
+    # -only_top / -only_bottom: molecular emission from one disk half
+    # (optical_depth.f90:517-519)
+    mol_half: int = 0
     chi_ism: float = 1.0
 
     @property

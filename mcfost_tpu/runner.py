@@ -641,7 +641,8 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
 
     cube, cont, rt = mol_cube(model, host, T_gas, root_dir=root_dir,
                               verbose=verbose, pops=pops,
-                              abundance=abundance)
+                              abundance=abundance,
+                              half=getattr(para, "mol_half", 0))
 
     if write_extras:
         out_dir = os.path.join(root_dir, f"data_{mol.name.split()[0]}")

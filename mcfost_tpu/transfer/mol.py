@@ -139,15 +139,20 @@ class MolRT:
 
 
 @functools.partial(jax.jit, static_argnames=("nv", "nt", "n_vpoints",
-                                             "max_steps"))
+                                             "max_steps", "half"))
 def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
                        emis_cont, dv_line, norme_m1, sigma2_m1, vfield, cmb,
                        tab_speed, x0, y0, z0, u, v, w,
                        nv: int, nt: int, n_vpoints: int = 8,
-                       max_steps: int = 2000, skip_flat=None):
+                       max_steps: int = 2000, skip_flat=None,
+                       half: int = 0):
     """Backward velocity-resolved formal integration for a ray batch.
 
     Returns (I (N, nt, nv), I_cont (N, nt)) specific intensities.
+
+    half: 1 = line emission/opacity from the TOP half only (z > 0),
+    2 = bottom only (the reference's -only_top/-only_bottom,
+    optical_depth.f90:517-519).
 
     skip_flat: optional (N,) flat cell index of each ray's OWN cell — its
     contribution (emission AND attenuation) is excluded while the ray has
@@ -216,10 +221,16 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
         dtau_c = l[:, None] * kc
         Snu_c = emis_cont[flat] / jnp.maximum(kc, 1e-30)
 
-        opac = (kappa_mol[flat][:, :, None] * P[:, None, :]
+        if half:
+            zmid = z + 0.5 * l * w
+            fac = (zmid >= 0.0) if half == 1 else (zmid <= 0.0)
+            facd = fac.astype(dtype)[:, None, None]
+        else:
+            facd = 1.0
+        opac = (kappa_mol[flat][:, :, None] * P[:, None, :] * facd
                 + kc[:, :, None])                           # (N, nt, nv)
         dtau = l[:, None, None] * opac
-        Snu = ((emis_mol[flat][:, :, None] * P[:, None, :]
+        Snu = ((emis_mol[flat][:, :, None] * P[:, None, :] * facd
                 + emis_cont[flat][:, :, None])
                / jnp.maximum(opac, 1e-30))
 
@@ -264,7 +275,8 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
 
 def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
              root_dir: str = ".", n_vpoints: int = 8, verbose: bool = True,
-             pops: np.ndarray | None = None, abundance=None):
+             pops: np.ndarray | None = None, abundance=None,
+             half: int = 0):
     """Full -mol LTE pipeline: channel-map cubes for the parameter file's
     ray-tracing transitions, written as lines.fits.gz
     (emission_line_map, mol_transfer.f90:484-; docs/outputs.rst:80-96)."""
@@ -313,7 +325,8 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
             jnp.asarray(px.ravel(), dtype), jnp.asarray(py.ravel(), dtype),
             jnp.asarray(pz.ravel(), dtype),
             jnp.full(n, -u, dtype), jnp.full(n, -v, dtype),
-            jnp.full(n, -w, dtype), nv=nv, nt=nt, n_vpoints=n_vpoints)
+            jnp.full(n, -w, dtype), nv=nv, nt=nt, n_vpoints=n_vpoints,
+            half=half)
         I = np.asarray(I, np.float64).reshape(npx, npy, nt, nv)
         Ic = np.asarray(Ic, np.float64).reshape(npx, npy, nt)
         # nu.F_nu per pixel (intensite_pixel_mol, mol_transfer.f90:823-830)

@@ -107,3 +107,44 @@ def test_keplerian_channel_asymmetry(setup):
     chans0 = cube[0, :, 0].sum(axis=(1, 2))
     line0 = chans0 - chans0[[0, -1]].mean()
     assert line0[nv // 2] > 0.5 * line0.max()
+
+
+def test_only_top_bottom_split(setup):
+    """-only_top/-only_bottom (optical_depth.f90:517-519): with the line
+    optically thin, the two half-disk line contributions add up to the
+    full one, measured against a no-line baseline ray."""
+    import jax.numpy as jnp
+    from mcfost_tpu.transfer.mol import MolRT, integrate_mol_rays
+    from mcfost_tpu.physics.molecules import get_molecule
+    para, model, host, T = setup
+    mol = get_molecule("co.dat")
+    dt = model.kappa.dtype
+
+    def run(ab, half=0):
+        rt = MolRT(model, host, mol, T, np.array([0]), abundance=ab,
+                   v_turb=0.05, v_turb_unit="cs")
+        args = (model, rt.kappa_mol, rt.emis_mol, rt.kappa_cont,
+                rt.emis_cont, rt.dv_line, rt.norme_m1, rt.sigma2_m1,
+                rt.vfield, rt.cmb,
+                jnp.asarray(np.linspace(-3e3, 3e3, 11), dt),
+                jnp.asarray([50.0], dt), jnp.asarray([0.0], dt),
+                jnp.asarray([500.0], dt), jnp.asarray([0.0], dt),
+                jnp.asarray([0.0], dt), jnp.asarray([-1.0], dt))
+        I, _ = integrate_mol_rays(*args, nv=11, nt=1, half=half)
+        return float(np.asarray(I).sum())
+
+    base = run(1e-30)               # no line: continuum + CMB only
+    ab = 1e-7                       # tau_line ~ 0.1: thin but resolvable
+    full = run(ab) - base
+    top = run(ab, half=1) - base
+    bot = run(ab, half=2) - base
+    assert full > 0
+    # each half drops the other half's line but keeps the midplane cell
+    # (its zmid = 0 belongs to both signs, like the reference's z0 test
+    # on the double-sign midplane cell of the 2D grid)
+    assert 0.5 * full < top < 0.98 * full, top / full
+    assert 0.5 * full < bot < 0.98 * full, bot / full
+    # symmetric disk seen face-on: the two halves agree
+    assert abs(top / bot - 1.0) < 0.05
+    # halves overlap ONLY in the midplane cell: full <= top+bot <= 2 full
+    assert full < top + bot < 2.0 * full
