@@ -335,6 +335,11 @@ def main(argv=None):
                   "(refusing to run a possibly different model)")
             return 1
         i += 1
+    # reset any budget left by a previous in-process run (the fixture
+    # harness calls cli.main repeatedly; a stale expired budget would
+    # silently truncate later NLTE loops)
+    os.environ.pop("MCFOST_TPU_SAFE_STOP_S", None)
+    os.environ.pop("MCFOST_TPU_START_TIME", None)
     if safe_stop_s is not None:
         os.environ["MCFOST_TPU_SAFE_STOP_S"] = str(safe_stop_s)
         os.environ["MCFOST_TPU_START_TIME"] = str(time.time())
