@@ -36,6 +36,16 @@ def _backup_dir(path: str, no_backup: bool):
 
 
 def main(argv=None):
+    # the -safe_stop budget is scoped to THIS run: clear it on exit so
+    # later in-process runs (test harness, library use) are unaffected
+    try:
+        return _main(argv)
+    finally:
+        os.environ.pop("MCFOST_TPU_SAFE_STOP_S", None)
+        os.environ.pop("MCFOST_TPU_START_TIME", None)
+
+
+def _main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)

@@ -58,3 +58,21 @@ def test_para_writer_roundtrip(tmp_path):
     assert q.stars[0].teff == 4321.0
     assert q.mol.molecules[0].transitions == p.mol.molecules[0].transitions
     assert q.atoms.atoms[0].lines == p.atoms.atoms[0].lines
+
+
+def test_safe_stop_budget_scoped_to_run(tmp_path):
+    """-safe_stop must not leak an (expired) wall-clock budget into later
+    in-process work (it truncated NLTE loops run after the fixtures)."""
+    import os
+    from mcfost_tpu import cli
+    from mcfost_tpu.utils.safestop import safe_stop_requested
+    rc = cli.main(["-get_para"])
+    assert rc == 0
+    os.remove("ref4.1_default.para")
+    # a run that parses -safe_stop and exits early (unknown-mode error is
+    # fine; the env handling happens around the whole run)
+    cli.main(["-safe_stop", "0.001", "-get_para"])
+    assert "MCFOST_TPU_SAFE_STOP_S" not in os.environ
+    assert not safe_stop_requested()
+    if os.path.isfile("ref4.1_default.para"):
+        os.remove("ref4.1_default.para")
