@@ -11,55 +11,48 @@ vs_baseline = packets_per_s / 1000.  NB the anchor run has MRW disabled
 the like-for-like comparison is ``mrw_off_pps`` below; the headline
 keeps MRW on because that is this framework's production configuration.
 
-Extra instrumentation (VERDICT r2 item 7):
-  * mrw_off_pps / mono_pps — MRW-disabled and SED/image-mode throughput;
+Instrumentation (VERDICT r3 items 1-3):
+  * mrw_off_pps / mono_pps / mono_rt_pps — MRW-disabled, SED-mode and
+    image-mode (RT1 tally on) throughput;
   * step_time_breakdown — per-iteration cost of the fused kernel and the
-    marginal cost of its toggleable stages (Stokes update, MRW machinery,
-    RT1 scattered-intensity tally, per-lambda J tally), measured
-    subtractively at fixed batch/iterations;
-  * mfu_est — XLA cost-analysis FLOPs of one kernel iteration over the
-    measured iteration time, against the chip's nominal peak;
-  * sharding on/off — packet-DP and spatial-DD drivers on a 1-device
-    mesh relative to the plain driver (single-chip overhead; true
-    multi-chip scaling is exercised on the 8-device CPU mesh in
-    tests/test_spatial.py and by the driver's dryrun_multichip).
+    marginal cost of its toggleable stages, measured subtractively at
+    fixed batch/iterations with the warm executable reused (r3 measured
+    recompiles here and reported compile time; n_iters is dynamic now);
+  * mfu_est / hbm_gbps_est — XLA cost-analysis FLOPs and bytes of one
+    kernel iteration over the measured iteration time, against nominal
+    peak compute and HBM bandwidth;
+  * sharding — packet-DP and spatial-DD drivers on a 1-device mesh vs
+    the plain driver (driver overhead), plus an efficiency curve over a
+    virtual 8-device CPU mesh (subprocess) for multi-chip shape.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-# nominal peak FLOP/s (f32 on the MXU) per device kind, for the MFU
-# estimate; unknown kinds report mfu_est = None
+# nominal peaks per device kind for MFU / roofline estimates
 _PEAK_F32 = {
     "TPU v4": 137.5e12 / 2, "TPU v5e": 197e12 / 2, "TPU v5p": 229e12,
-    "TPU v5 lite": 197e12 / 2, "TPU v6e": 918e12 / 2, "TPU v6 lite": 918e12 / 2,
+    "TPU v5 lite": 197e12 / 2, "TPU v6e": 918e12 / 2,
+    "TPU v6 lite": 918e12 / 2,
+}
+_PEAK_HBM = {
+    "TPU v4": 1.2e12, "TPU v5e": 0.819e12, "TPU v5 lite": 0.819e12,
+    "TPU v5p": 2.765e12, "TPU v6e": 1.64e12, "TPU v6 lite": 1.64e12,
 }
 
 
-def _fresh_state(model, B, **kw):
-    from mcfost_tpu.mc.thermal_mc import init_state
-    return init_state(model, B, **kw)
-
-
-def _time_iters(model, key, B, iters, warm_iters=50, **flags):
-    """Wall-time `iters` full-width kernel iterations (budget kept
-    unbounded so refill holds every lane live); returns seconds/iter."""
+def _timed_run(fn, *args, **kw):
+    r = fn(*args, **kw)
     import jax
-    from mcfost_tpu.mc.thermal_mc import advance
-    kw = dict(n_iters=warm_iters, **flags)
-    init_kw = dict(rt=flags.get("rt", False),
-                   jtally=flags.get("jtally", False))
-    st = advance(model, key, _fresh_state(model, B, **init_kw),
-                 2_000_000_000, **kw)           # compile + warm
-    jax.block_until_ready(st.xkj)
-    kw["n_iters"] = iters
-    st = _fresh_state(model, B, **init_kw)
+    jax.block_until_ready(r.xkj)
     t0 = time.time()
-    st = advance(model, key, st, 2_000_000_000, **kw)
-    jax.block_until_ready(st.xkj)
-    return (time.time() - t0) / iters
+    r = fn(*args, **kw)
+    jax.block_until_ready(r.xkj)
+    return r, time.time() - t0
 
 
 def main():
@@ -73,60 +66,49 @@ def main():
 
     n = 128000      # ref4.1 thermal packet count (src/ref4.1.para:4)
     batch = 32768
-    # compile + warmup (excluded from timing): the tail-compaction ladder
-    # means three batch sizes get compiled; prewarm all of them
-    from mcfost_tpu.mc.thermal_mc import advance, init_state, _compact
-    for b in (batch, 1024, 128):
-        st = advance(model, jax.random.PRNGKey(0), init_state(model, b),
-                     0, n_iters=2000)
-        jax.block_until_ready(st.xkj)
-    for b_from, b_to in ((batch, 1024), (batch, 128), (1024, 128)):
-        st = _compact(init_state(model, b_from), b_to)
-        jax.block_until_ready(st.xkj)
-    r = run_thermal_mc(model, jax.random.PRNGKey(0), 2000, batch=batch,
-                       max_iters=500000)
-    r.xkj.block_until_ready()
-
-    t0 = time.time()
-    res = run_thermal_mc(model, jax.random.PRNGKey(1), n, batch=batch,
-                         max_iters=500000)
-    res.xkj.block_until_ready()
-    dt = time.time() - t0
-    pps = int(res.emitted) / dt
-
     key = jax.random.PRNGKey(2)
 
-    # ---- MRW-off (like-for-like vs the reference anchor) and mono/SED
-    t0 = time.time()
-    r2 = run_thermal_mc(model, jax.random.PRNGKey(1), n, batch=batch,
-                        max_iters=500000, mrw=False, age_cap=200000)
-    r2.xkj.block_until_ready()
-    mrw_off_pps = int(r2.emitted) / (time.time() - t0)
+    # headline: thermal MC, MRW on (production configuration)
+    res, dt = _timed_run(run_thermal_mc, model, jax.random.PRNGKey(1), n,
+                         batch=batch, max_iters=500000)
+    pps = int(res.emitted) / dt
+    n_iters_dev = int(res.n_iters)
+
+    # like-for-like vs the reference anchor (MRW off), and the
+    # production observable modes: SED mono and image mono+RT1 tally
+    r2, dt2 = _timed_run(run_thermal_mc, model, jax.random.PRNGKey(1), n,
+                         batch=batch, max_iters=500000, mrw=False,
+                         age_cap=200000)
+    mrw_off_pps = int(r2.emitted) / dt2
 
     import numpy as np
     pe = np.asarray(model.prob_e_cell)
     if float(pe[:, -1].max()) <= 0.0:
-        # mono needs a disk-emission CDF; reuse the thermal tally shape
-        # with a uniform per-cell CDF (throughput measure only)
         C = model.grid.n_cells
         cdf = np.tile(np.linspace(0, 1, C + 1,
                                   dtype=pe.dtype), (model.n_lambda, 1))
         model_m = model._replace(prob_e_cell=jax.device_put(cdf))
     else:
         model_m = model
-    t0 = time.time()
-    r3 = run_thermal_mc(model_m, jax.random.PRNGKey(1), n, batch=batch,
-                        max_iters=500000, mono=True, mrw=False)
-    r3.sed.block_until_ready()
-    mono_pps = int(r3.emitted) / (time.time() - t0)
+    r3, dt3 = _timed_run(run_thermal_mc, model_m, jax.random.PRNGKey(1), n,
+                         batch=batch, max_iters=500000, mono=True,
+                         mrw=False)
+    mono_pps = int(r3.emitted) / dt3
+    r4, dt4 = _timed_run(run_thermal_mc, model_m, jax.random.PRNGKey(1), n,
+                         batch=batch, max_iters=500000, mono=True,
+                         mrw=False, rt=True, n_az_rt=45)
+    mono_rt_pps = int(r4.emitted) / dt4
 
-    # ---- step-time breakdown (subtractive, fixed width/iterations)
-    iters = 200
-    t_base = _time_iters(model, key, batch, iters)
-    t_nopola = _time_iters(model, key, batch, iters, pola=False)
-    t_nomrw = _time_iters(model, key, batch, iters, mrw=False)
-    t_rt = _time_iters(model, key, batch, iters, rt=True, n_az_rt=45)
-    t_j = _time_iters(model, key, batch, iters, jtally=True)
+    # ---- step-time breakdown (subtractive, fixed batch/iterations,
+    # warm executable reused — n_iters is dynamic)
+    sys.path.insert(0, "tools")
+    from profile_kernel import time_iters
+    iters = 400
+    t_base = time_iters(model, key, batch, iters)
+    t_nopola = time_iters(model, key, batch, iters, pola=False)
+    t_nomrw = time_iters(model, key, batch, iters, mrw=False)
+    t_rt = time_iters(model, key, batch, iters, rt=True, n_az_rt=45)
+    t_j = time_iters(model, key, batch, iters, jtally=True)
     breakdown = {
         "iter_us": round(t_base * 1e6, 1),
         "stokes_scatter_us": round((t_base - t_nopola) * 1e6, 1),
@@ -135,43 +117,60 @@ def main():
         "jtally_extra_us": round((t_j - t_base) * 1e6, 1),
     }
 
-    # ---- MFU estimate from XLA cost analysis of one compiled iteration
+    # ---- MFU / HBM roofline from XLA cost analysis of one iteration
     mfu = None
+    hbm_frac = None
     try:
+        from mcfost_tpu.mc.thermal_mc import advance, init_state
         lowered = advance.lower(model, key, init_state(model, batch),
                                 2_000_000_000, n_iters=1)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_it = float(ca.get("flops", 0.0))
+        bytes_it = float(ca.get("bytes accessed", 0.0))
         kind = jax.devices()[0].device_kind
         peak = next((v for k, v in _PEAK_F32.items()
                      if kind.lower().startswith(k.lower())), None)
+        bw = next((v for k, v in _PEAK_HBM.items()
+                   if kind.lower().startswith(k.lower())), None)
         if peak and flops_it > 0:
-            mfu = round(flops_it / t_base / peak, 4)
+            mfu = round(flops_it / t_base / peak, 5)
+        if bw and bytes_it > 0:
+            hbm_frac = round(bytes_it / t_base / bw, 3)
     except Exception:
         pass
 
-    # ---- sharding on/off on this chip (1-device mesh overheads)
+    # ---- sharded drivers on this chip (1-device mesh: driver overhead)
     from mcfost_tpu.parallel.mesh import make_mesh, run_thermal_mc_sharded
     from mcfost_tpu.parallel.spatial import run_thermal_mc_spatial
     mesh1 = make_mesh(jax.devices()[:1])
-    rs = run_thermal_mc_sharded(model, jax.random.PRNGKey(1), 2000, mesh1,
-                                batch_per_device=batch)
-    jax.block_until_ready(rs.xkj)
-    t0 = time.time()
-    rs = run_thermal_mc_sharded(model, jax.random.PRNGKey(1), n, mesh1,
-                                batch_per_device=batch)
-    jax.block_until_ready(rs.xkj)
-    dp_pps = int(rs.emitted) / (time.time() - t0)
-    rsp = run_thermal_mc_spatial(model, jax.random.PRNGKey(1), 2000, mesh1,
-                                 batch_per_device=batch, n_inner=64)
-    jax.block_until_ready(rsp.xkj)
-    t0 = time.time()
-    rsp = run_thermal_mc_spatial(model, jax.random.PRNGKey(1), n, mesh1,
-                                 batch_per_device=batch, n_inner=64)
-    jax.block_until_ready(rsp.xkj)
-    sdd_pps = int(rsp.emitted) / (time.time() - t0)
+    rs, dts = _timed_run(run_thermal_mc_sharded, model,
+                         jax.random.PRNGKey(1), n, mesh1,
+                         batch_per_device=batch)
+    dp_pps = int(rs.emitted) / dts
+    rsp, dtsp = _timed_run(run_thermal_mc_spatial, model,
+                           jax.random.PRNGKey(1), n, mesh1,
+                           batch_per_device=batch, n_inner=64)
+    sdd_pps = int(rsp.emitted) / dtsp
+
+    # ---- multi-device efficiency curve on a virtual CPU mesh
+    # (subprocess: this process owns the TPU).  Shape-only: CPU device
+    # speeds differ, but the curve exposes collective/driver scaling.
+    curve = None
+    try:
+        out = subprocess.run(
+            [sys.executable, "tools/scaling_curve.py"],
+            capture_output=True, text=True, timeout=2400,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()})
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                curve = json.loads(line)
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "thermal_mc_packets_per_s",
@@ -181,14 +180,18 @@ def main():
         "mrw_off_pps": round(mrw_off_pps, 1),
         "mrw_off_vs_baseline": round(mrw_off_pps / 1000.0, 2),
         "mono_pps": round(mono_pps, 1),
+        "mono_rt_pps": round(mono_rt_pps, 1),
+        "kernel_iters_headline": n_iters_dev,
         "step_time_breakdown": breakdown,
         "mfu_est": mfu,
+        "hbm_roof_frac": hbm_frac,
         "sharding": {
             "dp_1dev_pps": round(dp_pps, 1),
             "dp_1dev_eff": round(dp_pps / pps, 3),
             "spatial_dd_1dev_pps": round(sdd_pps, 1),
             "spatial_dd_1dev_eff": round(sdd_pps / pps, 3),
         },
+        "efficiency_curve": curve,
     }))
 
 

@@ -30,7 +30,7 @@ from .config.para import (Para, Zone, DustSpecies, DustComponent, Star,
 from .physics.molecules import MoleculeData
 
 BENCHMARK_NAMES = ("Pascucci", "vanZadelhoff1", "vanZadelhoff2",
-                   "Dutrey94", "HH30mol")
+                   "water1", "water2", "water3", "Dutrey94", "HH30mol")
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +217,118 @@ def run_vanzadelhoff2(r_au, n_h2, T_tab, v_tab, vturb_tab,
     return pops, (tex10, tex43), T_cell, model, host
 
 
+def water_para(nlev: int = 2) -> Para:
+    """Spherical cloud geometry shared by the water benchmarks.
+
+    The reference takes the geometry from a user para file and overrides
+    the physics in init_benchmark_water1/2/3 (benchmarks.f90:527-575);
+    here the standard benchmark cloud is built in: a uniform sphere to
+    r_out = 0.1 pc resolved by 50 log rings."""
+    p = Para()
+    rout_au = 0.1 / cst.AU_to_pc                     # 0.1 pc cloud
+    p.grid.geometry = 2
+    p.grid.n_rad, p.grid.nz, p.grid.n_rad_in = 50, 20, 1
+    z = Zone(geometry=3, dust_mass=1.0e-12, gas_to_dust=100.0,
+             rin=10.0, rout=rout_au, ref_radius=10.0,
+             surface_density_exp=0.0)         # uniform envelope
+    p.zones = [z]
+    p.stars = [Star(teff=4000.0, radius=1.0, mass=1.0)]
+    p.mol.lte = False
+    p.mol.v_turb = 0.0
+    p.mol.v_turb_unit = "km/s"
+    p.mol.molecules = [Molecule(filename="o-h2o", level_max=nlev,
+                                abundance=1.0e-9, transitions=[1],
+                                n_lines_rt=1, vmin=-5.0, vmax=5.0,
+                                n_speed=31)]
+    return p
+
+
+def run_water(which: int, root_dir: str = ".", overrides=None,
+              verbose: bool = True, nlev: int | None = None):
+    """Water benchmarks 1-3 (van Zadelhoff et al. 2002 H2O problems;
+    reference init_benchmark_water1/2/3, benchmarks.f90:527-575):
+
+    1. static uniform cloud, n(H2)=1e4 cm^-3, Tkin=40 K, vturb=0,
+       no CMB — the classic two-level 557 GHz ortho-H2O problem;
+    2. same cloud with the linear radial velocity field
+       v(r) = 1e5 * r[pc] m/s (benchmarks.f90:449-451);
+    3. the AGB mc_100.d model (multi-level, file-driven structure)
+       when the published table is present in root_dir, else the
+       water-2 cloud with the 8-level ladder as the multi-level
+       stress case (the reference's own water3 opacity coupling is
+       marked broken upstream, mol_transfer.f90:916-931).
+    """
+    from .grids import geometry as geom
+    from .io.fits import write_fits
+    from .mc.model import build_model
+    from .physics.molecules import builtin_ortho_h2o
+    from .transfer.mol_nlte import nlte_populations
+
+    nlev = nlev if nlev is not None else (2 if which in (1, 2) else 8)
+    p = water_para(nlev)
+    if overrides:
+        overrides(p)
+    model, host = build_model(p, cache_dir=os.path.join(
+        root_dir, ".mcfost_tpu_cache"))
+    rg = geom.host_arrays(model.grid, "r_grid")
+    zg = geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+
+    mu_mH = 2.3 * 1.007825 / 6.022140857e23       # g per H2 (+He)
+    g2d = p.zones[0].gas_to_dust
+    T_cell = np.full(model.grid.n_cells, 40.0)
+    n_h2 = np.full(model.grid.n_cells, 1.0e4 * 1e6)     # m^-3
+    vturb_kms = np.zeros(model.grid.n_cells)
+    if which == 3 and os.path.isfile(os.path.join(root_dir, "mc_100.d")):
+        # mc_100.d: radius[cm] n(H2)[cm^-3] Tkin Tdust Vrad[km/s]
+        # FWHM[km/s], outside-in (benchmarks.f90:484-497)
+        rows = np.loadtxt(os.path.join(root_dir, "mc_100.d"),
+                          skiprows=1)[::-1]
+        r_au = rows[:, 0] / cst.AU_to_cm
+        lr = np.log(np.clip(rs, r_au[0], r_au[-1]))
+        n_h2 = np.exp(np.interp(lr, np.log(r_au),
+                                np.log(rows[:, 1] * 1e6)))
+        T_cell = np.exp(np.interp(lr, np.log(r_au),
+                                  np.log(rows[:, 2])))
+        v_cell = np.interp(lr, np.log(r_au), rows[:, 4] * 1e3)
+        vturb_kms = np.interp(lr, np.log(r_au),
+                              rows[:, 5] / (2.0 * np.sqrt(np.log(2.0))))
+    elif which >= 2:
+        # v = 1e5 * r[pc] m/s, radial (init_benchmark_water2)
+        v_cell = 1.0e5 * rs * cst.AU_to_pc
+    else:
+        v_cell = np.zeros(model.grid.n_cells)
+    rho_dust = n_h2 * mu_mH / 1e6 / g2d                 # g/cm^3
+    vel = np.stack([v_cell * rg / np.maximum(rs, 1e-30),
+                    np.zeros_like(v_cell),
+                    v_cell * zg / np.maximum(rs, 1e-30)], 1)
+    host = host._replace(rho_dust=rho_dust, velocity=vel)
+    p.mol.v_turb = vturb_kms
+    p.mol.v_turb_unit = "km/s"
+
+    mol = builtin_ortho_h2o(nlev)
+    pops, it, diff = nlte_populations(
+        model, host, mol, T_cell, p.mol.molecules[0].abundance,
+        nlev=nlev, n_rays=48, initial="sobolev", verbose=verbose,
+        cmb=False)
+    if verbose:
+        print(f"  water{which}: {it} iterations, dpop={diff:.2e}")
+
+    # Tex(r) of the 557 GHz line — the benchmark's observable
+    dE = (mol.level_energy[1] - mol.level_energy[0]) * 1.602176634e-19
+    ratio = (pops[:, 0] * mol.g[1]) / np.maximum(
+        pops[:, 1] * mol.g[0], 1e-300)
+    tex = dE / (cst.kb * np.log(np.maximum(ratio, 1.0 + 1e-12)))
+    d = os.path.join(root_dir, "data_benchmark")
+    os.makedirs(d, exist_ok=True)
+    shape = geom.cell_shape(model.grid)
+    write_fits(os.path.join(d, f"Tex_water{which}.fits.gz"),
+               tex.reshape(shape).astype(np.float32),
+               extensions=[rs.astype(np.float64)],
+               keywords={"BUNIT": "K"})
+    return pops, tex, model, host
+
+
 def _impose_temperature(model, host, law):
     """Analytic Tdust/Tcin on the grid (ldust_mol benchmarks)."""
     from .grids import geometry as geom
@@ -282,6 +394,10 @@ def run_benchmark(name: str, root_dir: str = ".", seed: int | None = None,
         return run_vanzadelhoff2(r_au, n_h2, T, v, vturb,
                                  root_dir=root_dir, overrides=overrides,
                                  verbose=verbose)
+
+    if name in ("water1", "water2", "water3"):
+        return run_water(int(name[-1]), root_dir=root_dir,
+                         overrides=overrides, verbose=verbose)
 
     if name in ("Dutrey94", "HH30mol"):
         para = Para()

@@ -75,6 +75,7 @@ class Maps:
     n_az_angles: int = 1
     distance: float = 140.0        # [pc]
     disk_pa: float = -90.0         # [deg]
+    zoom: float = 1.0              # legacy 2.x map zoom (also CLI -zoom)
 
 
 @dataclass
@@ -309,16 +310,29 @@ def parse_para(text: str) -> Para:
     """
     rd = _TokenReader(text)
     version = float(rd.line(1)[0])
-    if version < 2.19 - 1e-6:
+    if version < 2.10 - 1e-6:
         raise NotImplementedError(
-            f"parameter file version {version} not supported (>=2.19);"
+            f"parameter file version {version} not supported (>=2.10);"
             " re-save the model with a newer reference format")
     p = Para(version=version)
 
-    # Photons
-    t = rd.line(1); p.photons.n_eq_th = float(t[0])
-    t = rd.line(1); p.photons.n_lambda = float(t[0])
-    t = rd.line(1); p.photons.n_image = float(t[0])
+    def vlt(x):
+        return version < x - 1e-6
+
+    def vge(x):
+        return version >= x - 1e-6
+
+    # Photons (2.10-2.14 carry an n_photons_loop multiplier,
+    # read_param.f90 read_para210-214: n_photons_total = loop * eq_th;
+    # 2.10 adds a checkpointing line, read_para210)
+    n_loop = 1.0
+    if vlt(2.15):
+        n_loop = float(rd.line(1)[0])
+    t = rd.line(1); p.photons.n_eq_th = float(t[0]) * n_loop
+    t = rd.line(1); p.photons.n_lambda = float(t[0]) * n_loop
+    t = rd.line(1); p.photons.n_image = float(t[0]) * n_loop
+    if vlt(2.11):
+        rd.line(1)   # checkpointing flag + interval (never implemented)
 
     # Wavelengths
     t = rd.line(3)
@@ -330,9 +344,13 @@ def parse_para(text: str) -> Para:
     p.wavelengths.compute_sed = _to_bool(t[1])
     p.wavelengths.default_grid = _to_bool(t[2])
     t = rd.line(1); p.wavelengths.wavelength_file = t[0]
+    if vlt(2.14):
+        rd.line(1)   # l_em_disk_image (obsolete, read_para213)
     t = rd.line(2)
     p.wavelengths.separate_contributions = _to_bool(t[0])
     p.wavelengths.output_stokes = _to_bool(t[1])
+    if vlt(2.11):
+        rd.line(2)   # tau_max @ lambda (obsolete, 2.10 only)
 
     # Grid
     t = rd.line(1); p.grid.geometry = int(float(t[0]))
@@ -340,12 +358,32 @@ def parse_para(text: str) -> Para:
     p.grid.n_rad = int(float(t[0])); p.grid.nz = int(float(t[1]))
     p.grid.n_az = int(float(t[2])); p.grid.n_rad_in = int(float(t[3]))
 
-    # Maps
-    t = rd.line(3)
-    p.maps.nx = int(float(t[0])); p.maps.ny = int(float(t[1]))
-    p.maps.map_size = float(t[2])
-    if version < 2.21 - 1e-6:
-        rd.line(2)   # MC capture binning (N_bin_incl, N_bin_az), dropped 2.21
+    # Maps.  Format history (read_param.f90):
+    #   2.10-2.13  "N_thet N_phi nx ny zoom" + capture-bin-of-interest line
+    #   2.14       "nx ny zoom"  + MC binning line  (map size from size_neb)
+    #   2.15-2.17  "nx ny size zoom" + MC binning line
+    #   2.18-2.20  "nx ny size" + MC binning line
+    #   2.21+      "nx ny size"
+    if vlt(2.14):
+        t = rd.line(5)
+        p.maps.nx = int(float(t[2])); p.maps.ny = int(float(t[3]))
+        p.maps.zoom = float(t[4])
+        rd.line(1)   # capt_interet, delta_capt, angle, lonly_capt_interet
+    elif vlt(2.15):
+        t = rd.line(3)
+        p.maps.nx = int(float(t[0])); p.maps.ny = int(float(t[1]))
+        p.maps.zoom = float(t[2])
+        rd.line(2)   # MC capture binning
+    else:
+        if vlt(2.18):
+            t = rd.line(4)
+            p.maps.zoom = float(t[3])
+        else:
+            t = rd.line(3)
+        p.maps.nx = int(float(t[0])); p.maps.ny = int(float(t[1]))
+        p.maps.map_size = float(t[2])
+        if vlt(2.21):
+            rd.line(2)   # MC capture binning, dropped 2.21
     t = rd.line(4)
     p.maps.imin = float(t[0]); p.maps.imax = float(t[1])
     p.maps.n_incl = int(float(t[2])); p.maps.centered = _to_bool(t[3])
@@ -371,33 +409,79 @@ def parse_para(text: str) -> Para:
     t = rd.line(1); p.sym_central = _to_bool(t[0])
     t = rd.line(1); p.sym_axial = _to_bool(t[0])
 
-    # Disk physics
+    # Disk physics ("#Dust global properties" pre-2.18).  Deltas:
+    #   2.10-2.14  global gas-to-dust line first; settling flag is a bool
+    #              (lvariable_dust); no migration/hydrostatic lines;
+    #              2.10-2.13 end with a "T_min, T_max, n_T" line
+    #   2.15       like 2.16+ but settling still a bool, and no
+    #              migration/hydrostatic lines (added 2.18)
+    global_g2d = None
+    if vlt(2.15):
+        global_g2d = float(rd.line(1)[0])
+
+    def settle(tok):
+        # bool (pre-2.16 lvariable_dust) or int (settling type 0-3)
+        if tok.upper().lstrip(".") [:1] in ("T", "F"):
+            return 1 if _to_bool(tok) else 0
+        return int(float(tok))
     t = rd.line(3)
-    p.physics.settling_type = int(float(t[0]))
+    p.physics.settling_type = settle(t[0])
     p.physics.exp_strat = float(t[1]); p.physics.a_strat = float(t[2])
-    t = rd.line(1); p.physics.radial_migration = _to_bool(t[0])
+    if vge(2.18):
+        t = rd.line(1); p.physics.radial_migration = _to_bool(t[0])
     t = rd.line(1); p.physics.sublimate_dust = _to_bool(t[0])
-    t = rd.line(1); p.physics.hydrostatic_eq = _to_bool(t[0])
+    if vge(2.18):
+        t = rd.line(1); p.physics.hydrostatic_eq = _to_bool(t[0])
     t = rd.line(2)
     p.physics.viscous_heating = _to_bool(t[0])
     p.physics.alpha_viscosity = float(t[1])
+    if vlt(2.14):
+        t = rd.line(3)   # T_min, T_max, n_T (moved out of the file in 2.14)
+        p.T_min = float(t[0]); p.T_max = float(t[1])
+        p.n_T = int(float(t[2]))
 
-    # Zones
+    # Zones.  Radii-line history (read_param.f90):
+    #   2.10-2.14  "rin rout size_neb edge"   (map_size = 2*size_neb)
+    #   2.15-2.17  "rin rout edge"
+    #   2.18+      "rin edge rout rc"
     t = rd.line(1); n_zones = int(float(t[0]))
     p.zones = []
     for _ in range(n_zones):
         z = Zone()
         t = rd.line(1); z.geometry = int(float(t[0]))
-        t = rd.line(2); z.dust_mass = float(t[0]); z.gas_to_dust = float(t[1])
-        t = rd.line(3)
-        z.scale_height = float(t[0]); z.ref_radius = float(t[1])
-        z.vert_profile_exp = float(t[2])
-        t = rd.line(4)
-        z.rin = float(t[0]); z.edge = float(t[1])
-        z.rout = float(t[2]); z.rc = float(t[3])
+        if vlt(2.15):
+            t = rd.line(1)
+            z.dust_mass = float(t[0]); z.gas_to_dust = global_g2d
+        else:
+            t = rd.line(2)
+            z.dust_mass = float(t[0]); z.gas_to_dust = float(t[1])
+        if vge(2.19):
+            t = rd.line(3)
+            z.scale_height = float(t[0]); z.ref_radius = float(t[1])
+            z.vert_profile_exp = float(t[2])
+        else:
+            t = rd.line(2)
+            z.scale_height = float(t[0]); z.ref_radius = float(t[1])
+        if vlt(2.15):
+            t = rd.line(4)
+            z.rin = float(t[0]); z.rout = float(t[1]); z.edge = float(t[3])
+            z.rc = z.rout
+            p.maps.map_size = 2.0 * float(t[2])
+        elif vlt(2.18):
+            t = rd.line(3)
+            z.rin = float(t[0]); z.rout = float(t[1]); z.edge = float(t[2])
+            z.rc = z.rout
+        else:
+            t = rd.line(4)
+            z.rin = float(t[0]); z.edge = float(t[1])
+            z.rout = float(t[2]); z.rc = float(t[3])
         t = rd.line(1); z.flaring_exp = float(t[0])
-        t = rd.line(2)
-        z.surface_density_exp = float(t[0]); z.gamma_exp = float(t[1])
+        if vge(2.17):
+            t = rd.line(2)
+            z.surface_density_exp = float(t[0]); z.gamma_exp = float(t[1])
+        else:
+            t = rd.line(1)
+            z.surface_density_exp = float(t[0]); z.gamma_exp = 0.0
         p.zones.append(z)
 
     # Cavity section (pre-2.21 formats only; now a CLI flag -cavity)
@@ -408,26 +492,45 @@ def parse_para(text: str) -> Para:
         if has_cavity:
             p.cavity = (h_cav, r_cav, beta_cav)
 
-    # Grain properties (per zone)
+    # Grain properties (per zone).  Species-line history (read_param.f90):
+    #   2.10-2.12  "file porosity mass_fraction"  (one Mie component)
+    #   2.13-2.15  "n_comp mixing porosity mass_frac" + component lines
+    #   2.16       + leading grain type (Mie|DHS), no Vmax
+    #   2.17+      + trailing DHS Vmax
     p.dust = []
     for _iz in range(n_zones):
         t = rd.line(1); n_species = int(float(t[0]))
         species = []
         for _ in range(n_species):
             s = DustSpecies()
-            t = rd.line(6)
-            s.grain_type = t[0]
-            s.n_components = int(float(t[1]))
-            s.mixing_rule = int(float(t[2]))
-            s.porosity = float(t[3])
-            s.mass_fraction = float(t[4])
-            s.dhs_vmax = float(t[5])
-            s.components = []
-            for _c in range(s.n_components):
-                t = rd.line(2)
-                s.components.append(
-                    DustComponent(optical_indices_file=t[0],
-                                  volume_fraction=float(t[1])))
+            if vlt(2.13):
+                t = rd.line(3)
+                s.grain_type = "Mie"; s.n_components = 1; s.mixing_rule = 1
+                s.porosity = float(t[1]); s.mass_fraction = float(t[2])
+                s.components = [DustComponent(optical_indices_file=t[0],
+                                              volume_fraction=1.0)]
+            else:
+                if vlt(2.16):
+                    t = rd.line(4)
+                    s.grain_type = "Mie"
+                    t = ["Mie"] + t
+                elif vlt(2.17):
+                    t = rd.line(5)
+                else:
+                    t = rd.line(6)
+                s.grain_type = t[0]
+                s.n_components = int(float(t[1]))
+                s.mixing_rule = int(float(t[2]))
+                s.porosity = float(t[3])
+                s.mass_fraction = float(t[4])
+                if len(t) > 5:
+                    s.dhs_vmax = float(t[5])
+                s.components = []
+                for _c in range(s.n_components):
+                    t = rd.line(2)
+                    s.components.append(
+                        DustComponent(optical_indices_file=t[0],
+                                      volume_fraction=float(t[1])))
             t = rd.line(1); s.heating_method = int(float(t[0]))
             t = rd.line(4)
             s.amin = float(t[0]); s.amax = float(t[1])
@@ -437,6 +540,44 @@ def parse_para(text: str) -> Para:
 
     # Molecular RT settings
     legacy_mol = version < 4.1 - 1e-6
+    if vlt(2.11):
+        # 2.10 (read_para210): "vmax, v_turb, n_speed" first, then
+        # "lpop, lprecise_pop, LTE, width", then exactly one molecule
+        # with no per-molecule velocity line
+        t = rd.line(3)
+        vmax210 = float(t[0]); p.mol.v_turb = float(t[1])
+        p.mol.v_turb_unit = "km/s"
+        n_speed210 = int(float(t[2]))
+        t = rd.line(4)
+        p.mol.lpop = _to_bool(t[0]); p.mol.laccurate_pop = _to_bool(t[1])
+        p.mol.lte = _to_bool(t[2])
+        m = Molecule()
+        t = rd.line(2); m.filename = t[0]; m.level_max = int(float(t[1]))
+        m.vmax = vmax210; m.vmin = -vmax210
+        m.n_speed = 2 * n_speed210 + 1
+        t = rd.line(3)
+        m.cst_abundance = _to_bool(t[0]); m.abundance = float(t[1])
+        m.abundance_file = t[2]
+        t = rd.line(2)
+        m.ray_tracing = _to_bool(t[0]); m.n_lines_rt = int(float(t[1]))
+        t = rd.line(m.n_lines_rt)
+        m.transitions = [int(float(x)) for x in t]
+        p.mol.molecules = [m]
+
+        # Stars (2.10: 7-token star line, no fUV line)
+        t = rd.line(1); n_stars = int(float(t[0]))
+        p.stars = []
+        for _ in range(n_stars):
+            s = Star()
+            t = rd.line(7)
+            s.teff = float(t[0]); s.radius = float(t[1])
+            s.mass = float(t[2])
+            s.x = float(t[3]); s.y = float(t[4]); s.z = float(t[5])
+            s.auto_spectrum = _to_bool(t[6])
+            t = rd.line(1); s.spectrum_file = t[0]
+            s.fuv = 0.0; s.slope_fuv = 2.2
+            p.stars.append(s)
+        return p
     if legacy_mol:
         # "lpop, laccurate_pop, LTE, profile width [km/s]"
         t = rd.line(4)
@@ -490,17 +631,21 @@ def parse_para(text: str) -> Para:
                 a.lines.append((int(float(t[0])), int(float(t[1]))))
             p.atoms.atoms.append(a)
 
-    # Stars
+    # Stars (2.11 carries fUV on the star line, read_para211; the
+    # separate "fUV, slope_fUV" line exists from 2.12)
     t = rd.line(1); n_stars = int(float(t[0]))
     p.stars = []
     for _ in range(n_stars):
         s = Star()
-        t = rd.line(7)
+        t = rd.line(8 if vlt(2.12) else 7)
         s.teff = float(t[0]); s.radius = float(t[1]); s.mass = float(t[2])
         s.x = float(t[3]); s.y = float(t[4]); s.z = float(t[5])
         s.auto_spectrum = _to_bool(t[6])
+        if vlt(2.12):
+            s.fuv = float(t[7]); s.slope_fuv = 2.2
         t = rd.line(1); s.spectrum_file = t[0]
-        t = rd.line(2); s.fuv = float(t[0]); s.slope_fuv = float(t[1])
+        if vge(2.12):
+            t = rd.line(2); s.fuv = float(t[0]); s.slope_fuv = float(t[1])
         p.stars.append(s)
 
     return p

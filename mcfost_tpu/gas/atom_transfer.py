@@ -153,7 +153,11 @@ class AtomRT:
         nprot = self._nprot(atom, pops, gas)
         nhmin = nh_minus(gas.T, gas.ne, nH1)
         chi_gas, _sca = background_continuum(lam_um, gas.T, gas.ne,
-                                             nH1, nprot, nhmin)
+                                             nH1, nprot, nhmin,
+                                             nHtot=gas.nHtot)
+        # the atom's own bf (Gaunt + dissolution pseudo-continuum):
+        # non-zero at line frequencies near an edge (Balmer jump)
+        chi_gas = chi_gas + atom_bf_opacity(atom, pops, gas, lam_um)
         chi_dust = _dust_kabs_cells(model, host, lam_um)     # (C, nl) AU^-1
         Bd = np.stack([bnu(T_dust, nu) for nu in self.nu0], 1)
         Bg = np.stack([bnu(gas.T, nu) for nu in self.nu0], 1)
@@ -387,6 +391,71 @@ def _fibonacci_sphere(n: int) -> np.ndarray:
     return np.stack([s * np.cos(phi), s * np.sin(phi), mu], 1)
 
 
+def atom_bf_opacity(atom: AtomModel, pops: np.ndarray, gas: GasState,
+                    lam_um: np.ndarray, dissolve: bool = True):
+    """Bound-free opacity (C, W) [m^-1] of the modeled atom from its
+    actual level populations.
+
+    Hydrogenic continua use the Seaton-Gaunt cross-section
+    (H_bf_Xsection, gas_contopac.f90:380-412) instead of the bare
+    (lambda/lambda0)^3 scaling, and each edge continues redward as a
+    pseudo-continuum weighted by the Hummer-Mihalas dissolve fraction
+    (f_dissolve, occupation_probability.f90:92-130) — the level-
+    dissolution physics that smooths the Balmer jump.  Tabulated
+    (non-hydrogenic) continua interpolate their file cross-sections."""
+    from .contopac import (dissolve_fraction, hydrogenic_bf_sigma,
+                           _RYDBERG_EV)
+    lam = np.asarray(lam_um, np.float64)
+    nu = cst.c_light / (lam * 1e-6)
+    C = gas.T.shape[0]
+    chi = np.zeros((C, lam.size))
+    stim = 1.0 - np.exp(-cst.hp * nu[None, :]
+                        / (cst.kb * np.maximum(gas.T, 1.0)[:, None]))
+    nH1 = AtomRT._nh1(atom, pops, gas)
+    EV = 1.602176634e-19
+    for k in range(atom.n_cont):
+        i = atom.cont_i[k]
+        l0 = atom.cont_lambda0[k] * 1e-3                   # um
+        Z = float(atom.stage[i] + 1)
+        dE_eV = (atom.E[atom.cont_j[k]] - atom.E[i]) / EV
+        if atom.id.upper() == "H":
+            n_eff = float(i + 1)
+        else:
+            n_eff = Z * np.sqrt(_RYDBERG_EV / max(dE_eV, 1e-3))
+        hyd = atom.hydrogenic is None or bool(atom.hydrogenic[k])
+        blue = lam < l0
+        sig = np.zeros(lam.size)
+        if hyd:
+            sig[blue] = hydrogenic_bf_sigma(lam[blue], n_eff, Z)
+        elif len(atom.cont_lambda_file) > k and \
+                atom.cont_lambda_file[k] is not None:
+            lf = np.asarray(atom.cont_lambda_file[k]) * 1e-3
+            af = np.asarray(atom.cont_alpha_file[k])
+            sig[blue] = np.interp(lam[blue], lf, af,
+                                  left=af[0], right=af[-1])
+        else:
+            sig[blue] = atom.alpha0[k] * (lam[blue] / l0) ** 3
+        w = sig[None, :] * stim
+        if dissolve and hyd:
+            # pseudo-continuum redward of the edge: sigma extrapolated,
+            # weighted by the dissolve fraction
+            red = (lam >= l0) & (lam < 3.0 * l0)
+            if np.any(red):
+                sig_r = hydrogenic_bf_sigma(lam[red], n_eff, Z)
+                # chi0 is the stage's full ionization potential (the
+                # reference reads elems%ionpot of stage j), not the
+                # level's Delta-E: Ry Z^2 for a hydrogenic series
+                # Zr = stage + 1 = Z (the reference's f_dissolve
+                # radiator-charge convention)
+                fd = dissolve_fraction(lam, gas.T, gas.ne, nH1, n_eff,
+                                       _RYDBERG_EV * Z * Z, l0, Zr=Z)
+                w[:, red] = sig_r[None, :] * stim[:, red] * fd[:, red]
+            chi += pops[:, i][:, None] * w
+        else:
+            chi += pops[:, i][:, None] * w
+    return chi
+
+
 def continuum_mean_intensity(model: Model, host: HostModel,
                              atom: AtomModel, gas: GasState,
                              pops: np.ndarray, T_dust: np.ndarray,
@@ -406,24 +475,16 @@ def continuum_mean_intensity(model: Model, host: HostModel,
     nprot = AtomRT._nprot(atom, pops, gas)
     nhmin = nh_minus(gas.T, gas.ne, nH1)
     chi_gas, _ = background_continuum(lam_um, gas.T, gas.ne, nH1,
-                                      nprot, nhmin)
+                                      nprot, nhmin, nHtot=gas.nHtot)
     chi_dust = _dust_kabs_cells(model, host, lam_um)
     nu_w = cst.c_light / (lam_um * 1e-6)
     Bd = bnu(T_dust[:, None], nu_w[None, :])
     Bg = bnu(gas.T[:, None], nu_w[None, :])
     chi_gas_au = chi_gas * cst.AU_to_m
 
-    # atom's own LTE b-f opacity (saturates the edges)
-    chi_bf = np.zeros((gas.T.shape[0], W))
-    for k in range(atom.n_cont):
-        l0 = atom.cont_lambda0[k] * 1e-3
-        sel = lam_um < l0
-        alpha = atom.alpha0[k] * (lam_um[sel] / l0) ** 3
-        stim = 1.0 - np.exp(-cst.hp * nu_w[None, sel]
-                            / (cst.kb * gas.T[:, None]))
-        chi_bf[:, sel] += pops[:, atom.cont_i[k]][:, None] \
-            * alpha[None, :] * stim
-    chi_bf_au = chi_bf * cst.AU_to_m
+    # atom's own b-f opacity (Seaton Gaunt + level dissolution;
+    # saturates the edges)
+    chi_bf_au = atom_bf_opacity(atom, pops, gas, lam_um) * cst.AU_to_m
 
     chi_c = chi_dust + chi_gas_au + chi_bf_au
     eta_c = chi_dust * Bd + (chi_gas_au + chi_bf_au) * Bg
@@ -626,9 +687,10 @@ def escape_prob_pops_atom(atom: AtomModel, gas: GasState, ntot, nstar,
 def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                    gas: GasState, T_dust: np.ndarray,
                    max_iter: int = 50, tol: float = 1e-3,
-                   n_rays: int = 8, healpix_lorder: int | None = None,
+                   n_rays: int = 100, healpix_lorder: int | None = None,
                    initial: str = "lte", ng_order: int = 2,
-                   verbose: bool = False, iterate_ne: int = 0):
+                   verbose: bool = False, iterate_ne: int = 0,
+                   pops0: np.ndarray | None = None):
     """MALI iteration to statistical equilibrium (nlte_loop_mali,
     gas/atom_transfer.f90:123-881).  Returns (pops, n_iter, dM).
 
@@ -640,10 +702,13 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
     density with the NLTE ionization of the model atom imposed and
     refresh the LTE populations / collision matrix / continuum rates
     (-iterate_ne, atom_transfer.f90:155-165); 0 disables.
+    n_rays defaults to the reference's 100 MC rays (N_rayons_mc,
+    init_mcfost.f90:104).  pops0: restart populations (the para's
+    initial_solution = 1 "from file" path, atom_transfer.f90:1120-1132).
     """
     ntot = atom.abund * gas.nHtot
     nstar = lte_pops(atom, gas.T, gas.ne, ntot)
-    pops = nstar.copy()
+    pops = nstar.copy() if pops0 is None else np.asarray(pops0, np.float64)
     Cmat = collision_matrix(atom, gas.T, gas.ne, nstar)
     all_lines = np.arange(atom.n_lines)
 
@@ -652,7 +717,7 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                                          T_dust, n_rays=n_rays)
     Rc_ij, Rc_ji = continuum_rates(atom, gas, nstar, lam_c, Jc)
 
-    if initial == "escape":
+    if initial == "escape" and pops0 is None:
         pops = escape_prob_pops_atom(atom, gas, ntot, nstar, Cmat,
                                      Rc_ij, Rc_ji, model, host,
                                      verbose=verbose)
@@ -730,33 +795,68 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
 def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
               root_dir: str = ".", verbose: bool = True,
               iterate_ne: int = 0, healpix_lorder: int | None = None,
-              ng_order: int = 2, gas: GasState | None = None):
+              ng_order: int = 2, gas: GasState | None = None,
+              n_rays: int = 100):
     """Full -atom pipeline: gas state, (N)LTE populations, channel maps
     for the parameter file's atomic lines + disk-integrated spectra
     (setup_image_grid / emission_line_map, gas/atom_transfer.f90:1044,
-    1439; write_atomic_maps, output.f90)."""
+    1439; write_atomic_maps, output.f90).
+
+    Restartability (reference read_electron / initial-solution-from-file,
+    gas/atom_transfer.f90:1120-1132, electron_density.f90 ne.fits):
+    ne.fits.gz is reused when present in data_atom/ and written after the
+    solve; with the para's initial_solution = 1 the NLTE iteration starts
+    from the previously-written pops_<atom>.fits.gz."""
+    from ..io.fits import read_fits, write_fits
     para = host.para
     if not para.atoms.atoms:
         from ..config.para import Atom
         para.atoms.atoms = [Atom()]
     acfg = para.atoms.atoms[0]
     atom = get_atom(acfg.filename)
+    d_atom = os.path.join(root_dir, "data_atom")
+    ne_path = os.path.join(d_atom, "ne.fits.gz")
     if gas is None:
+        ne0 = None
+        if os.path.isfile(ne_path):
+            ne0 = read_fits(ne_path)[0][1].astype(np.float64).reshape(-1)
+            if ne0.shape[0] != model.grid.n_cells:
+                ne0 = None
+            elif verbose:
+                print("  electron density reused from ne.fits.gz")
         gas = GasState(model, host, T_dust,
                        v_turb_kms=para.mol.v_turb
                        if para.mol.v_turb_unit.lower().startswith("km")
-                       else 0.0)
+                       else 0.0, ne=ne0)
+    os.makedirs(d_atom, exist_ok=True)
+    from ..grids import geometry as _geom
+    shape = _geom.cell_shape(model.grid)
+    write_fits(ne_path, np.asarray(gas.ne, np.float64).reshape(shape)
+               .astype(np.float32), keywords={"BUNIT": "m^-3"})
     ntot = atom.abund * gas.nHtot
     nstar = lte_pops(atom, gas.T, gas.ne, ntot)
+    pops_path = os.path.join(d_atom, f"pops_{atom.id}.fits.gz")
     if acfg.non_lte:
+        pops0 = None
+        if acfg.initial_solution == 1 and os.path.isfile(pops_path):
+            arr = read_fits(pops_path)[0][1].astype(np.float64)
+            if arr.size == model.grid.n_cells * atom.n_levels:
+                pops0 = arr.reshape(atom.n_levels, -1).T
+                if verbose:
+                    print(f"  initial populations from {pops_path}")
         pops, nit, dm = nlte_pops_atom(model, host, atom, gas, T_dust,
                                        verbose=verbose,
                                        iterate_ne=iterate_ne,
                                        healpix_lorder=healpix_lorder,
-                                       ng_order=ng_order)
+                                       ng_order=ng_order, n_rays=n_rays,
+                                       pops0=pops0)
         if verbose:
             print(f"  NLTE populations converged: {nit} iter, "
                   f"dM = {dm:.2e}")
+        write_fits(pops_path,
+                   np.ascontiguousarray(pops.T).reshape(
+                       (atom.n_levels,) + shape).astype(np.float32),
+                   keywords={"BUNIT": "m^-3"})
     else:
         pops = nstar
 

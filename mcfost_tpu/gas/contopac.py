@@ -100,14 +100,133 @@ def thomson(ne):
     return ne * SIGMA_THOMSON
 
 
+_RYDBERG_EV = 13.605693
+
+
+def gaunt_bf(u, n_eff):
+    """Bound-free Gaunt factor (Seaton 1960; reference Gaunt_bf,
+    gas_contopac.f90:338-355).  u = n_eff^2 h nu / (Z^2 Ry) - 1."""
+    g = (1.0 + 0.1728 * n_eff ** (-2.0 / 3.0) * (u + 1.0) ** (-2.0 / 3.0)
+         * (u - 1.0)
+         - 0.0496 * n_eff ** (-4.0 / 3.0) * (u + 1.0) ** (-4.0 / 3.0)
+         * (u * u + 4.0 / 3.0 * u + 1.0))
+    g = np.where(g < 0.0, 0.0, g)
+    return np.where(g > 2.0, 1.0, g)
+
+
+def hydrogenic_bf_sigma(lam_um, n_eff, Z=1.0):
+    """Hydrogenic photoionization cross-section [m^2] with the Seaton
+    Gaunt factor (reference H_bf_Xsection, gas_contopac.f90:380-412):
+    alpha = 2.815e25 Z^4 g_bf / n_eff^5 / nu^3."""
+    lam = np.asarray(lam_um, np.float64)
+    nu = cst.c_light / (lam * 1e-6)
+    hnu_eV = cst.hp * nu / 1.602176634e-19
+    u = n_eff ** 2 * hnu_eV / (Z * Z * _RYDBERG_EV) - 1.0
+    g = gaunt_bf(u, np.asarray(n_eff, np.float64))
+    return 2.815e25 * Z ** 4 * g / n_eff ** 5 / nu ** 3
+
+
+def wocc_n(T, ne, n_eff, Zr=1.0, nH1=None, Zp=1.0):
+    """Occupation probability of level n_eff (Hummer & Mihalas 1988
+    eq. 4.71; reference wocc_n, occupation_probability.f90:25-90).
+
+    Vectorized over cells; n_eff may be scalar or broadcastable.
+    Accounts for neutral (ground-state H) and charged (singly-ionized,
+    n_p = ne) perturbers."""
+    T = np.maximum(np.asarray(T, np.float64), 1.0)
+    ne = np.maximum(np.asarray(ne, np.float64), 1e-10)
+    n = np.asarray(n_eff, np.float64)
+    RBOHR = 5.29177210903e-11                        # m
+    a0fourpi3 = (4.0 / 3.0) * np.pi * RBOHR ** 3
+    # <r^2> of orbital (n, l=0, Z): n^2 (5 n^2 + 1) / (2 Z^2) a0^2
+    r1 = np.sqrt(n * n * (5.0 * n * n + 1.0) / 2.0) / Zr    # / a0
+    rp1 = np.sqrt(1.0 * (5.0 + 1.0) / 2.0)                  # H ground
+    npop1 = np.zeros_like(T) if nH1 is None \
+        else np.asarray(nH1, np.float64)
+    # radii are in units of a0; a0fourpi3 carries the a0^3 volume factor
+    w_neutr = np.exp(-a0fourpi3 * npop1 * (r1 + rp1) ** 3)
+    # charged perturbers (H&M 4.71 via Hubeny & Mihalas ch. 9)
+    k = np.where(n <= 3.0, 1.0, 16.0 / 3.0 * n / (n + 1.0) ** 2)
+    betac = 1e4 * 8.3e14 * ne ** (-2.0 / 3.0) * Zp ** 3 * k / n ** 4
+    a = 0.1 * 0.09 * ne ** (1.0 / 6.0) / np.sqrt(T)
+    x = (1.0 + a) ** 3.15
+    c1, c2 = 0.1402, 0.1285
+    f = c1 * (x + 4.0 * Zr * a ** 3) * betac ** 3 \
+        / (1.0 + c2 * x * np.sqrt(betac ** 3))
+    w_ion = f / (1.0 + f)
+    return w_neutr * w_ion
+
+
+def dissolve_fraction(lam_um, T, ne, nH1, n_eff, chi0_eV, lambda0_um,
+                      Zr=1.0):
+    """Pseudo-continuum dissolve fraction redward of a bf edge
+    (Daeppen, Anderson & Mihalas 1987; reference f_dissolve,
+    occupation_probability.f90:92-130): for lambda > lambda0 the edge
+    continues with weight 1 - w(m')/w(n), m' the effective level that
+    an absorbed photon of that energy can reach.  Returns (C, W)."""
+    lam = np.asarray(lam_um, np.float64)
+    hnu_eV = cst.hp * cst.c_light / (lam * 1e-6) / 1.602176634e-19
+    Zsq = (Zr + 1.0) ** 2
+    m = 1.0 / n_eff ** 2 - hnu_eV / (chi0_eV * Zsq)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mp = 1.0 / np.sqrt(np.abs(m))
+    w1 = wocc_n(T, ne, n_eff, Zr=Zr, nH1=nH1)            # (C,)
+    fd = np.ones((T.shape[0], lam.shape[0]))
+    red = (lam > lambda0_um) & (m > 0.0)
+    if np.any(red):
+        # w(m') varies per wavelength: vectorize over the red points
+        idx = np.where(red)[0]
+        for j in idx:
+            wm = wocc_n(T, ne, float(mp[j]), Zr=Zr, nH1=nH1)
+            fd[:, j] = 1.0 - wm / np.maximum(w1, 1e-300)
+    return np.clip(fd, 0.0, 1.0)
+
+
+def metal_bf(lam_um, T, ne, nHtot):
+    """Background metal bound-free opacity [m^-1]: LTE neutral
+    ground-state populations of the dominant electron donors
+    (gas/electron.ELEMENTS) photoionizing through the hydrogenic
+    cross-section with n_eff = sqrt(Ry/chi_ion) — the reference
+    computes exactly this through its passive-atom continua
+    (H_bf_Xsection for non-H atoms, gas_contopac.f90:388-395)."""
+    from .electron import ELEMENTS, ionization_fractions
+    lam = np.asarray(lam_um, np.float64)
+    nu = cst.c_light / (lam * 1e-6)
+    T = np.maximum(np.asarray(T, np.float64), 1.0)
+    stim = 1.0 - np.exp(-cst.hp * nu[None, :] / (cst.kb * T[:, None]))
+    fr = ionization_fractions(T, np.maximum(ne, 1e-10))
+    chi = np.zeros((T.shape[0], lam.shape[0]))
+    for name, _w, ab, chis, _u in ELEMENTS:
+        if name in ("H", "He"):
+            continue
+        chi_ion = chis[0]
+        lam0 = cst.hp * cst.c_light / (chi_ion * 1.602176634e-19) * 1e6
+        sel = lam < lam0
+        if not np.any(sel):
+            continue
+        n_eff = np.sqrt(_RYDBERG_EV / chi_ion)
+        sig = hydrogenic_bf_sigma(lam[sel], n_eff)       # m^2
+        n0 = nHtot * ab * fr[name][:, 0]                 # neutral pop
+        chi[:, sel] += n0[:, None] * sig[None, :] * stim[:, sel]
+    return chi
+
+
 def background_continuum(lam_um: np.ndarray, T: np.ndarray,
                          ne: np.ndarray, nH1: np.ndarray,
-                         nprot: np.ndarray, nhmin: np.ndarray):
+                         nprot: np.ndarray, nhmin: np.ndarray,
+                         nHtot: np.ndarray | None = None):
     """Total background gas continuum (background_continua_lambda,
     gas_contopac.f90): returns (chi_abs (C, W), chi_sca (C, W)) in m^-1.
-    Thermal emissivity follows as chi_abs * B_nu (LTE)."""
+    Thermal emissivity follows as chi_abs * B_nu (LTE).
+
+    nHtot (optional) switches on the metal bound-free background
+    (the reference carries metal bf through its passive atoms); the
+    modeled atom's own bf (with Gaunt factor + level dissolution) is
+    added by the caller from its actual populations."""
     chi_abs = (hminus_bf(lam_um, T, ne, nhmin)
                + hminus_ff(lam_um, T, ne, nH1)
                + hydrogen_ff(lam_um, T, ne, nprot))
+    if nHtot is not None:
+        chi_abs = chi_abs + metal_bf(lam_um, T, ne, nHtot)
     chi_sca = rayleigh_H(lam_um, nH1) + thomson(ne)[:, None]
     return chi_abs, chi_sca

@@ -356,13 +356,16 @@ def has_exited(grid: CylGrid, ri, zj, z):
 def pos_in_cell(grid: CylGrid, ri, zj, rand1, rand2, rand3):
     """Uniform random position inside cell (ri,zj); 2D signed-z choice.
 
-    Mirrors pos_em_cell_cyl (cylindrical_grid.f90:1415-1466)."""
+    Mirrors pos_em_cell_cyl (cylindrical_grid.f90:1415-1466).  Wall values
+    come from the shared one-hot wall table — this runs inside the fused
+    MC refill every iteration, where serialized gathers are ~90 ns/lane."""
     dtype = rand1.dtype
     n_rad, nz = grid.n_rad, grid.nz
-    r2a = grid.r_lim2[jnp.clip(ri - 1, 0, n_rad)]
-    r2b = grid.r_lim2[jnp.clip(ri, 0, n_rad)]
+    wt = _one_hot_rows(jnp.clip(ri, 0, n_rad + 1), n_rad + 2,
+                       dtype) @ _wall_table(grid)
+    r2a, r2b = wt[..., 1], wt[..., 0]
     r = jnp.sqrt(r2a + rand1 * (r2b - r2a))
-    dz_i = grid.zmax[jnp.clip(ri - 1, 0, n_rad - 1)] / nz
+    dz_i = wt[..., 2] / nz
     zlow = (zj.astype(dtype) - 1.0) * dz_i
     # random sign (2D mirror): rand2<0.5 -> negative z
     frac = jnp.where(rand2 > 0.5, 2.0 * (rand2 - 0.5), 2.0 * rand2)

@@ -384,6 +384,54 @@ def build_model(para: Para, dtype=jnp.float32,
     return model, host
 
 
+def slice_model_lambda(model: Model, lo: int, hi: int) -> Model:
+    """Restrict the device model to the wavelength window [lo, hi).
+
+    The -limit_mem memory tiers (reference parameters.f90:86-91: store
+    everything / store coarse / recompute) map in this architecture onto
+    lambda-axis CHUNKING of the observable MC: the big (L, C, ...) RT
+    tallies are allocated per chunk instead of for the full grid, cutting
+    peak device memory by L/chunk (SURVEY §2.7's lambda-sharding
+    analogue).  Pure array slicing — no rebuild."""
+    import jax.numpy as jnp
+    K = model.n_grains
+    L = model.n_lambda
+    A = model.prob_s11.shape[-1]
+    n = hi - lo
+
+    def kl(t):                       # (K*L, A) grain-major tables
+        return t.reshape(K, L, A)[:, lo:hi].reshape(K * n, A)
+
+    ec = model.emission_cdf[lo:hi + 1]
+    ec = (ec - ec[0]) / jnp.maximum(ec[-1] - ec[0], 1e-30)
+    return model._replace(
+        kappa=model.kappa[:, lo:hi],
+        kappa_abs=model.kappa_abs[:, lo:hi],
+        albedo=model.albedo[:, lo:hi],
+        g_cell=model.g_cell[:, lo:hi],
+        ksca_cdf=model.ksca_cdf[:, lo:hi],
+        prob_s11=kl(model.prob_s11),
+        tab_s12=kl(model.tab_s12),
+        tab_s33=kl(model.tab_s33),
+        tab_s34=kl(model.tab_s34),
+        tab_g=model.tab_g[:, lo:hi],
+        kdb_dt_cdf=model.kdb_dt_cdf[..., lo:hi],
+        cdf_star=model.cdf_star[lo:hi],
+        emission_cdf=ec,
+        frac_e_stars=model.frac_e_stars[lo:hi],
+        prob_e_cell=model.prob_e_cell[lo:hi],
+        s11_rt=model.s11_rt[:, lo:hi],
+        s12_rt=model.s12_rt[:, lo:hi],
+        s33_rt=model.s33_rt[:, lo:hi],
+        s34_rt=model.s34_rt[:, lo:hi],
+        prob_s11_m2=model.prob_s11_m2[:, lo:hi],
+        spot_corr=(None if model.spot_corr is None
+                   else model.spot_corr[lo:hi]),
+        frac_e_ism=(None if model.frac_e_ism is None
+                    else model.frac_e_ism[lo:hi]),
+    )
+
+
 def _spot_fields(para: Para, wl, f) -> dict:
     """-spot T_spot surf_fraction theta phi (reference lspot,
     init_mcfost.f90:1111-1126; packet reweighting

@@ -24,6 +24,7 @@ The per-device tally arrays mirror the reference's per-thread tallies
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -178,11 +179,37 @@ def _emit(model: Model, rands, dtype, lam_forced=None, disk: bool = True):
                 jnp.full_like(ilam, -1, jnp.int32))
 
     # --- disk thermal emission (SED/image steps; prob_e_cell is zeros in
-    # step 1 so this branch is never selected then)
+    # step 1 so this branch is statically elided then).  The per-lambda
+    # cell draw (select_cellule, thermal_emission.f90:2044) inverts the
+    # (L, C+1) CDF in TWO dense levels — chunk then cell-within-chunk —
+    # each a one-hot matmul + compare; the former 14-step serialized
+    # bisection over the flat table cost ~60 ms/iteration at B=32k
+    # (bench §profile: the whole mono-mode slowdown).
     n_cells = model.volume.shape[0]
-    icell_d = bisect_cdf(
-        lambda k: _fg(model.prob_e_cell, ilam * (n_cells + 1) + k),
-        n_cells, r1) - 1
+    L_ = model.n_lambda
+    cdf = model.prob_e_cell                     # (L, C+1)
+    G = 128 if n_cells <= 16384 else 512
+    H = -(-n_cells // G)
+    bnd = jnp.minimum(jnp.arange(H + 1) * G, n_cells)
+    hi_cdf = cdf[:, bnd]                        # (L, H+1), loop-invariant
+    gidx = jnp.minimum(bnd[:-1, None] + jnp.arange(G + 1)[None, :],
+                       n_cells)
+    lo_raw = cdf[:, gidx]                       # (L, H, G+1)
+    den = jnp.maximum(lo_raw[..., -1:] - lo_raw[..., :1], 1e-30)
+    lo_cdf = ((lo_raw - lo_raw[..., :1]) / den).reshape(L_ * H, G + 1)
+    oh_lam_d = _one_hot(ilam, L_, dtype)        # (B, L)
+    hrows = oh_lam_d @ hi_cdf                   # (B, H+1)
+    hi = _inv_cdf_rows(hrows, r1) - 1           # chunk in [0, H-1]
+    oh_hi = _one_hot(hi, H + 1, dtype)
+    c_lo = jnp.sum(oh_hi * hrows, axis=1)
+    oh_hi1 = _one_hot(hi + 1, H + 1, dtype)
+    c_hi = jnp.sum(oh_hi1 * hrows, axis=1)
+    r_lo = jnp.clip((r1 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-30),
+                    0.0, 1.0)
+    oh_lh = _one_hot(ilam * H + hi, L_ * H, dtype)
+    lrows = oh_lh @ lo_cdf                      # (B, G+1)
+    lo = _inv_cdf_rows(lrows, r_lo) - 1
+    icell_d = jnp.clip(hi * G + lo, 0, n_cells - 1)
     ri_d, zj_d = cyl.cell_from_flat(model.grid, icell_d)
     xd, yd, zd = cyl.pos_in_cell(model.grid, ri_d, zj_d, r2, r3, r4)
     ud, vd, wd = isotropic_direction(r5, r6)
@@ -205,6 +232,24 @@ def _tau_draw(r):
     """Optical-depth target (dust_transfer.f90:1010-1017)."""
     r = jnp.clip(r, 0.0, 1.0 - 1e-7)
     return jnp.where(r > 1e-6, -jnp.log1p(-r), r)
+
+
+def _iter_randoms(key, it, n, B, dtype):
+    """(n, B) uniforms in [0, 1) for one MC iteration.
+
+    Counter-based and stateless per (key, iteration) like the threefry
+    fold_in it replaces, but through ``lax.rng_bit_generator`` — the XLA
+    native generator costs ~0.3 ms where ``jax.random.uniform``'s threefry
+    costs 6.3 ms/iteration at B=32k on a v5e (bench §profile; the RNG was
+    the single largest block of the fused kernel)."""
+    kd = key
+    if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(kd)
+    kd = kd.astype(jnp.uint32).reshape(-1)
+    rkey = jnp.stack([kd[0], kd[-1], it.astype(jnp.uint32),
+                      jnp.uint32(0x9E3779B9)])
+    _, bits = jax.lax.rng_bit_generator(rkey, (n, B), dtype=jnp.uint32)
+    return (bits >> jnp.uint32(8)).astype(dtype) * (1.0 / (1 << 24))
 
 
 def _fg(tab, lin):
@@ -359,6 +404,11 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
     n_cells = grid.n_cells
     L = model.n_lambda
     nang = model.nang
+    # static ablation knobs for kernel profiling (bench.py --profile):
+    # comma list in MCFOST_TPU_ABLATE; each named block is statically
+    # removed from the trace so its cost can be measured subtractively.
+    abl = frozenset(
+        s for s in os.environ.get("MCFOST_TPU_ABLATE", "").split(",") if s)
 
     n_budget = jnp.asarray(n_packets, jnp.int32)
     # luminosity carried by each packet (repartition_wl_em,
@@ -370,8 +420,10 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         B = s.x.shape[0]
         n_capt = s.sed.shape[1]
         zf = jnp.zeros(B, dtype)
-        key_it = jax.random.fold_in(key, s.it)
-        R = jax.random.uniform(key_it, (15, B), dtype)
+        if "rng" in abl:
+            R = jnp.full((15, B), 0.5, dtype) + s.it.astype(dtype) * 1e-9
+        else:
+            R = _iter_randoms(key, s.it, 15, B, dtype)
 
         # ---- 1. refill dead lanes while budget lasts
         need = ~s.alive
@@ -399,8 +451,15 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                 lam_forced = (ordinal % L).astype(jnp.int32)
         else:
             lam_forced = None
-        (ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid,
-         ew_emit, eorig) = _emit(model, R[:8], dtype, lam_forced, disk=mono)
+        if "emit" in abl:
+            do_emit = do_emit & False
+            (ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid,
+             ew_emit, eorig) = (s.x, s.y, s.z, s.u, s.v, s.w, s.ilam,
+                                s.ri, s.zj, s.fstar, s.alive, s.sI, s.ocell)
+        else:
+            (ex, ey, ez, eu, ev, ew, eilam, eri, ezj, efstar, evalid,
+             ew_emit, eorig) = _emit(model, R[:8], dtype, lam_forced,
+                                     disk=mono)
         sel = lambda a, b: jnp.where(do_emit, a, b)
         x = sel(ex, s.x); y = sel(ey, s.y); z = sel(ez, s.z)
         u = sel(eu, s.u); v = sel(ev, s.v); w = sel(ew, s.w)
@@ -428,7 +487,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         # intersect_stars looping all stars, stars.f90:812-938)
         in_cavity = alive & (ri == 0)
         hit_star = jnp.zeros(B, bool)
-        for s_i in range(model.star_r.shape[0]):
+        for s_i in range(0 if "starkill" in abl else model.star_r.shape[0]):
             px = x - model.star_pos[s_i, 0]
             py = y - model.star_pos[s_i, 1]
             pz = z - model.star_pos[s_i, 2]
@@ -458,18 +517,46 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             tloc = flat
             n_ct = n_cells
         P = model.n_buckets
-        # per-cell quantities: n_cells is too large for a one-hot matmul,
-        # so pack kappa_factor/volume/p_icell into one (n_cells, 3) table —
-        # ONE sliced gather instead of three serialized ones
+        # TPU cost model (measured, bench §profile): a data-dependent
+        # gather of B rows costs ~90 ns/row (~3 ms at B=32k) regardless of
+        # table size, while a one-hot compare + matmul over a C<=16k table
+        # streams at VPU speed (~0.6 ms) and serves ALL per-cell columns in
+        # one fused dot.  So for small/medium grids every per-cell lookup —
+        # kappa_factor, volume, p_icell AND the running xkj tally — rides a
+        # single one-hot matmul; big (Voronoi) grids keep the row gather.
         cell_tab = jnp.stack([model.kappa_factor, model.volume,
                               model.p_icell.astype(dtype)], axis=1)
-        cvals = cell_tab[flat]                       # (B, 3)
-        kfac, vol_flat = cvals[:, 0], cvals[:, 1]
+        need_xkj = (not mono) and "xkjgather" not in abl
+        dense_cells = n_cells <= 16384 and spatial is None \
+            and "cellgather" not in abl and "nodense" not in abl
+        if "cellgather" in abl:
+            kfac = jnp.ones(B, dtype)
+            vol_flat = jnp.ones(B, dtype)
+            cvals = None
+            xkj_flat = jnp.zeros(B, dtype)
+        elif dense_cells:
+            ctab = (jnp.concatenate([cell_tab, s.xkj[:, None]], axis=1)
+                    if need_xkj else cell_tab)
+            ohc = (flat[:, None]
+                   == jnp.arange(n_cells, dtype=jnp.int32)).astype(dtype)
+            cvals = ohc @ ctab                       # (B, 3|4)
+            kfac, vol_flat = cvals[:, 0], cvals[:, 1]
+            xkj_flat = cvals[:, 3] if need_xkj else jnp.zeros(B, dtype)
+        else:
+            cvals = cell_tab[flat]                   # (B, 3)
+            kfac, vol_flat = cvals[:, 0], cvals[:, 1]
+            # ONE gather of the running kappa*J tally, shared by the MRW
+            # trigger and the reemission temperature (the reference reads
+            # the same per-thread-stale xT_ech state,
+            # thermal_emission.f90:683-702; here the value is stale by at
+            # most the current iteration's same-cell deposits)
+            xkj_flat = s.xkj[tloc] if need_xkj else jnp.zeros(B, dtype)
         if P == 1:
             p = jnp.zeros(B, jnp.int32)
             pL = ilam
         else:
-            p = cvals[:, 2].astype(jnp.int32)
+            p = (jnp.zeros(B, jnp.int32) if cvals is None
+                 else cvals[:, 2].astype(jnp.int32))
             pL = p * L + ilam                # linear (bucket, lambda) index
         # all lambda-dependent per-bucket values in one one-hot matmul
         oh_pl = _one_hot(pL, P * L, dtype)           # (B, P*L)
@@ -479,12 +566,6 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         lvals = oh_pl @ lam_tab
         kap_l, kabs_l, alb_l = lvals[:, 0], lvals[:, 1], lvals[:, 2]
         opac = jnp.where(inside, kap_l * kfac, 0.0)
-        # ONE gather of the running kappa*J tally, shared by the MRW
-        # trigger and the reemission temperature (the reference reads the
-        # same per-thread-stale xT_ech state, thermal_emission.f90:683-702;
-        # here the value is stale by at most the current iteration's
-        # same-cell deposits from other lanes)
-        xkj_flat = s.xkj[tloc]
 
         # ---- Modified Random Walk (Min et al. 2009; the reference has it
         # wired but disabled, src/MRW.f90 + dust_transfer.f90:1024-1041):
@@ -534,8 +615,13 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         else:
             do_mrw = jnp.zeros(B, bool)
             dep_mrw = jnp.zeros(B, dtype)
-        x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v, w,
-                                                 ri, zj)
+        if "cross" in abl:
+            x1, y1, z1, ri1, zj1 = x + 0.1 * u, y + 0.1 * v, z + 0.1 * w, \
+                ri, zj
+            l = jnp.full(B, 0.1, dtype)
+        else:
+            x1, y1, z1, ri1, zj1, l = cyl.cross_cell(grid, x, y, z, u, v,
+                                                     w, ri, zj)
         dtau = l * opac
         interact = act & ~do_mrw & (dtau > tau_rem)
         l_eff = jnp.where(interact, tau_rem / jnp.maximum(opac, 1e-30), l)
@@ -558,10 +644,21 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
 
         # kappa*J tally (radiation_field.f90:53; kappa_factor excluded —
         # it cancels against Qcool for uniform dust); MRW lanes deposit the
-        # expected diffusion-walk absorption instead
+        # expected diffusion-walk absorption instead.  Mono/image mode
+        # skips it entirely like the reference (save_radiation_field only
+        # tallies kJ during etape 1, radiation_field.f90:37-55).
         dep_w = jnp.where(act & inside, kabs_l * l_eff * sI, 0.0)
         dep_w = jnp.where(do_mrw, dep_mrw, dep_w)
-        xkj = s.xkj.at[tloc].add(dep_w)
+        if mono or "xkjscatter" in abl:
+            xkj = s.xkj
+        elif dense_cells:
+            # scatter as a one-hot einsum: the serialized (B,)->(C,)
+            # scatter-add costs ~0.5 ms/iter (55% of the whole thermal
+            # iteration, bench §profile); the MXU contraction over the
+            # same one-hot used for the gathers costs ~0.2 ms
+            xkj = s.xkj + jnp.einsum("bc,b->c", ohc, dep_w)
+        else:
+            xkj = s.xkj.at[tloc].add(dep_w)
 
         # per-lambda mean-intensity path tally (xJ_abs,
         # radiation_field.f90:60-66): sum of l * Stokes I per (cell, lambda)
@@ -620,30 +717,60 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             do1 = model.rt_dirs[:, 1][None, :]
             do2 = model.rt_dirs[:, 2][None, :]
             u2, v2, w2 = u[:, None], v[:, None], w[:, None]
-            cos_sc = u2 * do0 + v2 * do1 + w2 * do2
-            itr = jnp.clip(jnp.round(
-                jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
-                * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
-            lin = pL[:, None] * A1 + itr            # (B, nRT)
-            s11c = _fg(model.s11_rt, lin)
+            if "rtangles" in abl:
+                itr = jnp.ones((B, model.rt_dirs.shape[0]), jnp.int32)
+            else:
+                cos_sc = u2 * do0 + v2 * do1 + w2 * do2
+                itr = jnp.clip(jnp.round(
+                    jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
+                    * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
+            # dense Mueller lookup: the four (P*L, A1) tables ride ONE
+            # one-hot matmul into per-lane rows, then a per-observer angle
+            # one-hot selects s11/s12/s33/s34 — replaces four ~90 ns/row
+            # serialized gathers (calc_xI_scatt tables,
+            # dust_ray_tracing.f90:480-529)
+            n_mt = 4 if pola else 1
+            if "rtmueller" in abl:
+                msel = jnp.ones((B, n_mt, n_rt), dtype) * 0.5
+            else:
+                mtabs = [model.s11_rt, model.s12_rt,
+                         model.s33_rt, model.s34_rt][:n_mt]
+                mr = (oh_pl @ jnp.concatenate(
+                    [t.reshape(P * L, A1) for t in mtabs], axis=1)
+                ).reshape(B, n_mt, A1)
+                # per-observer one-hot multiply-reduce (NOT a batched
+                # einsum: a (B,)-batched tiny matmul serializes on the MXU)
+                msel = jnp.zeros((B, n_mt, n_rt), dtype)
+                for o in range(n_rt):
+                    oh_o = (itr[:, o, None]
+                            == jnp.arange(A1,
+                                          dtype=jnp.int32)).astype(dtype)
+                    msel = msel.at[:, :, o].set(
+                        jnp.sum(oh_o[:, None, :] * mr, axis=-1))
+            s11c = msel[:, 0]
             if pola:
-                _, v1pj, v1pk = rotation_to_frame(u2, v2, w2,
-                                                  -do0, -do1, -do2)
-                xnyp = jnp.sqrt(jnp.maximum(
-                    v1pj * v1pj + v1pk * v1pk, 0.0))
-                costhet = jnp.where(xnyp < 1e-10, 1.0,
-                                    -v1pj / jnp.maximum(xnyp, 1e-30))
-                theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
-                theta = jnp.where(theta >= jnp.pi, 0.0, theta) \
-                    + 0.5 * jnp.pi
-                omega = jnp.where(v1pk < 0.0, -2.0 * theta, 2.0 * theta)
-                cosw = jnp.cos(omega)
-                sinw = jnp.sin(omega)
+                if "rtpolarot" in abl:
+                    cosw = jnp.ones((B, n_rt), dtype)
+                    sinw = jnp.zeros((B, n_rt), dtype)
+                else:
+                    _, v1pj, v1pk = rotation_to_frame(u2, v2, w2,
+                                                      -do0, -do1, -do2)
+                    xnyp = jnp.sqrt(jnp.maximum(
+                        v1pj * v1pj + v1pk * v1pk, 0.0))
+                    costhet = jnp.where(xnyp < 1e-10, 1.0,
+                                        -v1pj / jnp.maximum(xnyp, 1e-30))
+                    theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
+                    theta = jnp.where(theta >= jnp.pi, 0.0, theta) \
+                        + 0.5 * jnp.pi
+                    omega = jnp.where(v1pk < 0.0,
+                                      -2.0 * theta, 2.0 * theta)
+                    cosw = jnp.cos(omega)
+                    sinw = jnp.sin(omega)
                 # Mueller elements with the reference's RT sign
                 # convention (calc_xI_scatt_pola :576-584)
-                sm12 = -s11c * _fg(model.s12_rt, lin)
-                sm33 = -s11c * _fg(model.s33_rt, lin)
-                sm34 = -s11c * _fg(model.s34_rt, lin)
+                sm12 = -s11c * msel[:, 1]
+                sm33 = -s11c * msel[:, 2]
+                sm34 = -s11c * msel[:, 3]
                 sm44 = sm33          # s44 = s33 for Mie spheres
                 sQ2, sU2, sV2, sI2 = (sQ[:, None], sU[:, None],
                                       sV[:, None], sI[:, None])
@@ -667,8 +794,11 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             vw = valid[:, None]
             vals = jnp.stack([S1o * vw, S2o * vw, S3o * vw, S4o * vw,
                               S1o * fs, S1o * fn], axis=-1)   # (B, nRT, 6)
-            xi = s.xi.at[base].add(vals.reshape(B, n_rt * 6),
-                                   mode="promise_in_bounds")
+            if "rtscatter" in abl:
+                xi = s.xi
+            else:
+                xi = s.xi.at[base].add(vals.reshape(B, n_rt * 6),
+                                       mode="promise_in_bounds")
         else:
             xi = s.xi
 
@@ -726,9 +856,12 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         ], axis=-1)                                   # (B, 8)
         # tally as an MXU matmul: the (L*n_capt) bin space is small, so
         # one-hot^T @ contrib replaces a serialized scatter-add
-        oh_sed = _one_hot(sed_idx, L * n_capt, dtype)
-        sed = s.sed + jnp.einsum("bk,bc->kc", oh_sed, contrib).reshape(
-            L, n_capt, 8)
+        if "sed" in abl:
+            sed = s.sed + jnp.sum(contrib) * 0.0
+        else:
+            oh_sed = _one_hot(sed_idx, L * n_capt, dtype)
+            sed = s.sed + jnp.einsum("bk,bc->kc", oh_sed, contrib).reshape(
+                L, n_capt, 8)
         # escaped-energy-by-origin-cell tally (write_origin,
         # output.f90:1366-1420; slot n_cells = star/ISM origin)
         if origin:
@@ -758,7 +891,13 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
 
         A1 = nang + 1
         thfac = jnp.pi / nang
-        if scat_method == 1:
+        if "scatsample" in abl:
+            itheta = jnp.ones(B, jnp.int32)
+            if pola:
+                m12 = jnp.zeros(B, dtype)
+                m33 = jnp.ones(B, dtype)
+                m34 = jnp.zeros(B, dtype)
+        elif scat_method == 1:
             # ---- 4a. scattering, method 1: draw a grain, use its Mueller
             # matrix (propagate_packet scatter branch,
             # dust_transfer.f90:1086-1153) — gather-based, kept for parity
@@ -825,7 +964,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         # next iteration — the per-thread staleness the reference already
         # tolerates in xT_ech).  Statically absent in mono mode (forced
         # scattering only).
-        if mono:
+        if mono or "reemit" in abl:
             lam_new = ilam
             ua, va, wa = u, v, w
             nabs = s.nabs
@@ -887,12 +1026,28 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             fstar = jnp.where(do_mrw, False, fstar)
 
         # straggler age cap on device: a packet random-walking for an
-        # extreme number of steps is killed and counted as lost (the bias
-        # bound is n_lost / n_packets; the reference has no cap but also
-        # no lock-step cost for stragglers).  Frozen (awaiting-routing)
-        # lanes neither age nor die — they are not random-walking.
+        # extreme number of steps is terminated with its remaining energy
+        # DEPOSITED in the current cell (thermal mode) so energy is
+        # conserved exactly — the packet merely stops redistributing it.
+        # The count still reports as n_lost so the bias surface (local
+        # deposit instead of continued transport) stays visible.  The
+        # reference has no cap but also no lock-step cost for stragglers.
+        # Frozen (awaiting-routing) lanes neither age nor die.
         age = jnp.where(act, age + 1, age)
         overage = act & (age > age_cap)
+        if not mono and "xkjscatter" not in abl:
+            inside_now = cyl.is_inside(grid, ri, zj)
+            dep_late = jnp.where(overage & inside_now, sI, 0.0)
+            if spatial is not None:
+                flat_now = jnp.clip(cyl.flat_index(grid, ri, zj),
+                                    0, n_cells - 1)
+                tloc_now = jnp.clip(flat_now - dev_id * slab, 0, slab - 1)
+                mine_now = (flat_now // slab) == dev_id
+                dep_late = jnp.where(mine_now, dep_late, 0.0)
+            else:
+                tloc_now = jnp.clip(cyl.flat_index(grid, ri, zj),
+                                    0, n_cells - 1)
+            xkj = xkj.at[tloc_now].add(dep_late)
         act = act & ~overage
         nkill = s.nkill + jnp.sum(overage.astype(jnp.int32))
 
@@ -907,7 +1062,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
     return body
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "pola", "mono",
+@functools.partial(jax.jit, static_argnames=("pola", "mono",
                                              "rt", "n_az_rt", "mrw",
                                              "mrw_gamma", "jtally",
                                              "scat_method", "nabs_tally",
@@ -924,12 +1079,18 @@ def advance(model: Model, key, state: MCState, n_packets,
             dark: bool = False, age_cap: int = 100000,
             rt2: bool = False, n_theta_i: int = 15,
             n_phi_i: int = 15, origin: bool = False,
-            mono_budget: str = "received") -> MCState:
+            mono_budget: str = "received", stop_alive=0) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
     invocations stay well under infrastructure deadlines and progress can be
     reported.  State is donated: the loop runs in place on device.
+
+    stop_alive: once the emission budget is spent, return to the host as
+    soon as the live-lane count drops to this value — the host compacts
+    the batch immediately instead of burning the rest of the chunk at
+    full width on a nearly-empty batch (the drain used to cost ~1.5 s of
+    a 2.7 s headline run).
 
     mono=False: thermal step (etape 1) with B&W reemission.
     mono=True: monochromatic observable step — forced scattering with albedo
@@ -937,11 +1098,15 @@ def advance(model: Model, key, state: MCState, n_packets,
     frac_e_stars must describe the per-wavelength emission split.
     """
     n_budget = jnp.asarray(n_packets, jnp.int32)
+    stop_al = jnp.asarray(stop_alive, jnp.int32)
     it_end = state.it + n_iters
 
     def cond(s: MCState):
+        n_alive = jnp.sum(s.alive.astype(jnp.int32))
+        spent = s.emitted >= n_budget
         return ((s.it < it_end)
-                & (jnp.any(s.alive) | (s.emitted < n_budget)))
+                & ((n_alive > 0) | ~spent)
+                & ~(spent & (n_alive <= stop_al) & (n_alive > 0)))
 
     body = make_mc_step(model, key, n_budget, pola=pola, mono=mono, rt=rt,
                         n_az_rt=n_az_rt, mrw=mrw, mrw_gamma=mrw_gamma,
@@ -1001,15 +1166,26 @@ def run_thermal_mc(model: Model, key, n_packets: int,
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
     done_iters = 0
     b_cur = batch
+
+    def stop_for(b):
+        # next-rung alive threshold: the device loop returns as soon as
+        # compaction to a smaller ladder width becomes possible
+        if not compact_tail:
+            return 0
+        return 3000 if b > 4096 else 768 if b > 1024 else \
+            96 if b > 128 else 0
+
     while done_iters < max_iters:
         state = advance(model, key, state, n_packets,
-                        n_iters=min(iters_per_call, max_iters - done_iters),
+                        n_iters=min(iters_per_call,
+                                    max_iters - done_iters),
                         pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
                         mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
                         scat_method=scat_method, nabs_tally=nabs_tally,
                         dark=dark, age_cap=age_cap, rt2=rt2,
                         n_theta_i=n_theta_i, n_phi_i=n_phi_i,
-                        origin=origin, mono_budget=mono_budget)
+                        origin=origin, mono_budget=mono_budget,
+                        stop_alive=stop_for(b_cur))
         # ONE jitted summary + ONE transfer per chunk: eager per-field
         # reads over a tunnelled TPU cost ~0.1s dispatch latency each
         done_iters, emitted, n_alive = (
@@ -1017,15 +1193,16 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         if progress is not None:
             progress(done_iters, emitted, n_alive)
         if compact_tail and emitted >= n_packets and n_alive > 0:
-            # fixed two-rung ladder: every distinct batch size costs an
-            # XLA compile (~seconds over a tunnelled TPU), so the tail
-            # always drains at exactly 1024 then 128 lanes
-            if n_alive <= 96 and b_cur > 128:
-                state = _compact(state, 128)
-                b_cur = 128
-            elif n_alive <= 768 and b_cur > 1024:
-                state = _compact(state, 1024)
-                b_cur = 1024
+            # drain ladder: compact stragglers down the fixed widths —
+            # every distinct batch size costs an XLA compile, so only
+            # these three widths ever exist
+            target = b_cur
+            for b_new, thresh in ((4096, 3000), (1024, 768), (128, 96)):
+                if n_alive <= thresh and target > b_new:
+                    target = b_new
+            if target < b_cur:
+                state = _compact(state, target)
+                b_cur = target
         if emitted >= n_packets and n_alive == 0:
             break
     return MCResult(xkj=state.xkj, nabs=state.nabs, sed=state.sed,

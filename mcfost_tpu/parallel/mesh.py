@@ -39,12 +39,19 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(devs, (axis,))
 
 
+@functools.lru_cache(maxsize=32)
 def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
                      jtally: bool = False, dark: bool = False,
                      rt: bool = False, n_az_rt: int = 45,
                      mrw: bool = True, age_cap: int = 100000):
     """Build the shard_mapped per-chunk advance: every device evolves its own
-    MCState block (leading axis = device)."""
+    MCState block (leading axis = device).
+
+    lru_cached on (mesh, static flags): a fresh ``jax.jit`` object per call
+    would re-trace AND re-compile the entire fused kernel on every
+    ``run_thermal_mc_sharded`` invocation (~13 s — the whole r3
+    ``dp_1dev_eff = 0.26`` penalty was one compile landing inside the timed
+    run).  ``Mesh`` is hashable, so it can key the cache directly."""
 
     def dev_fn(model, key, state, n_budget):
         # strip the leading per-device axis
@@ -67,11 +74,24 @@ def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
         check_vma=False), donate_argnums=(2,))
 
 
+@functools.lru_cache(maxsize=8)
+def _compact_sharded_fn(b_small: int):
+    return jax.jit(jax.vmap(
+        functools.partial(thermal_mc._compact, b_small=b_small)))
+
+
 def _compact_sharded(state, b_small: int):
     """Per-device tail compaction (same ladder as the single-device driver;
     VERDICT r1 weak#3: the sharded path used to lack it)."""
-    return jax.jit(jax.vmap(
-        functools.partial(thermal_mc._compact, b_small=b_small)))(state)
+    return _compact_sharded_fn(b_small)(state)
+
+
+@functools.lru_cache(maxsize=1)
+def _summary_fn():
+    return jax.jit(lambda s: (jnp.max(s.it), jnp.sum(s.emitted),
+                              jnp.sum(s.alive.astype(jnp.int32)),
+                              jnp.max(jnp.sum(s.alive.astype(jnp.int32),
+                                              axis=1))))
 
 
 def run_thermal_mc_sharded(model: Model, key, n_packets: int,
@@ -102,27 +122,32 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
     adv = _sharded_advance(mesh, iters_per_call, pola, mono, jtally, dark,
                            rt=rt, n_az_rt=n_az_rt, mrw=mrw, age_cap=age_cap)
-    summary = jax.jit(lambda s: (jnp.max(s.it), jnp.sum(s.emitted),
-                                 jnp.sum(s.alive.astype(jnp.int32)),
-                                 jnp.max(jnp.sum(s.alive.astype(jnp.int32),
-                                                 axis=1))))
+    summary = _summary_fn()
     done = 0
     b_cur = batch_per_device
+    cur_iters = iters_per_call
+    advs = {iters_per_call: adv}
     while done < max_iters:
-        state = adv(model, keys, state, budgets)
+        state = advs[cur_iters](model, keys, state, budgets)
         done, emitted, n_alive, max_dev_alive = (
             int(v) for v in jax.device_get(summary(state)))
         if progress is not None:
             progress(done, emitted, n_alive)
         if compact_tail and emitted >= n_per_dev * n_dev and n_alive > 0:
-            # same fixed two-rung ladder as run_thermal_mc, applied
-            # uniformly (per-device batch shapes must stay equal)
-            if max_dev_alive <= 96 and b_cur > 128:
-                state = _compact_sharded(state, 128)
-                b_cur = 128
-            elif max_dev_alive <= 768 and b_cur > 1024:
-                state = _compact_sharded(state, 1024)
-                b_cur = 1024
+            # drain ladder (see run_thermal_mc): short chunks + compact
+            # down fixed widths, applied uniformly across devices
+            cur_iters = min(cur_iters, 256)
+            if cur_iters not in advs:
+                advs[cur_iters] = _sharded_advance(
+                    mesh, cur_iters, pola, mono, jtally, dark, rt=rt,
+                    n_az_rt=n_az_rt, mrw=mrw, age_cap=age_cap)
+            target = b_cur
+            for b_new, thresh in ((4096, 3000), (1024, 768), (128, 96)):
+                if max_dev_alive <= thresh and target > b_new:
+                    target = b_new
+            if target < b_cur:
+                state = _compact_sharded(state, target)
+                b_cur = target
         if emitted >= n_per_dev * n_dev and n_alive == 0:
             break
 

@@ -146,13 +146,17 @@ def _shift_lanes(s, axis: str, n_dev: int):
     return s._replace(**{f: sh(getattr(s, f)) for f in _LANE_FIELDS})
 
 
+@functools.lru_cache(maxsize=32)
 def _spatial_mc_chunk(mesh: Mesh, axis: str, n_dev: int, slab: int,
-                      n_total: int, n_rounds: int, n_inner: int,
+                      n_rounds: int, n_inner: int,
                       pola: bool, mono: bool, rt: bool, n_az_rt: int,
                       mrw: bool, mrw_gamma: float, jtally: bool,
                       scat_method: int, nabs_tally: bool, dark: bool,
                       age_cap: int):
     """Build the jitted per-chunk spatial advance.
+
+    lru_cached: a fresh ``jax.jit`` per driver call would recompile the
+    whole fused kernel every run (see parallel/mesh._sharded_advance).
 
     Per device: ``n_rounds`` outer rounds of [``n_inner`` fused MC
     iterations on owned/outside lanes  →  one ppermute ring hop of all
@@ -160,11 +164,12 @@ def _spatial_mc_chunk(mesh: Mesh, axis: str, n_dev: int, slab: int,
     executes the same number of collectives (a per-device exit would
     deadlock the ring)."""
 
-    def dev_fn(model, keys, state, budgets):
+    def dev_fn(model, keys, state, budgets, totals):
         dev = jax.lax.axis_index(axis)
         key = keys[0]
         budget = budgets[0]
-        mc = jax.tree.map(lambda a: a[0], state)
+        n_total = totals[0]     # traced, so packet count changes don't
+        mc = jax.tree.map(lambda a: a[0], state)   # recompile the kernel
         body = thermal_mc.make_mc_step(
             model, key, budget, n_total, pola=pola, mono=mono, rt=rt,
             n_az_rt=n_az_rt, mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
@@ -190,9 +195,16 @@ def _spatial_mc_chunk(mesh: Mesh, axis: str, n_dev: int, slab: int,
         return jax.tree.map(lambda a: a[None], mc), work[None]
 
     f = jax.shard_map(dev_fn, mesh=mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis)),
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
                       out_specs=(P(axis), P(axis)), check_vma=False)
     return jax.jit(f, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=1)
+def _spatial_summary_fn():
+    return jax.jit(lambda s, wk: (jnp.max(s.it), jnp.sum(s.emitted),
+                                  jnp.sum(s.alive.astype(jnp.int32)),
+                                  wk[0]))
 
 
 def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
@@ -227,20 +239,18 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
                               n_az_rt=n_az_rt, jtally=jtally, n_ct=slab,
                               mono=mono))
     dark = bool(jax.device_get(jnp.any(model.dark_zone)))
+    totals = jnp.full((n_dev,), n_per_dev * n_dev, jnp.int32)
     chunk = _spatial_mc_chunk(mesh, axis, n_dev, slab,
-                              n_total=n_per_dev * n_dev,
                               n_rounds=rounds_per_call, n_inner=n_inner,
                               pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
                               mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
                               scat_method=scat_method,
                               nabs_tally=nabs_tally, dark=dark,
                               age_cap=age_cap)
-    summary = jax.jit(lambda s, wk: (jnp.max(s.it), jnp.sum(s.emitted),
-                                     jnp.sum(s.alive.astype(jnp.int32)),
-                                     wk[0]))
+    summary = _spatial_summary_fn()
     rounds = 0
     while rounds * n_inner < max_rounds:
-        state, work = chunk(model, keys, state, budgets)
+        state, work = chunk(model, keys, state, budgets, totals)
         rounds += rounds_per_call
         done, emitted, n_alive, wk = (
             int(v) for v in jax.device_get(summary(state, work)))

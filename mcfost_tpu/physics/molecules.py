@@ -142,6 +142,63 @@ def builtin_hcoplus(n_levels: int = 10) -> MoleculeData:
                         coll_rates=rates)
 
 
+def builtin_ortho_h2o(n_levels: int = 8) -> MoleculeData:
+    """Ortho-H2O rotational levels for the water benchmarks
+    (reference water1/2/3 setups, benchmarks.f90:527-575, read the
+    molecule from a para-file-specified LAMDA table; with no data
+    directory available this builtin carries the published lowest
+    ortho levels and the strongest radiative transitions).
+
+    Level energies [cm^-1] and g = 3(2J+1) are the standard JPL/LAMDA
+    values for 1_01 ... 4_14; A-coefficients for the main transitions
+    (557 GHz 1_10-1_01 etc.) are the published values to ~1%.
+    Collision rates with H2 are an order-of-magnitude constant
+    (~2e-11 cm^3/s) — adequate for the benchmark's excitation-regime
+    stress test; point MCFOST_UTILS at real Faure rates for
+    published-accuracy comparisons.  n_levels=2 gives the classic
+    two-level 557 GHz problem of water1/water2."""
+    names = ["1_01", "1_10", "2_12", "2_21", "3_03", "3_12", "3_21",
+             "4_14"]
+    E_cm = np.array([23.794, 42.372, 79.496, 134.902, 136.762, 173.366,
+                     212.156, 224.838])
+    Jlev = np.array([1, 1, 2, 2, 3, 3, 3, 4])
+    # radiative transitions (up, low, A [1/s]); frequencies follow from
+    # the level energies
+    trans = [
+        (1, 0, 3.458e-3),    # 1_10-1_01  556.9 GHz
+        (2, 0, 5.593e-2),    # 2_12-1_01  1669.9 GHz
+        (3, 1, 3.058e-2),    # 2_21-1_10  1661.0 GHz
+        (3, 2, 7.06e-3),     # 2_21-2_12  752.0 GHz
+        (4, 2, 5.05e-2),     # 3_03-2_12  1716.8 GHz
+        (5, 4, 1.65e-2),     # 3_12-3_03  1097.4 GHz
+        (5, 3, 2.63e-3),     # 3_12-2_21  1153.1 GHz
+        (6, 5, 2.31e-2),     # 3_21-3_12  1162.9 GHz
+        (7, 4, 0.285),       # 4_14-3_03  2640.5 GHz
+    ]
+    n = min(n_levels, len(E_cm))
+    E0 = E_cm - E_cm[0]
+    E_eV = E0[:n] / 8065.541
+    g = 3.0 * (2.0 * Jlev[:n] + 1.0)
+    tr = [(u_, l_, a_) for (u_, l_, a_) in trans if u_ < n]
+    up = np.array([t[0] for t in tr])
+    lo = np.array([t[1] for t in tr])
+    A = np.array([t[2] for t in tr])
+    freq = (E0[up] - E0[lo]) * 100.0 * cst.c_light
+    cu, cl = [], []
+    for u_ in range(1, n):
+        for l_ in range(u_):
+            cu.append(u_); cl.append(l_)
+    cu = np.array(cu); cl = np.array(cl)
+    temps = np.array([10., 20., 40., 100., 300., 1000.])
+    rates = np.full((len(cu), len(temps)), 2.0e-11) \
+        * (temps[None, :] / 40.0) ** 0.1
+    return MoleculeData(name="o-H2O (builtin)", weight=18.0,
+                        level_energy=E_eV, g=g, trans_up=up,
+                        trans_low=lo, Aul=A, freq=freq,
+                        coll_up=cu, coll_low=cl, coll_temps=temps,
+                        coll_rates=rates)
+
+
 def read_lamda(path: str) -> MoleculeData:
     """Parse a LAMDA-format molecular data file (input.f90:56-194)."""
     with open(path) as f:

@@ -457,8 +457,11 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
     t0 = time.time()
     rt_kw = (dict(rt=True, n_az_rt=n_az_rt) if scheme == "rt1"
              else dict(rt2=True))
+    # -limit_mem: lambda-chunked observable MC (tally memory tiers,
+    # reference parameters.f90:86-91; see mc.model.slice_model_lambda)
+    lam_chunk = {1: 16, 2: 4}.get(getattr(para, "limit_mem", 0) or 0)
     out = run_mc_sed(model, host, T, key, n_per_lambda=n_per_lambda,
-                     batch=batch, **rt_kw)
+                     batch=batch, lambda_chunk=lam_chunk, **rt_kw)
     if verbose:
         print(f"  SED MC ({scheme}): {time.time()-t0:.1f}s "
               f"({int(out['res'].emitted)} packets)")

@@ -48,7 +48,7 @@ class MolRT:
                  T_gas: np.ndarray, itrans: np.ndarray,
                  abundance: float, v_turb: float, v_turb_unit: str = "km/s",
                  star_mass: float | None = None,
-                 pops: np.ndarray | None = None):
+                 pops: np.ndarray | None = None, cmb: bool = True):
         dtype = model.kappa.dtype
         para = host.para
         n_cells = model.grid.n_cells
@@ -130,11 +130,14 @@ class MolRT:
             vf[:, 1] = vkep
         self.vfield = jnp.asarray(vf, dtype)
 
-        # CMB at the line frequencies (init_tab_Cmb_mol :252-283)
+        # CMB at the line frequencies (init_tab_Cmb_mol :252-283);
+        # cmb=False zeroes it like the water benchmarks
+        # (tab_Cmb_mol = 0, benchmarks.f90:425-426)
         xc = cst.hp * freq / (cst.kb * cst.T_Cmb)
         self.cmb = jnp.asarray(np.where(
             xc < 100.0, 2 * cst.hp * freq ** 3 / cst.c_light ** 2
-            / (np.exp(np.minimum(xc, 100.0)) - 1.0), 0.0), dtype)
+            / (np.exp(np.minimum(xc, 100.0)) - 1.0), 0.0)
+            * (1.0 if cmb else 0.0), dtype)
         self.freq = freq
 
 

@@ -203,7 +203,7 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
                      initial: str = "lte", ng_order: int = 2,
                      verbose: bool = False, accurate_pop: bool = False,
                      n_sub: int = 10, tol_sub: float = 1e-3,
-                     nv: int = 15, seed: int = 269753):
+                     nv: int = 15, seed: int = 269753, cmb: bool = True):
     """Staged NLTE solve with a local ALI-style sub-iteration, mirroring
     the reference's driver (NLTE_mol_line_transfer,
     mol_transfer.f90:138-480):
@@ -273,7 +273,8 @@ def nlte_populations(model: Model, host: HostModel, mol: MoleculeData,
             it_total += 1
             rt = MolRT(model, host, mol, T_gas, itrans_see,
                        abundance=abundance, v_turb=para.mol.v_turb,
-                       v_turb_unit=para.mol.v_turb_unit, pops=pops)
+                       v_turb_unit=para.mol.v_turb_unit, pops=pops,
+                       cmb=cmb)
             I_ext, ds0, vproj0, tab_speed = gather_incident_field(
                 model, host, rt, dirs, nv=nv)
             rt_np = (np.asarray(rt.sigma2_m1, np.float64),

@@ -420,3 +420,114 @@ def test_accretion_shock_cells():
     gas.vfield[:, 0] = +3e5
     ins2, _, _ = accretion_shock_cells(gas, model, T_star=4000.0)
     assert not ins2.any()
+
+
+def test_background_continuum_balmer_jump_and_dissolution():
+    """Hydrogenic bf with Seaton Gaunt factor + HM88 level dissolution
+    (reference H_bf_Xsection gas_contopac.f90:380-412 and f_dissolve
+    occupation_probability.f90:92-130)."""
+    import numpy as np
+    from mcfost_tpu.gas.contopac import (gaunt_bf, hydrogenic_bf_sigma,
+                                         wocc_n, dissolve_fraction,
+                                         metal_bf)
+
+    # Lyman-edge cross-section ~6.3e-22 m^2 at 91.2 nm
+    sig = hydrogenic_bf_sigma(np.array([0.09117]), 1.0, 1.0)
+    assert 5.5e-22 < sig[0] < 7.5e-22
+    # Balmer edge (n=2) at 364.6 nm: ~1.4e-21 m^2
+    sig2 = hydrogenic_bf_sigma(np.array([0.3645]), 2.0, 1.0)
+    assert 1.0e-21 < sig2[0] < 2.0e-21
+    # Gaunt factor is order unity and clipped
+    g = gaunt_bf(np.array([0.0, 5.0, 100.0]), 2.0)
+    assert np.all((g >= 0.0) & (g <= 2.0))
+
+    # occupation probability: ~1 at low density, < 1 at high density,
+    # and decreasing with principal quantum number
+    T = np.array([8000.0])
+    w_lo = wocc_n(T, np.array([1e16]), 8.0, nH1=np.array([1e18]))
+    w_hi = wocc_n(T, np.array([1e22]), 8.0, nH1=np.array([1e24]))
+    assert w_lo[0] > 0.98
+    assert w_hi[0] < w_lo[0]
+    w_n2 = wocc_n(T, np.array([1e21]), 2.0, nH1=np.array([1e23]))
+    w_n10 = wocc_n(T, np.array([1e21]), 10.0, nH1=np.array([1e23]))
+    assert w_n10[0] < w_n2[0]
+
+    # dissolve fraction: 0 blueward-of-edge rows are 1, redward in (0,1),
+    # decaying away from the edge
+    lam = np.array([0.36, 0.37, 0.40, 0.60])
+    fd = dissolve_fraction(lam, T, np.array([1e20]), np.array([1e22]),
+                           2.0, 3.4, 0.3646)
+    assert fd[0, 0] == 1.0                  # blueward: full edge
+    assert 0.0 <= fd[0, 2] <= 1.0
+    assert fd[0, 3] <= fd[0, 1] + 1e-12     # decays redward
+
+    # metal bf: nonzero between the metal edges and the Lyman edge at
+    # stellar-photosphere conditions, zero far in the IR
+    lam2 = np.array([0.15, 0.5, 5.0])
+    chi = metal_bf(lam2, np.array([6000.0]), np.array([1e19]),
+                   np.array([1e23]))
+    assert chi[0, 0] > 0.0
+    assert chi[0, 2] == 0.0
+
+
+def test_atom_bf_opacity_pseudo_continuum(tmp_path):
+    """The Balmer edge continues redward with dissolve weight < 1 at
+    high electron density and ~0 at low density."""
+    import numpy as np
+    from mcfost_tpu.gas.atom import hydrogen_model
+    from mcfost_tpu.gas.atom_transfer import atom_bf_opacity
+
+    atom = hydrogen_model(4)
+
+    class G:
+        pass
+    C = 2
+    g = G()
+    g.T = np.array([8000.0, 8000.0])
+    g.ne = np.array([1e16, 1e21])
+    g.nHtot = np.array([1e18, 1e23])
+    pops = np.tile(np.array([1e18, 1e12, 1e10, 1e9, 1e8])[None, :C + 3],
+                   (C, 1))
+    pops = np.zeros((C, atom.n_levels))
+    pops[:, 0] = g.nHtot * 0.9
+    pops[:, 1] = g.nHtot * 1e-6
+    pops[:, -1] = g.nHtot * 0.1
+    lam = np.array([0.3, 0.40, 0.50])
+    chi = atom_bf_opacity(atom, pops, g, lam)
+    assert np.all(chi[:, 0] > 0)            # blueward of Balmer edge
+    # pseudo-continuum at 400nm: present at high ne, negligible at low
+    assert chi[1, 1] > 0
+    rel_hi = chi[1, 1] / chi[1, 0]
+    rel_lo = chi[0, 1] / max(chi[0, 0], 1e-300)
+    assert rel_hi > rel_lo
+
+
+def test_atom_restart_ne_and_pops(tiny_model, tmp_path):
+    """ne.fits.gz and pops_<atom>.fits.gz restart (reference
+    read_electron + initial_solution=1, atom_transfer.f90:1120-1132):
+    the second run reuses the written electron density and starts the
+    NLTE iteration from the stored populations."""
+    import os
+    from mcfost_tpu.config.para import Atom
+    from mcfost_tpu.gas.atom_transfer import atom_cube
+    model, host = tiny_model
+    T_dust = np.full(model.grid.n_cells, 300.0)
+    host.para.atoms.atoms = [Atom()]
+    a = host.para.atoms.atoms[0]
+    a.n_points = 7
+    a.vmax = 500.0
+    a.non_lte = True
+    root = str(tmp_path)
+    cube, cont, rt, pops1 = atom_cube(model, host, T_dust, root_dir=root,
+                                      verbose=False, n_rays=4)
+    ne_p = os.path.join(root, "data_atom", "ne.fits.gz")
+    pp = os.path.join(root, "data_atom", "pops_H.fits.gz")
+    assert os.path.isfile(ne_p) and os.path.isfile(pp)
+    # restart from the stored populations
+    a.initial_solution = 1
+    cube2, cont2, rt2, pops2 = atom_cube(model, host, T_dust,
+                                         root_dir=root, verbose=False,
+                                         n_rays=4)
+    # converged restart stays at the stored solution (same fixed point)
+    rel = np.abs(pops2 - pops1) / np.maximum(np.abs(pops1), 1e-300)
+    assert np.median(rel) < 0.35

@@ -157,3 +157,66 @@ def test_vanzadelhoff2_envelope(tmp_path):
     # the Tex profile product was written
     assert os.path.isfile(os.path.join(str(tmp_path), "data_benchmark",
                                        "Tex_vz2.fits.gz"))
+
+
+def test_water1_static_two_level(tmp_path):
+    """water1 (benchmarks.f90:527): static uniform cloud, 2-level ortho
+    H2O at 557 GHz, no CMB.  At n(H2)=1e4 cm^-3 << n_crit (~few 1e8)
+    the line is strongly subthermal: Tex well below Tkin=40 K."""
+    from mcfost_tpu.benchmarks import run_benchmark
+
+    def small(p):
+        p.grid.n_rad, p.grid.nz = 16, 8
+        p.wavelengths.n_lambda = 8
+        for sp in p.dust[0]:
+            sp.n_grains = 10
+    pops, tex, model, host = run_benchmark("water1", root_dir=str(tmp_path),
+                                           overrides=small, verbose=False)
+    assert np.all(np.isfinite(pops)) and np.all(pops >= 0)
+    assert np.allclose(pops.sum(1), pops.sum(1)[0], rtol=1e-3)
+    good = np.isfinite(tex)
+    assert good.sum() > 50
+    assert np.nanmedian(tex[good]) < 20.0      # subthermal
+    assert np.nanmedian(tex[good]) > 0.0
+    assert os.path.isfile(os.path.join(str(tmp_path), "data_benchmark",
+                                       "Tex_water1.fits.gz"))
+
+
+def test_water2_velocity_field_lowers_trapping(tmp_path):
+    """water2 = water1 + linear radial expansion (benchmarks.f90:449):
+    Doppler decoupling reduces photon trapping, so the excitation must
+    not exceed the static case anywhere significantly."""
+    from mcfost_tpu.benchmarks import run_benchmark
+
+    def small(p):
+        p.grid.n_rad, p.grid.nz = 16, 8
+        p.wavelengths.n_lambda = 8
+        for sp in p.dust[0]:
+            sp.n_grains = 10
+    _, tex1, _, _ = run_benchmark("water1", root_dir=str(tmp_path / "a"),
+                                  overrides=small, verbose=False)
+    _, tex2, m2, h2 = run_benchmark("water2", root_dir=str(tmp_path / "b"),
+                                    overrides=small, verbose=False)
+    assert np.all(np.isfinite(tex2[np.isfinite(tex2)]))
+    # the velocity field exists and is radial
+    assert float(np.abs(np.asarray(h2.velocity)[:, 0]).max()) > 0
+    assert np.nanmedian(tex2) <= np.nanmedian(tex1) * 1.25
+
+
+def test_water3_multilevel(tmp_path):
+    """water3: the multi-level ladder (8 ortho levels) converges and
+    conserves the total population per cell."""
+    from mcfost_tpu.benchmarks import run_benchmark
+
+    def small(p):
+        p.grid.n_rad, p.grid.nz = 12, 6
+        p.wavelengths.n_lambda = 8
+        for sp in p.dust[0]:
+            sp.n_grains = 10
+    pops, tex, model, host = run_benchmark("water3", root_dir=str(tmp_path),
+                                           overrides=small, verbose=False)
+    assert pops.shape[1] >= 8
+    assert np.all(np.isfinite(pops)) and np.all(pops >= 0)
+    assert np.allclose(pops.sum(1), pops.sum(1)[0], rtol=1e-3)
+    # ground state dominates in a cold subthermal cloud
+    assert np.median(pops[:, 0] / pops.sum(1)) > 0.4

@@ -123,3 +123,22 @@ def test_mono_received_budget_equalizes_noise():
     cv_bud = np.std(srt[2:]) / np.mean(srt[2:])
     cv_rr = np.std(np.sort(rec_rr)[2:]) / np.mean(np.sort(rec_rr)[2:])
     assert cv_bud < cv_rr, (cv_bud, cv_rr)
+
+
+def test_mc_sed_lambda_chunked_matches_full(thin):
+    """-limit_mem lambda-chunk tiers: the chunked observable MC
+    (slice_model_lambda) reproduces the full-grid SED within MC noise
+    and allocates only chunk-sized RT tallies."""
+    para, model, host = thin
+    T = np.full(model.grid.n_cells, 50.0)
+    key = jax.random.PRNGKey(11)
+    full = run_mc_sed(model, host, T, key, n_per_lambda=400, batch=2048)
+    chunked = run_mc_sed(model, host, T, key, n_per_lambda=400, batch=2048,
+                         lambda_chunk=7)
+    a = full["sed"][..., 0].sum(axis=1)       # (L,) I
+    b = chunked["sed"][..., 0].sum(axis=1)
+    good = a > a.max() * 1e-3
+    rel = np.abs(b[good] - a[good]) / a[good]
+    assert np.median(rel) < 0.12              # MC-noise-level agreement
+    assert chunked["n_sent"].shape == (host.wl.n,)
+    assert int(chunked["res"].emitted) >= 400 * host.wl.n

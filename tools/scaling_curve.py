@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Packet-DP and spatial-DD efficiency vs n_devices on a virtual CPU mesh.
+
+Run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8.
+Prints one JSON line {"n_devices": [...], "dp_pps": [...], "dp_eff": [...],
+"sdd_pps": [...], "sdd_eff": [...]} where eff is throughput per device
+relative to the 1-device run of the same driver (strong-scaling shape;
+absolute speed is CPU, not TPU).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+
+def main():
+    import numpy as np
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.mc.model import build_model
+    from mcfost_tpu.parallel.mesh import make_mesh, run_thermal_mc_sharded
+    from mcfost_tpu.parallel.spatial import run_thermal_mc_spatial
+
+    para = Para()
+    para.grid.n_rad, para.grid.nz = 48, 32      # keep the CPU run tractable
+    para.wavelengths.n_lambda = 24
+    for sp in para.dust[0]:
+        sp.n_grains = 30
+    model, host = build_model(para, cache_dir=".mcfost_tpu_cache_cpu")
+
+    n = 16000
+    bpd = 4096
+    devs = jax.devices()
+    sizes = [s for s in (1, 2, 4, 8) if s <= len(devs)]
+    out = {"n_devices": sizes, "dp_pps": [], "dp_eff": [],
+           "sdd_pps": [], "sdd_eff": []}
+    for drv, pkey, skey in (
+            (run_thermal_mc_sharded, "dp_pps", "dp_eff"),
+            (run_thermal_mc_spatial, "sdd_pps", "sdd_eff")):
+        base = None
+        for s in sizes:
+            mesh = make_mesh(devs[:s])
+            kw = dict(batch_per_device=bpd)
+            if drv is run_thermal_mc_spatial:
+                kw["n_inner"] = 32
+            r = drv(model, jax.random.PRNGKey(1), n, mesh, **kw)
+            jax.block_until_ready(r.sed)
+            t0 = time.time()
+            r = drv(model, jax.random.PRNGKey(1), n, mesh, **kw)
+            jax.block_until_ready(r.sed)
+            pps = int(r.emitted) / (time.time() - t0)
+            if base is None:
+                base = pps
+            out[pkey].append(round(pps, 1))
+            out[skey].append(round(pps / (base * s), 3))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
