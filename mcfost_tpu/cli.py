@@ -18,6 +18,7 @@ docs/options.rst):
 """
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -281,6 +282,84 @@ def _main(argv=None):
             para.ism_model = 2
         elif a in ("-Mueller", "-mueller", "-phase_function"):
             i += 1; para.mueller_file = argv[i]
+        elif a == "-Fresnel":
+            i += 1; para.fresnel_file = argv[i]
+        elif a == "-Fresnel_size":
+            i += 1; para.fresnel_file = argv[i]
+            para.fresnel_per_size = True
+        elif a == "-zeeman_polarisation":
+            # mirror the reference exactly: the flag exists and errors
+            # (init_mcfost.f90:881-882 "Zeeman polarisation not yet!")
+            raise SystemExit("Zeeman polarisation not yet!")
+        # ---- observable/physics toggles (init_mcfost.f90:462-1530) ----
+        elif a == "-pola":
+            para.wavelengths.output_stokes = True
+        elif a == "-no_SED":
+            para.wavelengths.compute_sed = False
+        elif a == "-no_T":
+            para.wavelengths.compute_temp = False
+        elif a in ("-mc", "-rt"):
+            pass        # MC SED always captured; RT always on
+        elif a == "-nT":
+            i += 1; para.n_T = int(argv[i])
+        elif a == "-cutoff":
+            i += 1; para.cutoff = float(argv[i])
+        elif a == "-max_err":
+            i += 1; para.max_err = float(argv[i])
+        elif a == "-chi_ISM":
+            i += 1; para.chi_ism = float(argv[i])
+        elif a == "-v_syst":
+            i += 1; para.v_syst = float(argv[i])     # km/s cube offset
+        elif a in ("-no_vr", "-no_vz"):
+            setattr(para, a[1:], True)
+        elif a == "-tau_dark_zone_eq_th":
+            i += 1; para.tau_dark_zone = float(argv[i])
+        elif a == "-tau_dark_zone_obs":
+            i += 1; para.tau_dark_zone_obs = float(argv[i])
+        elif a == "-Mdot":
+            istar = int(argv[i + 1]); mdot = float(argv[i + 2]); i += 2
+            para.stars[min(istar, len(para.stars)) - 1].mdot = mdot
+        elif a == "-age":
+            i += 1
+            print("WARNING: -age needs the Siess isochrone tables "
+                  "(offline build); star parameters unchanged")
+        elif a == "-img_offset":
+            i += 3
+            print("WARNING: IMAGE OFFSET NOT YET")   # init_mcfost.f90:484
+        elif a == "-checkpoint":
+            raise SystemExit("checkpointing is not yet implemented")
+        elif a == "-safe_stop_time":
+            i += 1; safe_stop_s = float(argv[i]) * 86400.0
+        elif a in ("-v", "-version"):
+            print("mcfost_tpu 4.1.12-tpu (reference parity: mcfost 4.1)")
+            return 0
+        # ---- atomic-loop controls ----
+        elif a == "-solve_ne":
+            para.force_ne = True        # ignore a stored ne.fits.gz
+        elif a == "-escape_prob":
+            para.atom_initial = "escape"
+        elif a == "-see_lte":
+            if para.atoms.atoms:
+                para.atoms.atoms[0].non_lte = False
+            para.see_lte = True
+        elif a == "-level_dissolution":
+            para.level_dissolution = True
+        # ---- SPH / Voronoi particle editing (mess_up_SPH.f90:17-174) ----
+        elif a == "-delete_Hill_sphere":
+            para.sph_cuts["delete_hill_sphere"] = True
+        elif a == "-mask_inside_rsph":
+            i += 1; para.sph_cuts["delete_inside_r"] = float(argv[i])
+        elif a in ("-delete_outside_rsph", "-mask_outside_rsph"):
+            i += 1; para.sph_cuts["rmax"] = float(argv[i])
+        elif a in ("-delete_above_latitude", "-mask_above_latitude"):
+            i += 1
+            para.sph_cuts["latitude_max"] = math.radians(float(argv[i]))
+        elif a == "-centre_on_sink":
+            i += 1; para.sph_cuts["centre_on_sink"] = int(argv[i])
+        elif a == "-planet_az":
+            i += 1; para.sph_cuts["planet_az"] = float(argv[i])
+        elif a == "-scale_mass_units":
+            i += 1; para.sph_cuts["scale_mass"] = float(argv[i])
         elif a == "-limb_darkening":
             i += 1; para.limb_darkening = argv[i]
         elif a == "-iterate_ne":

@@ -256,6 +256,21 @@ class Para:
     # -Mueller <file>: user-supplied opacity + Mueller matrix
     # (Mueller_input, scattering.f90:383-580)
     mueller_file: str | None = None
+    fresnel_file: str | None = None       # -Fresnel / -Fresnel_size
+    fresnel_per_size: bool = False
+    # long-tail CLI controls (init_mcfost.f90:462-1530)
+    max_err: float | None = None          # -max_err NLTE tolerance
+    v_syst: float = 0.0                   # -v_syst [km/s] cube offset
+    no_vr: bool = False                   # -no_vr: zero radial velocity
+    no_vz: bool = False                   # -no_vz: zero vertical velocity
+    tau_dark_zone: float | None = None    # -tau_dark_zone_eq_th
+    tau_dark_zone_obs: float | None = None
+    force_ne: bool = False                # -solve_ne (ignore ne.fits)
+    atom_initial: str | None = None       # -escape_prob
+    see_lte: bool = False                 # -see_lte
+    level_dissolution: bool = True        # -level_dissolution
+    # SPH particle-editing suboptions (mess_up_SPH.f90 family)
+    sph_cuts: dict = field(default_factory=dict)
     # -only_top / -only_bottom: molecular emission from one disk half
     # (optical_depth.f90:517-519)
     mol_half: int = 0

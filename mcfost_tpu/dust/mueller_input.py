@@ -149,3 +149,94 @@ def apply_mueller_input(tabs: dict, mf: MuellerFile, lam_um: np.ndarray,
     prob = prob / np.maximum(prob[:, -1:], 1e-300)
     out["prob_s11_m2"] = np.broadcast_to(prob, (P, L, A1)).copy()
     return out
+
+
+def read_fresnel_matrix(path: str):
+    """Parse the Fresnel 4x4 ASCII format (Fresnel_input,
+    scattering.f90:727-860): a header line, 'Qext Qsca <cos>' values,
+    banner lines, then per scattering angle four rows holding the 4x4
+    Mueller matrix (first row prefixed by the angle in degrees).
+
+    Returns (qext, qsca, g, angles_deg (A,), M (A, 4, 4)).  The format
+    is wavelength-independent (one matrix for the whole run)."""
+    nums: list[float] = []
+    with open(path) as f:
+        for line in f:
+            for tok in line.split():
+                try:
+                    nums.append(float(tok))
+                except ValueError:
+                    pass
+    if len(nums) < 3 + 17:
+        raise ValueError(f"{path}: not a Fresnel matrix file")
+    qext, qsca, g = nums[0], nums[1], nums[2]
+    body = np.asarray(nums[3:], np.float64)
+    if body.size % 17:
+        raise ValueError(f"{path}: matrix block is not (angle + 16) rows")
+    body = body.reshape(-1, 17)
+    angles = body[:, 0]
+    M = body[:, 1:].reshape(-1, 4, 4)
+    return qext, qsca, g, angles, M
+
+
+def read_fresnel_size_index(path: str):
+    """Per-size index file (-Fresnel_size; Fresnel_input_size,
+    scattering.f90:860-960): one 'size_um path' row per grain size,
+    sorted by increasing size."""
+    entries = []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if len(t) >= 2:
+                entries.append((float(t[0]), t[1]))
+    return entries
+
+
+def apply_fresnel_per_grain(qext, qsca, gsca, s11, s12, s33, s34,
+                            r_grain, para):
+    """Replace the Mie optics of every grain with the Fresnel file(s)
+    (-Fresnel: one matrix for all grains; -Fresnel_size: one file per
+    size, validated against the grain grid like the reference's
+    size-mismatch error).  The matrix is normalised so its angular
+    integral reproduces the file's Qsca in the internal convention
+    (the reference's somme_prob normalisation)."""
+    import os
+    K, L, A = s11.shape
+    theta = np.linspace(0.0, 180.0, A)
+    w = np.sin(np.deg2rad(theta)) * (np.pi / (A - 1))
+    w[0] = 0.0
+
+    if getattr(para, "fresnel_per_size", False):
+        entries = read_fresnel_size_index(para.fresnel_file)
+        if len(entries) < K:
+            raise ValueError(
+                f"-Fresnel_size index has {len(entries)} rows for "
+                f"{K} grain sizes")
+        base = os.path.dirname(os.path.abspath(para.fresnel_file))
+        per_grain = []
+        for k in range(K):
+            size, p = entries[k]
+            if abs(size - r_grain[k]) > 1e-5 * max(r_grain[k], 1e-30):
+                raise ValueError(
+                    f"grain size in index is {size}, expected "
+                    f"{r_grain[k]} (reference: 'Grain sizes do not "
+                    "match')")
+            if not os.path.isabs(p):
+                p = os.path.join(base, p)
+            per_grain.append(read_fresnel_matrix(p))
+    else:
+        per_grain = [read_fresnel_matrix(para.fresnel_file)] * K
+
+    for k in range(K):
+        qe, qs, g, ang, M = per_grain[k]
+        m11 = np.interp(theta, ang, M[:, 0, 0])
+        scale = qs / max((m11 * w).sum(), 1e-300)
+        m11 = m11 * scale
+        qext[k, :] = qe
+        qsca[k, :] = qs
+        gsca[k, :] = g
+        s11[k] = m11[None, :]
+        s12[k] = (np.interp(theta, ang, M[:, 0, 1]) * scale)[None, :]
+        s33[k] = (np.interp(theta, ang, M[:, 2, 2]) * scale)[None, :]
+        s34[k] = (np.interp(theta, ang, M[:, 2, 3]) * scale)[None, :]
+    return qext, qsca, gsca, s11, s12, s33, s34

@@ -315,6 +315,13 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         s12 = s12 * scale[:, :, None]
         s33 = s33 * scale[:, :, None]
         s34 = s34 * scale[:, :, None]
+    # -Fresnel / -Fresnel_size: user 4x4 Mueller matrices replace the
+    # Mie optics per grain (Fresnel_input(_size), scattering.f90:727-960);
+    # applied before -iso/-hg so those transforms still act on it
+    if getattr(para, "fresnel_file", None):
+        from .mueller_input import apply_fresnel_per_grain
+        qext, qsca, gsca, s11, s12, s33, s34 = apply_fresnel_per_grain(
+            qext, qsca, gsca, s11, s12, s33, s34, grains.r_grain, para)
     # the para's anisotropy method 2 == HG with the same g
     # (ref4.1.para scattering section / aniso_method)
     if getattr(para, "aniso_method", 1) == 2 and not para.hg_scattering:

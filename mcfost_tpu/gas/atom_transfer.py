@@ -157,7 +157,9 @@ class AtomRT:
                                              nHtot=gas.nHtot)
         # the atom's own bf (Gaunt + dissolution pseudo-continuum):
         # non-zero at line frequencies near an edge (Balmer jump)
-        chi_gas = chi_gas + atom_bf_opacity(atom, pops, gas, lam_um)
+        chi_gas = chi_gas + atom_bf_opacity(
+            atom, pops, gas, lam_um,
+            dissolve=getattr(host.para, "level_dissolution", True))
         chi_dust = _dust_kabs_cells(model, host, lam_um)     # (C, nl) AU^-1
         Bd = np.stack([bnu(T_dust, nu) for nu in self.nu0], 1)
         Bg = np.stack([bnu(gas.T, nu) for nu in self.nu0], 1)
@@ -484,7 +486,10 @@ def continuum_mean_intensity(model: Model, host: HostModel,
 
     # atom's own b-f opacity (Seaton Gaunt + level dissolution;
     # saturates the edges)
-    chi_bf_au = atom_bf_opacity(atom, pops, gas, lam_um) * cst.AU_to_m
+    chi_bf_au = atom_bf_opacity(
+        atom, pops, gas, lam_um,
+        dissolve=getattr(host.para, "level_dissolution", True)) \
+        * cst.AU_to_m
 
     chi_c = chi_dust + chi_gas_au + chi_bf_au
     eta_c = chi_dust * Bd + (chi_gas_au + chi_bf_au) * Bg
@@ -818,7 +823,8 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
     ne_path = os.path.join(d_atom, "ne.fits.gz")
     if gas is None:
         ne0 = None
-        if os.path.isfile(ne_path):
+        if os.path.isfile(ne_path) and not getattr(para, "force_ne",
+                                                   False):
             ne0 = read_fits(ne_path)[0][1].astype(np.float64).reshape(-1)
             if ne0.shape[0] != model.grid.n_cells:
                 ne0 = None
@@ -844,12 +850,17 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
                 pops0 = arr.reshape(atom.n_levels, -1).T
                 if verbose:
                     print(f"  initial populations from {pops_path}")
+        extra = {}
+        if getattr(para, "atom_initial", None):     # -escape_prob
+            extra["initial"] = para.atom_initial
+        if getattr(para, "max_err", None):          # -max_err
+            extra["tol"] = para.max_err
         pops, nit, dm = nlte_pops_atom(model, host, atom, gas, T_dust,
                                        verbose=verbose,
                                        iterate_ne=iterate_ne,
                                        healpix_lorder=healpix_lorder,
                                        ng_order=ng_order, n_rays=n_rays,
-                                       pops0=pops0)
+                                       pops0=pops0, **extra)
         if verbose:
             print(f"  NLTE populations converged: {nit} iter, "
                   f"dM = {dm:.2e}")

@@ -224,7 +224,56 @@ def build_model(para: Para, dtype=jnp.float32,
                                  para.wavelengths.lambda_max)
     if sph is not None:
         from ..grids.sph import sph_to_voronoi
-        vor = sph_to_voronoi(sph)
+        cuts = dict(getattr(para, "sph_cuts", {}) or {})
+        # particle-editing suboptions (mess_up_SPH.f90 family)
+        if cuts.pop("scale_mass", None):
+            import dataclasses as _dc
+            f = para.sph_cuts["scale_mass"]
+            sph = _dc.replace(sph, mass=sph.mass * f,
+                              rho_gas=sph.rho_gas * f,
+                              star_mass=sph.star_mass * f)
+        isink = cuts.pop("centre_on_sink", None)
+        if isink:
+            import dataclasses as _dc
+            c = sph.star_xyz[min(isink, len(sph.star_xyz)) - 1].copy()
+            sph = _dc.replace(sph, xyz=sph.xyz - c[None, :],
+                              star_xyz=sph.star_xyz - c[None, :])
+        paz = cuts.pop("planet_az", None)
+        if paz is not None and sph.star_xyz.shape[0] > 1:
+            # rotate the system about z so sink 2 (the planet) sits at
+            # the requested azimuth (lplanet_az, init_mcfost.f90:1303)
+            import dataclasses as _dc
+            cur = np.arctan2(sph.star_xyz[1, 1], sph.star_xyz[1, 0])
+            rot = np.deg2rad(paz) - cur
+            ca, sa = np.cos(rot), np.sin(rot)
+            R = np.array([[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]])
+            sph = _dc.replace(sph, xyz=sph.xyz @ R.T,
+                              star_xyz=sph.star_xyz @ R.T,
+                              vxyz=(None if sph.vxyz is None
+                                    else sph.vxyz @ R.T))
+        if cuts.pop("delete_hill_sphere", False) \
+                and sph.star_xyz.shape[0] > 1:
+            # remove particles inside each companion's Hill sphere
+            # (ldelete_Hill_sphere, mess_up_SPH.f90:17-90)
+            import dataclasses as _dc
+            keep_h = np.ones(sph.xyz.shape[0], bool)
+            m_primary = max(float(sph.star_mass[0]), 1e-10)
+            for s_i in range(1, sph.star_xyz.shape[0]):
+                d = np.linalg.norm(sph.star_xyz[s_i])
+                r_hill = d * (float(sph.star_mass[s_i])
+                              / (3.0 * m_primary)) ** (1.0 / 3.0)
+                dist = np.linalg.norm(
+                    sph.xyz - sph.star_xyz[s_i][None, :], axis=1)
+                keep_h &= dist > r_hill
+            sph = _dc.replace(
+                sph, xyz=sph.xyz[keep_h], h=sph.h[keep_h],
+                mass=sph.mass[keep_h], rho_gas=sph.rho_gas[keep_h],
+                vxyz=None if sph.vxyz is None else sph.vxyz[keep_h],
+                dustfrac=(None if sph.dustfrac is None
+                          else sph.dustfrac[:, keep_h]),
+                dust_moments=(None if sph.dust_moments is None
+                              else sph.dust_moments[:, keep_h]))
+        vor = sph_to_voronoi(sph, **cuts)
         sph_keep = vor.keep
         grid = vor.grid
         from ..grids import geometry as _geom
@@ -377,6 +426,15 @@ def build_model(para: Para, dtype=jnp.float32,
         r_ism=None if frac_ism is None else f(r_ism),
         **_spot_fields(para, wl, f),
     )
+    if velocity is not None and (getattr(para, "no_vr", False)
+                                 or getattr(para, "no_vz", False)):
+        # -no_vr / -no_vz: zero the radial / vertical velocity component
+        # of hydro models (init_mcfost.f90 lno_vr/lno_vz)
+        velocity = np.array(velocity, np.float64)
+        if para.no_vr:
+            velocity[:, 0] = 0.0
+        if para.no_vz:
+            velocity[:, 2] = 0.0
     host = HostModel(para=para, wl=wl, dust=dust, stars=stars,
                      thermal=therm, rho_dust=rho, rho_gas=rho_gas,
                      velocity=velocity,

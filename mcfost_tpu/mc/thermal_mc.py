@@ -234,6 +234,14 @@ def _tau_draw(r):
     return jnp.where(r > 1e-6, -jnp.log1p(-r), r)
 
 
+def _hash32(x):
+    """murmur3-style 32-bit finalizer (avalanching integer hash)."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> jnp.uint32(16))
+
+
 def _iter_randoms(key, it, n, B, dtype):
     """(n, B) uniforms in [0, 1) for one MC iteration.
 
@@ -241,13 +249,23 @@ def _iter_randoms(key, it, n, B, dtype):
     fold_in it replaces, but through ``lax.rng_bit_generator`` — the XLA
     native generator costs ~0.3 ms where ``jax.random.uniform``'s threefry
     costs 6.3 ms/iteration at B=32k on a v5e (bench §profile; the RNG was
-    the single largest block of the fused kernel)."""
+    the single largest block of the fused kernel).
+
+    CRITICAL: the u32[4] state passed to rng_bit_generator contains the
+    COUNTER as well as the key, so consecutive iteration numbers placed
+    verbatim in one word produce overlapping (shifted) bit streams —
+    heavy inter-iteration correlations that biased the MC SED by ~10%
+    until every word was avalanche-hashed per iteration (overlap
+    probability falls to ~2^-46 per pair)."""
     kd = key
     if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
         kd = jax.random.key_data(kd)
     kd = kd.astype(jnp.uint32).reshape(-1)
-    rkey = jnp.stack([kd[0], kd[-1], it.astype(jnp.uint32),
-                      jnp.uint32(0x9E3779B9)])
+    itu = it.astype(jnp.uint32)
+    rkey = jnp.stack([kd[0] ^ _hash32(itu + jnp.uint32(0x1234567)),
+                      kd[-1] ^ _hash32(itu + jnp.uint32(0x89ABCDE)),
+                      _hash32(itu + jnp.uint32(0xDEADBEE)),
+                      _hash32(itu) ^ jnp.uint32(0x9E3779B9)])
     _, bits = jax.lax.rng_bit_generator(rkey, (n, B), dtype=jnp.uint32)
     return (bits >> jnp.uint32(8)).astype(dtype) * (1.0 / (1 << 24))
 

@@ -104,7 +104,10 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
     t0 = time.time()
     ilam_th = threshold_lambda_index(host.wl.lam)
     if para.grid.geometry == 1 and para.grid.n_az == 1:
-        dark = compute_dark_zone(model, ilam_th)
+        # -tau_dark_zone_eq_th overrides the 1500 threshold
+        tdz = getattr(para, "tau_dark_zone", None)
+        dark = compute_dark_zone(model, ilam_th,
+                                 **({"tau_max": tdz} if tdz else {}))
     else:
         # reference: no dark zone for spherical grids
         # (dust_transfer.f90:326-329); the 2D column solver does not
@@ -632,10 +635,12 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
         # staged driver (1+1D -> 100 fixed rays -> optional doubling MC,
         # the reference's etapes, mol_transfer.f90:138-480); laccurate_pop
         # appends the random-ray doubling stages
+        tol_kw = ({"tol": para.max_err}
+                  if getattr(para, "max_err", None) else {})
         pops, n_iter, diff = nlte_populations(
             model, host, mol, T_gas, abundance, nlev=m.level_max,
             n_rays=100, initial="sobolev", verbose=verbose,
-            accurate_pop=para.mol.laccurate_pop)
+            accurate_pop=para.mol.laccurate_pop, **tol_kw)
         if verbose:
             print(f"  NLTE converged in {n_iter} iters (max dpop {diff:.1e})")
     else:

@@ -110,10 +110,11 @@ def image_rt(model: Model, host: HostModel, xi, T_cells,
                     jnp.full(n, lam_index, jnp.int32))
             if scheme == "rt1":
                 return np.asarray(integrate_rays(
-                    model, eps, *args, jnp.full(n, i_rt, jnp.int32)),
+                    model, eps, *args, i_rt, n_az_rt=n_az_rt),
                     np.float64)
             return np.asarray(integrate_rays_rt2(model, eps2, istar_j,
-                                                 *args), np.float64)
+                                                 *args, nang_rt=nang_rt),
+                              np.float64)
 
         # ---- adaptive sub-pixel refinement
         ii, jj = np.meshgrid(np.arange(npx), np.arange(npy), indexing="ij")

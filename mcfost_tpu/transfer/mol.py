@@ -293,8 +293,13 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
                v_turb_unit=para.mol.v_turb_unit, pops=pops)
 
     nv = m.n_speed
+    # -v_syst: systemic-velocity offset of the channel grid [km/s]
+    # (init_mcfost.f90 v_syst; channels stay centred on the line but the
+    # object moves)
+    v0 = getattr(para, "v_syst", 0.0) * 1e3
     tab_speed = jnp.asarray(
-        np.linspace(m.vmin * 1e3, m.vmax * 1e3, nv), model.kappa.dtype)
+        np.linspace(m.vmin * 1e3, m.vmax * 1e3, nv) + v0,
+        model.kappa.dtype)
     nt = len(itrans)
     dirs = np.asarray(model.rt_dirs, np.float64)
     n_rt = dirs.shape[0]

@@ -42,19 +42,27 @@ N_TYPE = 8   # I, Q, U, V, star_direct, star_scat, disk_th, disk_scat
 def assemble_source_function(model: Model, host: HostModel,
                              xi: jax.Array, T_cells: np.ndarray,
                              n_sent_per_lambda: np.ndarray,
-                             n_az_rt: int = 45):
-    """Source function eps (L, n_cells, n_az_rt, 2, nRT, N_TYPE).
+                             n_az_rt: int = 45, lam_sel=None):
+    """Source function, FLAT layout (Lc*n_cells*n_az_rt*2, nRT*N_TYPE).
 
     Follows init_dust_source_fct1 (dust_ray_tracing.f90:636-713):
       photon_energy = (E_stars + E_disk) lambda 1e-6 / (n_sent AU_to_cm pi)
       I_scatt = xi * photon_energy / V * (n_az_rt*2) * kappa_sca
       eps     = (I_scatt + J_th) / kappa_ext
-    """
+
+    lam_sel = (lo, hi): assemble only that wavelength window (rows stay
+    lambda-major with chunk-local indices).  TPU layout notes: a 6-D
+    device array with trailing (nRT, 8) dims tile-pads to (8, 128) — a
+    34x HBM blowup that OOM'd the full-resolution fixtures; the flat 2-D
+    layout pads only 128/(nRT*8), and sed_rt chunks the wavelength axis
+    so each chunk's eps stays ~1 GB.  Assembly happens in host numpy —
+    only the final flat array ever lands on device."""
     wl = host.wl
     L = wl.n
     n_cells = model.grid.n_cells
     n_rt = model.rt_dirs.shape[0]
     dtype = model.kappa.dtype
+    lo, hi = (0, L) if lam_sel is None else lam_sel
 
     p_c = np.asarray(model.p_icell)
     kabs = np.asarray(model.kappa_abs, np.float64)[p_c].T    # (L, C)
@@ -90,22 +98,37 @@ def assemble_source_function(model: Model, host: HostModel,
     factor = (photon_energy[:, None] / V[None, :]
               * (n_az_rt * 2))                            # (L, C)
 
-    xi = xi.reshape(L, n_cells, n_az_rt, 2, n_rt, 6)
-    fac = jnp.asarray((factor * ksca_cell
-                       / np.maximum(kext_cell, 1e-300)), dtype)
-    i_scatt = xi * fac[:, :, None, None, None, None]
-
-    eps = jnp.zeros((L, n_cells, n_az_rt, 2, n_rt, N_TYPE), dtype)
-    jth_term = jnp.asarray(j_th / np.maximum(kext_cell, 1e-300), dtype)
-    jth_b = jth_term[:, :, None, None, None]
-    eps = eps.at[..., 0].set(i_scatt[..., 0] + jth_b)
-    eps = eps.at[..., 1].set(i_scatt[..., 1])
-    eps = eps.at[..., 2].set(i_scatt[..., 2])
-    eps = eps.at[..., 3].set(i_scatt[..., 3])
-    eps = eps.at[..., 5].set(i_scatt[..., 4])             # star scat
-    eps = eps.at[..., 6].set(jth_b)                       # disk thermal
-    eps = eps.at[..., 7].set(i_scatt[..., 5])             # disk scat
-    return eps
+    Lc = hi - lo
+    rows_per_l = n_cells * n_az_rt * 2
+    # fully ON DEVICE: the tally xi never leaves the chip (a host
+    # round-trip of each chunk over a tunnelled TPU moved ~200 MB per
+    # chunk and stalled full-resolution runs for hours); only the small
+    # (Lc, C) factor tables upload
+    fac = jnp.asarray(np.asarray(
+        factor * ksca_cell / np.maximum(kext_cell, 1e-300),
+        np.float32)[lo:hi], dtype)                        # (Lc, C)
+    jth = jnp.asarray(np.asarray(
+        j_th / np.maximum(kext_cell, 1e-300), np.float32)[lo:hi], dtype)
+    facr = jnp.broadcast_to(fac[:, :, None],
+                            (Lc, n_cells, n_az_rt * 2)).reshape(-1)
+    jthr = jnp.broadcast_to(jth[:, :, None],
+                            (Lc, n_cells, n_az_rt * 2)).reshape(-1)
+    xi_c = xi[lo * rows_per_l:hi * rows_per_l].astype(dtype)
+    # strictly 2-D construction: any (rows, nRT, 6|8) intermediate would
+    # tile-pad its trailing dims (8, 128) — gigabytes of phantom HBM
+    zero = jnp.zeros_like(facr)
+    cols = []
+    for o in range(n_rt):
+        I_o = xi_c[:, o * 6 + 0] * facr
+        cols.extend([I_o + jthr,
+                     xi_c[:, o * 6 + 1] * facr,
+                     xi_c[:, o * 6 + 2] * facr,
+                     xi_c[:, o * 6 + 3] * facr,
+                     zero,
+                     xi_c[:, o * 6 + 4] * facr,
+                     jthr,
+                     xi_c[:, o * 6 + 5] * facr])
+    return jnp.stack(cols, axis=1)       # (rows, nRT*N_TYPE)
 
 
 def _sed_energy_tables(model: Model, host: HostModel, T_cells,
@@ -142,7 +165,7 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
                                  n_sent_per_lambda: np.ndarray, i_rt: int,
                                  nang_rt: int = 15, n_theta_i: int = 15,
                                  n_phi_i: int = 15, n_super: int = 5,
-                                 pola: bool = True):
+                                 pola: bool = True, lam_sel=None):
     """RT2 source function for ONE viewing direction.
 
     Convolves the per-cell specific intensity I(theta_I, phi_I) stored by
@@ -154,8 +177,10 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
     in integrate_rays_rt2 — tighter than the reference's 1000-bin star
     table (calc_Isca_rt2_star).
 
-    Returns (eps2 (L, C, nang_rt, 2, N_TYPE) jax array,
-             istar (L, C) numpy source amplitude / kappa_ext)."""
+    Returns (eps2 FLAT (Lc*C*nang_rt*2, N_TYPE) jax array — the 5-D
+    layout tile-pads its trailing (2, 8) dims 64x on TPU —
+    and istar (Lc*C,) numpy source amplitude / kappa_ext).
+    lam_sel = (lo, hi): wavelength window (rows chunk-local)."""
     wl = host.wl
     L = wl.n
     C = model.grid.n_cells
@@ -163,15 +188,23 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
     nb = n_theta_i * n_phi_i
     A1 = model.nang + 1
     nang_scatt = model.nang
+    lo, hi = (0, L) if lam_sel is None else lam_sel
 
     photon_energy, kext_cell, ksca_cell, j_th, V = _sed_energy_tables(
         model, host, T_cells, n_sent_per_lambda)
     factor = photon_energy[:, None] / V[None, :]              # (L, C)
-    fac_sca = factor * ksca_cell / np.maximum(kext_cell, 1e-300)
+    fac_sca = (factor * ksca_cell
+               / np.maximum(kext_cell, 1e-300))[lo:hi]        # (Lc, C)
+    kext_cell = kext_cell[lo:hi]
+    j_th = j_th[lo:hi]
 
-    xi2 = np.asarray(xi2, np.float64).reshape(L, C, nb + 1, 6)
-    Inu = xi2[:, :, :nb, :]                                   # (L,C,nb,6)
-    istar = xi2[:, :, nb, 0] * fac_sca                        # (L,C)
+    rows_per_l = C * (nb + 1)
+    xi2 = np.asarray(xi2, np.float64).reshape(-1)[
+        lo * rows_per_l * 6:hi * rows_per_l * 6].reshape(
+        hi - lo, C, nb + 1, 6)
+    L = hi - lo                        # chunk-local extent from here on
+    Inu = xi2[:, :, :nb, :]                                   # (Lc,C,nb,6)
+    istar = xi2[:, :, nb, 0] * fac_sca                        # (Lc,C)
 
     # observer geometry (uv0, w0); our rt_dirs use phi=0 along -y, the
     # RT2 table convention (u_rt = uv0 sin phis, v_rt = -uv0 cos phis)
@@ -251,10 +284,10 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
     import jax.numpy as jnp2
     P_b = model.n_buckets
     p_c = np.asarray(model.p_icell)
-    s11_tab = np.asarray(model.s11_rt, np.float64)            # (P,L,A1)
-    r12_tab = np.asarray(model.s12_rt, np.float64)
-    r33_tab = np.asarray(model.s33_rt, np.float64)
-    r34_tab = np.asarray(model.s34_rt, np.float64)
+    s11_tab = np.asarray(model.s11_rt, np.float64)[:, lo:hi]  # (P,Lc,A1)
+    r12_tab = np.asarray(model.s12_rt, np.float64)[:, lo:hi]
+    r33_tab = np.asarray(model.s33_rt, np.float64)[:, lo:hi]
+    r34_tab = np.asarray(model.s34_rt, np.float64)[:, lo:hi]
 
     out = np.zeros((L, C, nang_rt, 2, 6))
     Hb = H.reshape(nang_rt * 2 * nb, A1)
@@ -311,7 +344,7 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
 
     out *= fac_sca[:, :, None, None, None]
     jth_term = j_th / np.maximum(kext_cell, 1e-300)
-    eps2 = np.zeros((L, C, nang_rt, 2, N_TYPE))
+    eps2 = np.zeros((L, C, nang_rt, 2, N_TYPE), np.float32)
     eps2[..., 0] = out[..., 0] + jth_term[:, :, None, None]
     eps2[..., 1] = out[..., 1]
     eps2[..., 2] = out[..., 2]
@@ -319,25 +352,30 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
     eps2[..., 5] = out[..., 4]                                # star scat
     eps2[..., 6] = jth_term[:, :, None, None]                 # disk thermal
     eps2[..., 7] = out[..., 5]                                # disk scat
-    return jnp2.asarray(eps2, dtype), istar
+    return (jnp2.asarray(eps2.reshape(L * C * nang_rt * 2, N_TYPE),
+                         dtype),
+            istar.reshape(-1))
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "pola"))
+@functools.partial(jax.jit, static_argnames=("max_steps", "pola",
+                                             "nang_rt"))
 def integrate_rays_rt2(model: Model, eps2: jax.Array, istar: jax.Array,
                        x0, y0, z0, u, v, w, ilam,
-                       max_steps: int = 4000, pola: bool = True):
+                       max_steps: int = 4000, pola: bool = True,
+                       nang_rt: int = 15, lam0=0):
     """Backward formal integration with the RT2 source function.
 
-    eps2: (L, C, nang_rt, 2, N_TYPE) for ONE viewing direction; sampled
-    with periodic linear interpolation over the azimuthal position angle
-    (dust_source_fct method 2, dust_ray_tracing.f90:1545-1575).  The
-    direct-star scattering term istar (L, C) is convolved on the fly with
-    the phase matrix at the EXACT scattering angle of each step."""
+    eps2: FLAT (Lc*C*nang_rt*2, N_TYPE) for ONE viewing direction
+    (5-D would tile-pad 64x on TPU); sampled with periodic linear
+    interpolation over the azimuthal position angle (dust_source_fct
+    method 2, dust_ray_tracing.f90:1545-1575).  The direct-star
+    scattering term istar (Lc*C,) is convolved on the fly with the
+    phase matrix at the EXACT scattering angle of each step.  lam0:
+    chunk start — eps2/istar rows are chunk-local, ilam global."""
     from ..mc.sampling import rotation_to_frame
     grid = model.grid
     dtype = x0.dtype
     n_cells = grid.n_cells
-    nang_rt = eps2.shape[2]
     A1 = model.nang + 1
     nang_scatt = model.nang
     L = model.n_lambda
@@ -372,8 +410,11 @@ def integrate_rays_rt2(model: Model, eps2: jax.Array, istar: jax.Array,
         ia = (fl.astype(jnp.int32) - 1) % nang_rt
         ib = fl.astype(jnp.int32) % nang_rt
         dirb = jnp.where(zm > 0.0, 1, 0)
-        S = (eps2[ilam, flat, ia, dirb] * (1.0 - frac)[:, None]
-             + eps2[ilam, flat, ib, dirb] * frac[:, None])   # (N, N_TYPE)
+        base = ((ilam - lam0) * n_cells + flat) * nang_rt
+        row_a = (base + ia) * 2 + dirb
+        row_b = (base + ib) * 2 + dirb
+        S = (eps2[row_a] * (1.0 - frac)[:, None]
+             + eps2[row_b] * frac[:, None])                  # (N, N_TYPE)
 
         # exact-angle direct-star scattering (replaces eps_dust2_star)
         rm = jnp.sqrt(jnp.maximum(xm * xm + ym * ym + zm * zm, 1e-30))
@@ -384,7 +425,7 @@ def integrate_rays_rt2(model: Model, eps2: jax.Array, istar: jax.Array,
                      1, nang_scatt)
         lin = (p * L + ilam) * A1 + k
         s11 = model.s11_rt.reshape(-1)[lin]
-        amp = istar[ilam, flat]
+        amp = istar[(ilam - lam0) * n_cells + flat]
         S = S.at[:, 0].add(s11 * amp)
         S = S.at[:, 5].add(s11 * amp)
         if pola:
@@ -471,18 +512,25 @@ def _move_to_grid(grid: cyl.CylGrid, x, y, z, u, v, w):
     return x1, y1, z1, ri, zj, hit
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
+@functools.partial(jax.jit, static_argnames=("max_steps", "n_az_rt"))
 def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
-                   ilam, i_rt, max_steps: int = 4000):
+                   ilam, i_rt, n_az_rt: int = 45,
+                   max_steps: int = 4000, lam0=0):
     """Backward formal integration along a batch of rays.
 
-    eps: (L, n_cells, n_az_rt, 2, nRT, N_TYPE) source function.
-    Returns Stokes (Nrays, N_TYPE).  Rays that hit the star are terminated
-    (their direct-star flux is handled by the star map)."""
+    eps: FLAT (Lc*n_cells*n_az_rt*2, nRT*N_TYPE) source function
+    (assemble_source_function); i_rt: the observer direction of this ray
+    batch (static — both callers trace one direction per batch); ilam:
+    chunk-local wavelength index per ray.  Returns Stokes (N, N_TYPE).
+    Rays that hit the star are terminated (their direct-star flux is
+    handled by the star map)."""
     grid = model.grid
     dtype = x0.dtype
     n_cells = grid.n_cells
-    n_az_rt = eps.shape[2]
+    # one dynamic column-slice per call (i_rt stays traced so changing
+    # the observer direction does not recompile the integrator)
+    eps_dir = jax.lax.dynamic_slice_in_dim(
+        eps, jnp.asarray(i_rt, jnp.int32) * N_TYPE, N_TYPE, axis=1)
 
     x, y, z, ri, zj, hit = cyl.move_to_grid(grid, x0, y0, z0, u, v, w)
 
@@ -513,7 +561,11 @@ def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
                         0, n_az_rt - 1)
         psup = jnp.where(zm > 0.0, 0, 1)
 
-        S = eps[ilam, flat, kphi, psup, i_rt]             # (N, N_TYPE)
+        # eps rows are chunk-local (lam0 = chunk start); opacity lookups
+        # above use the global ilam
+        row = (((ilam - lam0) * n_cells + flat) * n_az_rt + kphi) * 2 \
+            + psup
+        S = eps_dir[row]                                  # (N, N_TYPE)
         # -expm1 keeps (1 - exp(-dtau)) accurate for small dtau in f32
         wgt = jnp.where(alive & inside,
                         jnp.exp(-tau) * (-jnp.expm1(-dtau)), 0.0)
@@ -608,9 +660,12 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     dtype = model.kappa.dtype
     dirs = np.asarray(model.rt_dirs, np.float64)
 
-    if scheme == "rt1":
-        eps = assemble_source_function(model, host, xi, T_cells,
-                                       n_sent_per_lambda, n_az_rt)
+    # wavelength chunks: keep each (Lc*C*az*2, nRT*8) eps under ~1 GB of
+    # padded HBM (cols pad to 128); full-resolution fixtures OOM'd when
+    # the whole L rode one array
+    rows_per_l = model.grid.n_cells * n_az_rt * 2
+    bytes_per_l = rows_per_l * max(n_rt * N_TYPE, 128) * 4
+    Lc_max = max(1, int(1.0e9 // max(bytes_per_l, 1)))
 
     _rl = cyl.host_arrays(model.grid, "r_lim")
     rmax = float(_rl[-1])
@@ -625,50 +680,66 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
     out = np.zeros((L, n_rt, N_TYPE))
 
+    for lo in range(0, L, Lc_max):
+        hi = min(lo + Lc_max, L)
+        Lc = hi - lo
+        if scheme == "rt1":
+            eps = assemble_source_function(model, host, xi, T_cells,
+                                           n_sent_per_lambda, n_az_rt,
+                                           lam_sel=(lo, hi))
+        for i_rt in range(n_rt):
+            u, v, w = dirs[i_rt]
+            # image plane basis (dust_map, dust_transfer.f90:1244-1258)
+            xpl = np.array([1.0, 0.0, 0.0])
+            if abs(u) > 1e-10 or abs(v + 1) > 1e-10:
+                az = np.arctan2(u, -v)
+                xpl = np.array([np.cos(az), np.sin(az), 0.0])
+            ypl = -np.cross(xpl, [u, v, w])
+
+            lfar = 10.0 * rmax
+            center = np.array([u, v, w]) * lfar
+
+            rr, pp = np.meshgrid(tab_r, phis, indexing="ij")
+            px = (center[0] + rr * np.sin(pp) * xpl[0]
+                  + rr * np.cos(pp) * ypl[0]).ravel()
+            py = (center[1] + rr * np.sin(pp) * xpl[1]
+                  + rr * np.cos(pp) * ypl[1]).ravel()
+            pz = (center[2] + rr * np.sin(pp) * xpl[2]
+                  + rr * np.cos(pp) * ypl[2]).ravel()
+            pix_area = ((fact_A * rr) ** 2).ravel()       # AU^2
+            n_pix = px.size
+
+            # one ray batch for this chunk's wavelengths
+            xs = jnp.asarray(np.tile(px, Lc), dtype)
+            ys = jnp.asarray(np.tile(py, Lc), dtype)
+            zs = jnp.asarray(np.tile(pz, Lc), dtype)
+            us = jnp.full(n_pix * Lc, -u, dtype)
+            vs = jnp.full(n_pix * Lc, -v, dtype)
+            ws = jnp.full(n_pix * Lc, -w, dtype)
+            # chunk-local lambda for eps rows; GLOBAL lambda for the
+            # opacity tables inside the integrator
+            il_g = jnp.asarray(np.repeat(np.arange(lo, hi), n_pix),
+                               jnp.int32)
+            if scheme == "rt1":
+                st = np.asarray(
+                    integrate_rays(model, eps, xs, ys, zs, us, vs, ws,
+                                   il_g, i_rt, n_az_rt=n_az_rt,
+                                   lam0=lo), np.float64)
+            else:
+                eps2, istar = assemble_source_function_rt2(
+                    model, host, xi, T_cells, n_sent_per_lambda, i_rt,
+                    nang_rt=nang_rt, n_theta_i=n_theta_i,
+                    n_phi_i=n_phi_i, lam_sel=(lo, hi))
+                st = np.asarray(integrate_rays_rt2(
+                    model, eps2, jnp.asarray(istar, dtype), xs, ys, zs,
+                    us, vs, ws, il_g, nang_rt=nang_rt, lam0=lo),
+                    np.float64)
+            st = st.reshape(Lc, n_pix, N_TYPE)
+            out[lo:hi, i_rt, :] += (st * pix_area[None, :, None]
+                                    ).sum(1) / dist2
+
     for i_rt in range(n_rt):
         u, v, w = dirs[i_rt]
-        # image plane basis (dust_map, dust_transfer.f90:1244-1258)
-        xpl = np.array([1.0, 0.0, 0.0])
-        if abs(u) > 1e-10 or abs(v + 1) > 1e-10:
-            az = np.arctan2(u, -v)
-            xpl = np.array([np.cos(az), np.sin(az), 0.0])
-        ypl = -np.cross(xpl, [u, v, w])
-
-        lfar = 10.0 * rmax
-        center = np.array([u, v, w]) * lfar
-
-        rr, pp = np.meshgrid(tab_r, phis, indexing="ij")
-        px = (center[0] + rr * np.sin(pp) * xpl[0]
-              + rr * np.cos(pp) * ypl[0]).ravel()
-        py = (center[1] + rr * np.sin(pp) * xpl[1]
-              + rr * np.cos(pp) * ypl[1]).ravel()
-        pz = (center[2] + rr * np.sin(pp) * xpl[2]
-              + rr * np.cos(pp) * ypl[2]).ravel()
-        pix_area = ((fact_A * rr) ** 2).ravel()           # AU^2
-        n_pix = px.size
-
-        # one ray batch for ALL wavelengths of this direction
-        xs = jnp.asarray(np.tile(px, L), dtype)
-        ys = jnp.asarray(np.tile(py, L), dtype)
-        zs = jnp.asarray(np.tile(pz, L), dtype)
-        us = jnp.full(n_pix * L, -u, dtype)
-        vs = jnp.full(n_pix * L, -v, dtype)
-        ws = jnp.full(n_pix * L, -w, dtype)
-        il = jnp.asarray(np.repeat(np.arange(L), n_pix), jnp.int32)
-        ir = jnp.full(n_pix * L, i_rt, jnp.int32)
-        if scheme == "rt1":
-            st = np.asarray(integrate_rays(model, eps, xs, ys, zs,
-                                           us, vs, ws, il, ir), np.float64)
-        else:
-            eps2, istar = assemble_source_function_rt2(
-                model, host, xi, T_cells, n_sent_per_lambda, i_rt,
-                nang_rt=nang_rt, n_theta_i=n_theta_i, n_phi_i=n_phi_i)
-            st = np.asarray(integrate_rays_rt2(
-                model, eps2, jnp.asarray(istar, dtype), xs, ys, zs,
-                us, vs, ws, il), np.float64)
-        st = st.reshape(L, n_pix, N_TYPE)
-        out[:, i_rt, :] += (st * pix_area[None, :, None]).sum(1) / dist2
-
         # direct star term (compute_stars_map analogue): stellar flux
         # attenuated along the LOS from the star centre
         t = los_optical_depth(

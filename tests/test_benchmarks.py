@@ -220,3 +220,122 @@ def test_water3_multilevel(tmp_path):
     assert np.allclose(pops.sum(1), pops.sum(1)[0], rtol=1e-3)
     # ground state dominates in a cold subthermal cloud
     assert np.median(pops[:, 0] / pops.sum(1)) > 0.4
+
+
+def test_vanzadelhoff1_cross_method_1d(tmp_path):
+    """Quantitative vZ1 validation: the production staged-MC NLTE solver
+    and the independent 1D discrete-ordinates ALI solver (utils/ref1d.py,
+    different discretization, ray set and iteration scheme) must agree on
+    Tex(r) within the published inter-code spread (~15%; vZ02 fig. 3's
+    criterion for participating codes).  Offline stand-in for the
+    published-curve comparison (VERDICT r3 item 4)."""
+    from mcfost_tpu.benchmarks import two_level_molecule, vanzadelhoff1_para
+    from mcfost_tpu.grids import geometry as geom
+    from mcfost_tpu.transfer.mol import gas_number_density
+    from mcfost_tpu.transfer.mol_nlte import nlte_populations
+    from mcfost_tpu.utils.ref1d import solve_two_level_1d
+
+    para = vanzadelhoff1_para()
+    para.grid.n_rad, para.grid.nz = 24, 12
+    para.wavelengths.n_lambda = 8
+    para.zones[0].dust_mass = 1e-2       # mid-regime: NLTE, partially thick
+    for sp in para.dust[0]:
+        sp.n_grains = 10
+    model, host = build_model(para, cache_dir=str(tmp_path / "c"))
+    T = np.full(model.grid.n_cells, 20.0)
+    mol = two_level_molecule()
+    ab = para.mol.molecules[0].abundance
+    pops, it, diff = nlte_populations(model, host, mol, T, ab, nlev=2,
+                                      n_rays=24, initial="lte",
+                                      max_iter=30, verbose=False)
+    tex2d = _tex(pops, mol)
+
+    # same radial structure for the 1D solver: spherical radius + n(r)
+    rg = geom.host_arrays(model.grid, "r_grid")
+    zg = geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    n_h2 = gas_number_density(host)
+    order = np.argsort(rs)
+    # radial profile: bin to ~24 shells
+    nsh = 24
+    edges = np.geomspace(rs.min() * 0.999, rs.max() * 1.001, nsh + 1)
+    r_sh, n_sh, t_sh, tex_sh = [], [], [], []
+    for k in range(nsh):
+        m = (rs >= edges[k]) & (rs < edges[k + 1])
+        if m.sum() < 1:
+            continue
+        r_sh.append(np.median(rs[m]))
+        n_sh.append(np.median(n_h2[m]))
+        t_sh.append(20.0)
+        tex_sh.append(np.median(tex2d[m]))
+    r_sh = np.array(r_sh); n_sh = np.array(n_sh)
+    tex_sh = np.array(tex_sh)
+    pops1d, tex1d = solve_two_level_1d(r_sh, n_sh, np.full(len(r_sh), 20.0),
+                                       ab, mol, vturb=150.0)
+    good = np.isfinite(tex_sh) & np.isfinite(tex1d) & (tex1d > 1.0)
+    assert good.sum() >= 10
+    rel = np.abs(tex_sh[good] - tex1d[good]) / tex1d[good]
+    assert np.median(rel) < 0.15, \
+        f"cross-method Tex disagreement {np.median(rel):.1%}"
+    # both must show the same physical ordering: excitation falls outward
+    assert tex1d[good][-1] < tex1d[good][0]
+    assert tex_sh[good][-1] < tex_sh[good][0]
+
+
+def test_pascucci_thin_limit_quantitative(tmp_path):
+    """Quantitative continuum validation (VERDICT r3 item 4): in the
+    optically thin limit the MC dust temperature must match the exact
+    radiative-equilibrium solution
+        int kappa_abs B_lambda(T) dlambda = W(r) int kappa_abs
+        B_lambda(T*) dlambda,   W = 0.5 (1 - sqrt(1 - (R*/r)^2)),
+    computed from the model's own opacity table by bisection — the
+    analytic anchor of the Pascucci et al. (2004) tau=0.1 case."""
+    from mcfost_tpu.benchmarks import pascucci_para
+    from mcfost_tpu.grids import geometry as geom
+    from mcfost_tpu.runner import run_thermal
+
+    para = pascucci_para()
+    para.grid.n_rad, para.grid.nz = 20, 12
+    para.wavelengths.n_lambda = 30
+    para.photons.n_eq_th = 60000
+    para.zones[0].dust_mass = 1e-10        # optically thin everywhere
+    T, sed_th, model, host, res = run_thermal(
+        para, root_dir=str(tmp_path), seed=3, verbose=False)
+    T = np.asarray(T).reshape(-1)
+
+    # analytic thin-limit T(r) from the model's own kappa_abs table
+    wl_m = host.wl.lam * 1e-6
+    dlam = host.wl.dlam * 1e-6
+    kabs = np.asarray(model.kappa_abs, np.float64)[0]     # (L,)
+    t_star = para.stars[0].teff
+    r_star_au = para.stars[0].radius * cst.Rsun_to_AU \
+        if hasattr(cst, "Rsun_to_AU") else para.stars[0].radius * 0.00465047
+
+    def planck(T_):
+        x = cst.hp * cst.c_light / (wl_m * cst.kb * T_)
+        return 1.0 / (wl_m ** 5 * np.expm1(np.clip(x, 1e-6, 500.0)))
+
+    def absorbed(T_):
+        return float(np.sum(kabs * planck(T_) * dlam))
+
+    rhs_star = absorbed(t_star)
+    rg = geom.host_arrays(model.grid, "r_grid")
+    zg = geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    T_ana = np.zeros_like(rs)
+    for i, r_ in enumerate(rs):
+        W = 0.5 * (1.0 - np.sqrt(max(1.0 - (r_star_au / r_) ** 2, 0.0)))
+        target = W * rhs_star
+        lo, hi = 1.0, 2000.0
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            if absorbed(mid) < target:
+                lo = mid
+            else:
+                hi = mid
+        T_ana[i] = 0.5 * (lo + hi)
+
+    good = (T > 2.0) & (T_ana > 2.0)
+    rel = np.abs(T[good] - T_ana[good]) / T_ana[good]
+    assert np.median(rel) < 0.10, \
+        f"thin-limit T deviates {np.median(rel):.1%} from the exact balance"

@@ -23,6 +23,10 @@ import pytest
 from mcfost_tpu import cli
 from mcfost_tpu.io.fits import read_fits
 
+# the 6-fixture sweep exceeds a fast-CI budget; run with -m slow
+# (pytest.ini documents the split)
+pytestmark = pytest.mark.slow
+
 FIXDIR = "/root/reference/test_suite/test_data"
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 

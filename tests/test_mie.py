@@ -176,3 +176,60 @@ def test_mueller_input_file(tmp_path):
     s12r = np.asarray(dm.s12_rt)[0, 0]
     A1 = s12r.shape[0]
     assert abs(abs(s12r[A1 // 2]) - 1.0) < 0.05
+
+
+def test_fresnel_input_per_size(tmp_path):
+    """-Fresnel and -Fresnel_size 4x4 matrix files replace the Mie
+    optics per grain (Fresnel_input(_size), scattering.f90:727-960)."""
+    import numpy as np
+    from mcfost_tpu.config.para import Para
+    from mcfost_tpu.dust.opacity import build_dust_model, build_grain_sizes
+    from mcfost_tpu.physics.wavelengths import log_wavelength_grid
+
+    para = Para()
+    para.wavelengths.n_lambda = 6
+    for sp in para.dust[0]:
+        sp.n_grains = 3
+        sp.amax = 1.0
+    grains = build_grain_sizes(para)
+
+    def write_matrix(path, qsca=0.8, fwd=4.0):
+        ang = np.linspace(0, 180, 19)
+        with open(path, "w") as f:
+            f.write("  Qext  Qsca  <cos(theta)>\n")
+            f.write(f"  1.60  {qsca}  0.55\n\n")
+            f.write(" Mueller Scattering Matrix\n")
+            for a in ang:
+                m11 = 1.0 + fwd * np.exp(-a / 30.0)     # forward peaked
+                f.write(f" {a:6.1f} {m11:.6e} {-0.3*m11:.6e} 0.0 0.0\n")
+                f.write(f" {-0.3*m11:.6e} {m11:.6e} 0.0 0.0\n")
+                f.write(f" 0.0 0.0 {0.9*m11:.6e} {0.05*m11:.6e}\n")
+                f.write(f" 0.0 0.0 {-0.05*m11:.6e} {0.9*m11:.6e}\n")
+
+    mfile = str(tmp_path / "fresnel.dat")
+    write_matrix(mfile)
+    wl = log_wavelength_grid(6, 0.3, 100.0)
+    para.fresnel_file = mfile
+    dust = build_dust_model(para, wl, cache_dir=None, grains=grains)
+    # albedo = qsca/qext = 0.5 at every wavelength, every bucket
+    assert np.allclose(np.asarray(dust.albedo), 0.5, atol=1e-3)
+    # polarization ratio -s12/s11 = 0.3 at all angles where defined
+    r12 = -np.asarray(dust.s12_rt)[0, 0]
+    assert np.allclose(r12[1:], 0.3, atol=0.02)
+
+    # per-size index: wrong size must raise the reference's error
+    import pytest as _pt
+    idx = str(tmp_path / "index.dat")
+    with open(idx, "w") as f:
+        for k, r in enumerate(grains.r_grain):
+            f.write(f"{r * (1.5 if k == 1 else 1.0):.8e} fresnel.dat\n")
+    para.fresnel_per_size = True
+    para.fresnel_file = idx
+    with _pt.raises(ValueError, match="sizes do not match"):
+        build_dust_model(para, wl, cache_dir=None, grains=grains)
+    # correct index works
+    with open(idx, "w") as f:
+        for r in grains.r_grain:
+            f.write(f"{r:.8e} fresnel.dat\n")
+    dust2 = build_dust_model(para, wl, cache_dir=None, grains=grains)
+    assert np.allclose(np.asarray(dust2.albedo), 0.5, atol=1e-3)

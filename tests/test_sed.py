@@ -43,9 +43,9 @@ def stellar_lamflam(host, distance_pc):
 
 def test_sed_th_matches_star(thin):
     para, model, host = thin
-    n = 40000
+    n = 100000
     res = run_thermal_mc(model, jax.random.PRNGKey(5), n, batch=8192,
-                         max_iters=20000)
+                         max_iters=40000)
     sed = np.asarray(res.sed[..., 0], np.float64)      # (L, n_capt)
     n_capt = sed.shape[1]
     l_packet = float(model.l_tot) / n
