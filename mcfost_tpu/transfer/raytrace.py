@@ -666,6 +666,11 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     rows_per_l = model.grid.n_cells * n_az_rt * 2
     bytes_per_l = rows_per_l * max(n_rt * N_TYPE, 128) * 4
     Lc_max = max(1, int(1.0e9 // max(bytes_per_l, 1)))
+    if scheme == "rt2":
+        # the RT2 convolution runs in host numpy: pull the tally ONCE
+        # (per-chunk slices of a device array would re-cross the TPU
+        # tunnel for every chunk x direction)
+        xi = np.asarray(xi)
 
     _rl = cyl.host_arrays(model.grid, "r_lim")
     rmax = float(_rl[-1])

@@ -1,15 +1,23 @@
 import os
 
-# Tests always run on a virtual 8-device CPU mesh so sharding code paths are
-# exercised deterministically without TPU hardware.  The session's
-# sitecustomize imports jax at interpreter startup with JAX_PLATFORMS=axon
-# (tunnelled TPU), so the env var alone is too late — update jax.config too.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Tests run on a virtual 8-device CPU mesh by default so sharding code
+# paths are exercised deterministically without TPU hardware.  The
+# session's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (tunnelled TPU), so the env var alone is too late —
+# update jax.config too.
+#
+# MCFOST_TPU_TESTS=1 keeps the real device for the hardware-marked sweep:
+#   MCFOST_TPU_TESTS=1 python -m pytest tests/ -m tpu
+_ON_TPU = os.environ.get("MCFOST_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")

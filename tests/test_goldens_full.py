@@ -8,7 +8,7 @@ matching test_suite/test_mcfost.py:68-245 (the toy CPU harness in
 test_fixtures.py keeps looser pola because of its 427x-reduced packet
 counts).
 
-Run:  python -m pytest tests/ -m tpu        (on the TPU)
+Run:  MCFOST_TPU_TESTS=1 python -m pytest tests/ -m tpu
 Regenerate goldens:  python tools/make_full_goldens.py  (then commit)
 """
 import os

@@ -13,9 +13,18 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the session's sitecustomize imports jax with JAX_PLATFORMS=axon before
+# this script runs, so the env var alone is too late (same dance as
+# tests/conftest.py): force the config too, before any device use
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
