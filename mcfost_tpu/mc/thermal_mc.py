@@ -545,13 +545,32 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         cell_tab = jnp.stack([model.kappa_factor, model.volume,
                               model.p_icell.astype(dtype)], axis=1)
         need_xkj = (not mono) and "xkjgather" not in abl
-        dense_cells = n_cells <= 16384 and spatial is None \
+        dense_cells = n_cells <= 16384 \
             and "cellgather" not in abl and "nodense" not in abl
         if "cellgather" in abl:
             kfac = jnp.ones(B, dtype)
             vol_flat = jnp.ones(B, dtype)
             cvals = None
             xkj_flat = jnp.zeros(B, dtype)
+        elif dense_cells and spatial is not None:
+            # spatial DD: ONE slab-local one-hot serves everything.
+            # Only owned (or outside-grid) lanes are active, and outside
+            # lanes never consume per-cell values (opac is masked by
+            # `inside`), so the cell tables can be sliced to this
+            # device's slab and share the tally's one-hot.
+            ohs = (tloc[:, None]
+                   == jnp.arange(n_ct, dtype=jnp.int32)).astype(dtype)
+            pad = n_dev * slab - n_cells
+            ctab_full = (jnp.concatenate(
+                [cell_tab, jnp.zeros((pad, 3), dtype)]) if pad > 0
+                else cell_tab)                       # loop-invariant
+            ctab_slab = jax.lax.dynamic_slice_in_dim(
+                ctab_full, dev_id * slab, slab, axis=0)
+            ctab2 = (jnp.concatenate([ctab_slab, s.xkj[:, None]], axis=1)
+                     if need_xkj else ctab_slab)
+            cvals = ohs @ ctab2                      # (B, 3|4)
+            kfac, vol_flat = cvals[:, 0], cvals[:, 1]
+            xkj_flat = cvals[:, 3] if need_xkj else jnp.zeros(B, dtype)
         elif dense_cells:
             ctab = (jnp.concatenate([cell_tab, s.xkj[:, None]], axis=1)
                     if need_xkj else cell_tab)
@@ -603,7 +622,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                 kabsp_rows = oh_p @ model.kappa_absp
         if mrw and not mono:
             d_wall = cyl.distance_to_closest_wall(grid, ri, zj, x, y, z)
-            qheat0 = xkj_flat * l_packet / vol_flat
+            qheat0 = xkj_flat * l_packet / jnp.maximum(vol_flat, 1e-30)
             logq0 = jnp.log(jnp.maximum(qheat0, 1e-300))
             ti0 = jnp.clip(_count_below(qcool_rows, logq0), 1, n_T - 1)
             oh_t0 = _one_hot(ti0, n_T, dtype)
@@ -674,7 +693,8 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             # scatter-add costs ~0.5 ms/iter (55% of the whole thermal
             # iteration, bench §profile); the MXU contraction over the
             # same one-hot used for the gathers costs ~0.2 ms
-            xkj = s.xkj + jnp.einsum("bc,b->c", ohc, dep_w)
+            oh_t = ohs if spatial is not None else ohc
+            xkj = s.xkj + jnp.einsum("bc,b->c", oh_t, dep_w)
         else:
             xkj = s.xkj.at[tloc].add(dep_w)
 
@@ -987,7 +1007,8 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             ua, va, wa = u, v, w
             nabs = s.nabs
         else:
-            qheat = (xkj_flat + dep_w) * l_packet / vol_flat
+            qheat = (xkj_flat + dep_w) * l_packet \
+                / jnp.maximum(vol_flat, 1e-30)
             logq = jnp.log(jnp.maximum(qheat, 1e-300))
             ti = jnp.clip(_count_below(qcool_rows, logq), 1, n_T - 1)
             oh_ti = _one_hot(ti, n_T, dtype)

@@ -53,15 +53,19 @@ def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
     ``dp_1dev_eff = 0.26`` penalty was one compile landing inside the timed
     run).  ``Mesh`` is hashable, so it can key the cache directly."""
 
-    def dev_fn(model, key, state, n_budget):
+    def dev_fn(model, key, state, n_budget, stop_alive):
         # strip the leading per-device axis
         key = key[0]
         n_budget = n_budget[0]
         st = jax.tree.map(lambda a: a[0], state)
+        # per-device early drain exit is safe here: the DP kernel has no
+        # collectives inside the loop (private tallies, psum at the end),
+        # so devices may run different iteration counts per chunk
         st = thermal_mc.advance(model, key, st, n_budget, n_iters=n_iters,
                                 pola=pola, mono=mono, rt=rt,
                                 n_az_rt=n_az_rt, mrw=mrw, jtally=jtally,
-                                dark=dark, age_cap=age_cap)
+                                dark=dark, age_cap=age_cap,
+                                stop_alive=stop_alive[0])
         return jax.tree.map(lambda a: a[None], st)
 
     # jit the shard_mapped chunk: without it every host-loop call re-traces
@@ -69,7 +73,7 @@ def _sharded_advance(mesh: Mesh, n_iters: int, pola: bool, mono: bool,
     # the sharded MCState advances in place
     return jax.jit(jax.shard_map(
         dev_fn, mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp"), P("dp")),
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=P("dp"),
         check_vma=False), donate_argnums=(2,))
 
@@ -125,22 +129,26 @@ def run_thermal_mc_sharded(model: Model, key, n_packets: int,
     summary = _summary_fn()
     done = 0
     b_cur = batch_per_device
-    cur_iters = iters_per_call
-    advs = {iters_per_call: adv}
+
+    def stop_for(b):
+        # next-rung alive threshold (see thermal_mc.run_thermal_mc)
+        if not compact_tail:
+            return 0
+        return 3000 if b > 4096 else 768 if b > 1024 else \
+            96 if b > 128 else 0
+
     while done < max_iters:
-        state = advs[cur_iters](model, keys, state, budgets)
+        stops = jnp.full((n_dev,), stop_for(b_cur), jnp.int32)
+        state = adv(model, keys, state, budgets, stops)
         done, emitted, n_alive, max_dev_alive = (
             int(v) for v in jax.device_get(summary(state)))
         if progress is not None:
             progress(done, emitted, n_alive)
         if compact_tail and emitted >= n_per_dev * n_dev and n_alive > 0:
-            # drain ladder (see run_thermal_mc): short chunks + compact
-            # down fixed widths, applied uniformly across devices
-            cur_iters = min(cur_iters, 256)
-            if cur_iters not in advs:
-                advs[cur_iters] = _sharded_advance(
-                    mesh, cur_iters, pola, mono, jtally, dark, rt=rt,
-                    n_az_rt=n_az_rt, mrw=mrw, age_cap=age_cap)
+            # drain ladder (see run_thermal_mc): the stop_alive early
+            # exit returns control as soon as compaction is possible, so
+            # chunks stay long (short chunks cost a tunnel round-trip
+            # each — shrinking to 256 iters burned ~10 s per run)
             target = b_cur
             for b_new, thresh in ((4096, 3000), (1024, 768), (128, 96)):
                 if max_dev_alive <= thresh and target > b_new:

@@ -164,12 +164,13 @@ def _spatial_mc_chunk(mesh: Mesh, axis: str, n_dev: int, slab: int,
     executes the same number of collectives (a per-device exit would
     deadlock the ring)."""
 
-    def dev_fn(model, keys, state, budgets, totals):
+    def dev_fn(model, keys, state, budgets, totals, stop_work):
         dev = jax.lax.axis_index(axis)
         key = keys[0]
         budget = budgets[0]
         n_total = totals[0]     # traced, so packet count changes don't
-        mc = jax.tree.map(lambda a: a[0], state)   # recompile the kernel
+        stop_w = stop_work[0]   # recompile the kernel
+        mc = jax.tree.map(lambda a: a[0], state)
         body = thermal_mc.make_mc_step(
             model, key, budget, n_total, pola=pola, mono=mono, rt=rt,
             n_az_rt=n_az_rt, mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
@@ -188,14 +189,19 @@ def _spatial_mc_chunk(mesh: Mesh, axis: str, n_dev: int, slab: int,
             return (m, work_of(m), rnd + 1)
 
         def cond(st):
-            return (st[1] > 0) & (st[2] < n_rounds)
+            # the work counter is a psum — identical on every device, so
+            # this collective-safe early exit lets the host compact the
+            # drain (stop_work = next-rung threshold * n_dev, 0 before
+            # the budget is spent)
+            return (st[1] > stop_w) & (st[2] < n_rounds)
 
         mc, work, _ = jax.lax.while_loop(
             cond, round_body, (mc, work_of(mc), jnp.zeros((), jnp.int32)))
         return jax.tree.map(lambda a: a[None], mc), work[None]
 
     f = jax.shard_map(dev_fn, mesh=mesh,
-                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                                P(axis)),
                       out_specs=(P(axis), P(axis)), check_vma=False)
     return jax.jit(f, donate_argnums=(2,))
 
@@ -248,9 +254,18 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
                               nabs_tally=nabs_tally, dark=dark,
                               age_cap=age_cap)
     summary = _spatial_summary_fn()
+
+    def stop_for(b):
+        # per-device next-rung threshold (see run_thermal_mc)
+        return 3000 if b > 4096 else 768 if b > 1024 else \
+            96 if b > 128 else 0
+
     rounds = 0
+    b_cur = batch_per_device
+    stop_w = 0
     while rounds * n_inner < max_rounds:
-        state, work = chunk(model, keys, state, budgets, totals)
+        stops = jnp.full((n_dev,), stop_w, jnp.int32)
+        state, work = chunk(model, keys, state, budgets, totals, stops)
         rounds += rounds_per_call
         done, emitted, n_alive, wk = (
             int(v) for v in jax.device_get(summary(state, work)))
@@ -258,6 +273,30 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
             progress(done, emitted, n_alive)
         if wk == 0:
             break
+        if emitted >= n_per_dev * n_dev and n_alive > 0:
+            # drain ladder (see run_thermal_mc): the chunk's collective
+            # work-threshold exit returns control when compaction may be
+            # possible; lanes compact uniformly across devices (frozen
+            # awaiting-routing lanes count as alive and survive, so the
+            # ring stays consistent across the width change)
+            per_dev_alive = int(jax.device_get(
+                jnp.max(jnp.sum(state.alive.astype(jnp.int32), axis=1))))
+            target = b_cur
+            for b_new, thresh in ((4096, 3000), (1024, 768), (128, 96)):
+                if per_dev_alive <= thresh and target > b_new:
+                    target = b_new
+            if target < b_cur:
+                from .mesh import _compact_sharded
+                state = _compact_sharded(state, target)
+                b_cur = target
+                stop_w = stop_for(b_cur) * n_dev
+            elif wk <= stop_w:
+                # one device still above the rung while the sum is under
+                # the collective threshold: drain without early exit so
+                # the loop cannot spin
+                stop_w = 0
+            else:
+                stop_w = stop_for(b_cur) * n_dev
 
     # ---- assemble the slab-sharded tallies back to global cell order
     def slabs_to_cells(a):        # (n_dev, L, slab) -> (L, n_cells)

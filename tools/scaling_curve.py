@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Packet-DP and spatial-DD efficiency vs n_devices on a virtual CPU mesh.
+"""Packet-DP and spatial-DD WEAK-scaling efficiency on a virtual CPU mesh.
 
 Run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8.
-Prints one JSON line {"n_devices": [...], "dp_pps": [...], "dp_eff": [...],
-"sdd_pps": [...], "sdd_eff": [...]} where eff is throughput per device
-relative to the 1-device run of the same driver (strong-scaling shape;
-absolute speed is CPU, not TPU).
+Each mesh size gets the same packets PER DEVICE (the natural MC scaling:
+more chips = more packets in the same wall time); eff = (pps / n_dev) /
+pps_1dev.  Prints one JSON line {"n_devices", "dp_pps", "dp_eff",
+"sdd_pps", "sdd_eff"}.  Shape-only: absolute speed is CPU, not TPU.
 """
 import json
 import os
@@ -35,14 +35,14 @@ def main():
     from mcfost_tpu.parallel.spatial import run_thermal_mc_spatial
 
     para = Para()
-    para.grid.n_rad, para.grid.nz = 48, 32      # keep the CPU run tractable
-    para.wavelengths.n_lambda = 24
+    para.grid.n_rad, para.grid.nz = 32, 20      # keep the CPU run tractable
+    para.wavelengths.n_lambda = 16
     for sp in para.dust[0]:
-        sp.n_grains = 30
+        sp.n_grains = 16
     model, host = build_model(para, cache_dir=".mcfost_tpu_cache_cpu")
 
-    n = 16000
-    bpd = 4096
+    n = 8000
+    bpd = 2048
     devs = jax.devices()
     sizes = [s for s in (1, 2, 4, 8) if s <= len(devs)]
     out = {"n_devices": sizes, "dp_pps": [], "dp_eff": [],
@@ -55,11 +55,12 @@ def main():
             mesh = make_mesh(devs[:s])
             kw = dict(batch_per_device=bpd)
             if drv is run_thermal_mc_spatial:
-                kw["n_inner"] = 32
-            r = drv(model, jax.random.PRNGKey(1), n, mesh, **kw)
+                kw["n_inner"] = 24
+            n_s = n * s                 # weak scaling: packets/device fixed
+            r = drv(model, jax.random.PRNGKey(1), n_s, mesh, **kw)
             jax.block_until_ready(r.sed)
             t0 = time.time()
-            r = drv(model, jax.random.PRNGKey(1), n, mesh, **kw)
+            r = drv(model, jax.random.PRNGKey(1), n_s, mesh, **kw)
             jax.block_until_ready(r.sed)
             pps = int(r.emitted) / (time.time() - t0)
             if base is None:
