@@ -329,6 +329,75 @@ def run_water(which: int, root_dir: str = ".", overrides=None,
     return pops, tex, model, host
 
 
+def mathis_isrf(lam_um: np.ndarray, chi: float = 1.0) -> np.ndarray:
+    """Mathis, Mezger & Panagia (1983) interstellar radiation field as
+    J_lambda [W m^-2 m^-1 sr^-1]: UV piecewise power laws (91.2-245 nm)
+    plus three diluted blackbodies (7500/4000/3000 K), scaled by chi
+    (-Mathis_field, init_mcfost.f90:1176-1184)."""
+    lam_m = lam_um * 1e-6
+    # diluted blackbodies
+    J = np.zeros_like(lam_um, np.float64)
+    for W, T in ((1.0e-14, 7500.0), (1.65e-13, 4000.0),
+                 (4.0e-13, 3000.0)):
+        x = cst.hp * cst.c_light / (lam_m * cst.kb * T)
+        J += W * 2 * cst.hp * cst.c_light ** 2 / lam_m ** 5 \
+            / np.maximum(np.expm1(np.minimum(x, 500.0)), 1e-300)
+    # UV component (MMP83 table values, in erg cm^-3 A^-1 -> SI)
+    lam_a = lam_um * 1e4            # Angstrom
+    uv = np.zeros_like(lam_um, np.float64)
+    m1 = (lam_a >= 912.0) & (lam_a < 1100.0)
+    m2 = (lam_a >= 1100.0) & (lam_a < 1340.0)
+    m3 = (lam_a >= 1340.0) & (lam_a < 2460.0)
+    uv[m1] = 1.287e-9 * (lam_a[m1] / 1e4) ** 4.4172
+    uv[m2] = 6.825e-13 * (lam_a[m2] / 1e4)
+    uv[m3] = 2.373e-14 * (lam_a[m3] / 1e4) ** (-0.6678)
+    # u_lambda [erg cm^-3 A^-1] -> J_lambda = c u / (4 pi) [SI]
+    uv_si = uv * 1e-7 / 1e-6 * 1e10          # J m^-3 m^-1
+    J += cst.c_light * uv_si / (4.0 * np.pi)
+    return chi * J
+
+
+def run_shg_benchmark(para, chi: float = 1.0, root_dir: str = "."):
+    """-benchmark_SHG [-Mathis_field chi]: stochastic-heating benchmark —
+    the para file's grain populations illuminated by the chi-scaled
+    Mathis ISRF; writes P(T) and the emergent emissivity per size
+    (lbenchmark_SHG, init_mcfost.f90:1173-1184; the Camps et al. 2015
+    TRUST SHG setup)."""
+    from .physics import stochastic as stoch
+    from .physics.wavelengths import log_wavelength_grid
+    from .dust.opacity import build_dust_model, build_grain_sizes
+    from .io.fits import write_fits
+    os.makedirs(root_dir, exist_ok=True)
+    wl = log_wavelength_grid(200, 0.0912, 3000.0)
+    grains = build_grain_sizes(para)
+    dust = build_dust_model(para, wl, cache_dir=None, grains=grains)
+    J = mathis_isrf(wl.lam, chi)[None, :]          # one "cell"
+    sizes = grains.r_grain
+    P_all, emis_all, tabs = [], [], None
+    for k in range(sizes.size):
+        fam = "PAH" if "PAH" in para.dust[0][0].components[0] \
+            .optical_indices_file else "silicate"
+        tab = stoch.build_nre_tables(float(sizes[k]), dust.c_abs[k],
+                                     wl.lam, fam, float(grains.rho1g[k]))
+        P, _, _ = stoch.solve_temperature_distribution(tab, J,
+                                                       force_nre=True)
+        P_all.append(P[0])
+        emis_all.append(stoch.nre_emissivity(tab, P)[0])
+        tabs = tab
+    out = os.path.join(root_dir, "data_SHG")
+    os.makedirs(out, exist_ok=True)
+    write_fits(os.path.join(out, "Proba_Tdust.fits.gz"),
+               np.stack(P_all).astype(np.float32),
+               extensions=[tabs.T_bins.astype(np.float64),
+                           sizes.astype(np.float64)])
+    write_fits(os.path.join(out, "emissivity.fits.gz"),
+               np.stack(emis_all).astype(np.float32),
+               extensions=[wl.lam.astype(np.float64)],
+               keywords={"CHI": chi})
+    print(f"  SHG benchmark: {sizes.size} sizes, chi = {chi}; "
+          f"wrote {out}/Proba_Tdust.fits.gz, emissivity.fits.gz")
+
+
 def _impose_temperature(model, host, law):
     """Analytic Tdust/Tcin on the grid (ldust_mol benchmarks)."""
     from .grids import geometry as geom

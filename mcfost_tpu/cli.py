@@ -109,6 +109,14 @@ def _main(argv=None):
     t_file = None
     no_backup = False
     img_lambda_op = None
+    stop_after_init = False
+    header_only = False
+    phantom_multi = None
+    phantom_avg = False
+    seb_c_grid = False
+    bench_shg = False
+    mathis_field = 1.0
+    p2m = False
 
     i = 0
     while i < len(argv):
@@ -163,9 +171,12 @@ def _main(argv=None):
         elif a == "-atom":
             do_atom = True
         elif a == "-disk_struct":
-            do_diag.append("disk")
+            # the reference stops after init with -disk_struct
+            # (lstop_after_init, init_mcfost.f90:621-624); +disk_struct
+            # writes the same files and continues
+            do_diag.append("disk"); stop_after_init = True
         elif a == "-dust_prop":
-            do_diag.append("dust")
+            do_diag.append("dust"); stop_after_init = True
         elif a in ("-tau_map", "-optical_depth_map"):
             do_diag.append("tau")
         elif a in ("-cd", "-column_density"):
@@ -300,6 +311,13 @@ def _main(argv=None):
             para.wavelengths.compute_temp = False
         elif a in ("-mc", "-rt"):
             pass        # MC SED always captured; RT always on
+        elif a == "-no-rt":
+            # MC observables only, no ray-traced pass
+            # (lscatt_ray_tracing=.false. + loutput_mc,
+            # init_mcfost.f90:828-833)
+            para.no_rt = True
+        elif a == "-output_rates":
+            para.output_rates = True
         elif a == "-nT":
             i += 1; para.n_T = int(argv[i])
         elif a == "-cutoff":
@@ -416,6 +434,256 @@ def _main(argv=None):
             # ring-routed to their owner slab) for models whose per-cell
             # arrays exceed one chip's HBM — parallel/spatial.py
             spatial_dd = True
+        # ---- aliases of existing flags (init_mcfost.f90 case lists) ----
+        elif a == "-df":
+            i += 1; hydro_spec = ("density_file", argv[i])
+        elif a == "-sigma":
+            i += 1; hydro_spec = ("sigma_file", argv[i])
+        elif a == "-gadget":
+            i += 1; hydro_spec = ("gadget2", argv[i])
+        elif a == "-fargo":
+            hydro_spec = ("fargo3d", argv[i + 1], argv[i + 2]); i += 2
+        elif a == "-ml":
+            do_ml = True
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1; ml_model_path = argv[i]
+        elif a in ("-Astrochem", "-AstroChem"):
+            do_astrochem = True
+        elif a in ("-photo_dissociation", "-photo-dissociation"):
+            chem.photo_dissociation = True
+        elif a in ("-photo_dissociation_factor", "-photo-dissociation-factor",
+                   "-photodissociation-factor"):
+            i += 1; chem.photo_dissociation = True
+            chem.photodissociation_factor = float(argv[i])
+        elif a in ("-photo_desorption", "-photo-desorption"):
+            chem.photo_desorption = True
+        elif a == "-freeze-out":
+            i += 1; chem.freeze_out = True
+            chem.T_freeze_out = float(argv[i])
+        elif a in ("-phase-function", "-phase_function_file",
+                   "-phase-function-file"):
+            i += 1; para.mueller_file = argv[i]
+        elif a in ("-vphi_Kep", "-vphi_kep"):
+            para.vphi_kep = True
+        elif a in ("-cylindrical_rotation", "-cyl_rotation", "-cyl_rot"):
+            para.cyl_rotation = True
+        elif a in ("-output_UV",):
+            output_uv = True
+        elif a in ("-output_J1", "-output_J_step1", "-output_J_step_th"):
+            # J after the thermal step (loutput_J_step1); in this build
+            # the thermal step is where J is tallied, same array
+            output_j = True
+        elif a in ("-ds", "-output_density_grid"):
+            do_diag.append("disk"); stop_after_init = True
+        elif a in ("+disk_struct", "+ds"):
+            do_diag.append("disk")      # and continue with the run
+        elif a == "+dust_prop":
+            do_diag.append("dust")
+        elif a in ("-tau_to_cell", "-optical_depth_to_cell"):
+            para.tau_to_cell = True; do_diag.append("tau_cell")
+        elif a in ("-mol_cd", "-mol_column_density"):
+            para.mol_cd = True
+        elif a == "-write_velocity":
+            para.write_velocity = True; do_diag.append("disk")
+        elif a == "-write_abundance":
+            para.write_abundance = True
+        elif a == "-average_grain_size":
+            para.average_grain_size = True; do_diag.append("dust")
+        elif a == "-tmp_dir":
+            i += 1; para.tmp_dir = argv[i]
+        elif a == "-old_PA":
+            para.old_pa = True
+        # ---- geometry modifiers ----
+        elif a == "-3D":
+            # l3D: disable the z/central/image symmetries (the grid keeps
+            # the para file's n_az, as in the reference)
+            para.force_3d = True
+            para.sym_image = para.sym_central = para.sym_axial = False
+        elif a == "-warp":
+            i += 1; para.z_warp = float(argv[i])
+            para.force_3d = True
+            para.sym_image = para.sym_central = para.sym_axial = False
+            if para.grid.n_az == 1:
+                print("WARNING : forcing 3D mode")
+        elif a == "-tilt":
+            i += 1; para.tilt_angle = float(argv[i])
+            para.force_3d = True
+            para.sym_image = para.sym_central = para.sym_axial = False
+            if para.grid.n_az == 1:
+                print("WARNING : forcing 3D mode")
+        elif a == "-izone":
+            i += 1; para.izone_tilt = int(argv[i])
+            if para.izone_tilt < 1:
+                print("error: izone must be a positive integer"); return 1
+        elif a == "-rs":
+            para.remove_species = (int(argv[i + 1]), float(argv[i + 2]))
+            i += 2
+        elif a == "-z_scaling_env":
+            i += 1; para.z_scaling_env = float(argv[i])
+        elif a == "-correct_density":
+            para.correct_density = (float(argv[i + 1]), float(argv[i + 2]),
+                                    float(argv[i + 3])); i += 3
+        # ---- MC / transfer controls ----
+        elif a == "-killing_level":
+            i += 1; para.killing_level = int(argv[i])
+        elif a == "-weight_emission":
+            # the machinery exists in the reference but its weights stay
+            # unity: define_proba_weight_emission's body is fully
+            # commented out (thermal_emission.f90:2090-2135), so the flag
+            # is behaviourally a no-op there; mirrored here
+            para.weight_emission = True
+            print("WARNING: -weight_emission accepted; emission weights "
+                  "are unity (as in the reference, whose "
+                  "define_proba_weight_emission body is commented out)")
+        elif a == "-no_diff_approx":
+            para.approx_diffusion = False
+        elif a == "-diff_approx":
+            para.force_diff_approx = True
+        elif a == "-only_diff_approx":
+            para.only_diff_approx = True
+        elif a == "-n_MC_bins":
+            para.n_mc_bins = (int(argv[i + 1]), int(argv[i + 2])); i += 2
+        elif a == "-only_scatt":
+            # parsed but never read in the reference 4.1 either
+            # (lonly_scatt is set at init_mcfost.f90:1092 and never used)
+            para.only_scatt = True
+            print("WARNING: -only_scatt is accepted but inert "
+                  "(as in the reference, where lonly_scatt is never read)")
+        elif a == "-split_image":
+            para.split_image = True
+        elif a == "-electron_scatt":
+            # mirror the reference: the flag exists and errors
+            # (init_mcfost.f90:735 "option -electron_scatt not yet")
+            raise SystemExit("option -electron_scatt not yet")
+        elif a == "-calc_jnu_atom":
+            raise SystemExit("option -calc_jnu_atom not yet")
+        # ---- dust / grain controls ----
+        elif a == "-pah":
+            para.force_pah = True
+        elif a == "-Tmax_PAH":
+            i += 1; para.tmax_pah = float(argv[i])
+        elif a == "-force_PAH_equilibrium":
+            para.force_pah_eq = True
+        elif a == "-force_PAH_out_equilibrium":
+            para.force_pah_out_eq = True
+            if para.force_pah_eq:
+                print("ERROR: cannot force eq. and out eq."); return 1
+        elif a == "-grain_size_distrib_file":
+            i += 1; para.grain_size_file = argv[i]
+        elif a in ("-fluffy", "-fluffyness"):
+            i += 1; para.fluffyness = float(argv[i])
+        elif a == "-Pmax":
+            i += 1; para.pmax_overwrite = float(argv[i])
+        elif a == "-force_HG":
+            i += 1; para.hg_scattering = True
+            para.forced_g = float(argv[i])
+        elif a == "-force_hg":
+            i += 1; para.hg_scattering = True
+            para.forced_g = float(argv[i])
+        # ---- atomic NLTE loop controls ----
+        elif a == "-start_step":
+            i += 1; para.istep_start = int(argv[i])
+        elif a == "-end_step":
+            i += 1; para.istep_end = int(argv[i])
+            if para.istep_end > 2:
+                print("error: last step of non-LTE loop is capped at 2!")
+                return 1
+        elif a == "-healpix_nlte":
+            para.istep_start = 1; para.istep_end = 1
+        elif a == "-art_line_resol":
+            i += 1; para.art_hv = float(argv[i])
+        elif a == "-Ng_Nperiod":
+            i += 1; para.ng_nperiod = int(argv[i])
+        elif a == "-Nrays_mc_step":
+            i += 1; para.n_rays_mc = int(argv[i])
+            if para.n_rays_mc <= 0:
+                print("error: N_rayons_mc must be > 0"); return 1
+        elif a == "-Ndelay_iterate_ne":
+            i += 1; para.ndelay_iterate_ne = int(argv[i])
+        # ---- molecular physics ----
+        elif a == "-correct_Tgas":
+            i += 1; para.correct_tgas = float(argv[i])
+        elif a == "-chi_infall":
+            i += 1; para.chi_infall = float(argv[i])
+        # ---- ProDiMo coupling variants ----
+        elif a in ("-prodimo1", "-prodimo2", "-prodimo3", "-prodimo4"):
+            do_prodimo = True; para.prodimo_version = int(a[-1])
+        elif a == "-prodimo_input_dir":
+            i += 1; para.prodimo_input_dir = argv[i]
+        elif a == "-prodimo_fPAH":
+            i += 1; para.prodimo_fpah = float(argv[i])
+        elif a in ("-p2m", "-prodimo2mcfost"):
+            p2m = True
+        # ---- SPH / Voronoi particle handling ----
+        elif a in ("-phantom-multi", "-phantom-add", "-phantom-avg"):
+            n_files = int(argv[i + 1]); i += 1
+            phantom_multi = [argv[i + 1 + k] for k in range(n_files)]
+            i += n_files
+            phantom_avg = (a == "-phantom-avg")
+        elif a == "-SPH_amin":
+            i += 1; para.sph_cuts["sph_amin"] = float(argv[i])
+        elif a == "-SPH_amax":
+            i += 1; para.sph_cuts["sph_amax"] = float(argv[i])
+        elif a == "-force_Mgas":
+            para.sph_cuts["force_mgas"] = True
+        elif a in ("-limits", "-limits_file"):
+            i += 1; para.sph_cuts["limits_file"] = argv[i]
+        elif a == "-keep_particles":
+            i += 1; f_ = float(argv[i])
+            if not 0.0 <= f_ <= 1.0:
+                print("error: keep_particles value must between 0 and 1")
+                return 1
+            para.sph_cuts["keep_particles"] = f_
+        elif a in ("-fix_star", "-fix_stars"):
+            para.sph_cuts["fix_stars"] = True
+        elif a == "-ignore_dust":
+            para.sph_cuts["ignore_dust"] = True
+        elif a == "-ignore_sink":
+            para.sph_cuts["ignore_sink"] = True
+        elif a == "-no_internal_energy":
+            para.sph_cuts["no_internal_energy"] = True
+        elif a == "-turn-off_planets":
+            para.sph_cuts["turn_off_planets"] = True
+        elif a == "-turn-off_Lacc":
+            para.sph_cuts["turn_off_lacc"] = True
+        elif a == "-planet":
+            i += 1; para.sph_cuts["which_planet"] = int(argv[i])
+        elif a == "-delta_planet_az":
+            para.sph_cuts["delta_planet_az"] = (int(argv[i + 1]),
+                                                float(argv[i + 2])); i += 2
+        elif a in ("-expand_z", "-expand-z", "-ez"):
+            i += 1; para.sph_cuts["expand_z"] = float(argv[i])
+        elif a == "-random_az":
+            para.sph_cuts["random_az"] = True
+        elif a == "-random_gap":
+            i += 1; para.sph_cuts["random_gap"] = float(argv[i])
+        elif a == "-random_outside_gap":
+            i += 1; para.sph_cuts["random_outside_gap"] = float(argv[i])
+        elif a == "-correct_density_elongated_cells":
+            i += 1
+            para.sph_cuts["correct_elongated"] = float(argv[i])
+        elif a == "-header_only":
+            header_only = True
+        # ---- special / collaborator modes ----
+        elif a == "-Seb_C":
+            seb_c_grid = True
+        elif a == "-read_Seb_C":
+            hydro_spec = ("seb_charnoz", "twhydra_simuturb_mcfost.dat")
+        elif a == "-read_Seb_C2":
+            i += 1; hydro_spec = ("seb_charnoz", argv[i])
+        elif a == "-benchmark_SHG":
+            bench_shg = True
+        elif a == "-Mathis_field":
+            if not bench_shg:
+                print("error: Mathis field can only be used with the "
+                      "SHG benchmark"); return 1
+            i += 1; mathis_field = float(argv[i])
+        elif a == "-flux_fraction_surface":
+            # needs an energy-fraction recorder inside the line
+            # integrator (emission_line_energy_fraction_surface_map,
+            # mol_transfer.f90:1215-1300) — refuse rather than fake it
+            raise SystemExit("-flux_fraction_surface is not implemented "
+                             "in this build yet")
         else:
             # Unknown flags are a hard error: a physics-changing reference
             # flag silently ignored would compute the wrong model
@@ -435,9 +703,113 @@ def _main(argv=None):
     if not_random_voronoi:
         os.environ["MCFOST_TPU_NOT_RANDOM_VORONOI"] = "1"
 
+    # -pah: force stochastic (nRE) heating for PAH populations; -force_
+    # PAH_equilibrium treats them as RE+LTE instead (init_mcfost.f90:
+    # 519,1151-1153)
+    if getattr(para, "force_pah", False):
+        for sp_l in para.dust:
+            for sp_ in sp_l:
+                if "PAH" in sp_.components[0].optical_indices_file:
+                    sp_.heating_method = 3
+    if getattr(para, "force_pah_eq", False):
+        for sp_l in para.dust:
+            for sp_ in sp_l:
+                if sp_.heating_method == 3:
+                    sp_.heating_method = 1
+
+    # -SPH_amin/-SPH_amax clamp the grain-size range mapped onto the SPH
+    # dust (lforce_SPH_amin/amax, init_mcfost.f90:981-992); -fluffy
+    # divides the sizes by the fluffyness (SPH2mcfost.f90:451-453).
+    # Applied once here to the para species bounds, the size axis the
+    # TPU build draws its distribution from.
+    _amin = para.sph_cuts.pop("sph_amin", None)
+    _amax = para.sph_cuts.pop("sph_amax", None)
+    _fluf = getattr(para, "fluffyness", None)
+    if _amin or _amax or _fluf:
+        for sp_l in para.dust:
+            for sp_ in sp_l:
+                if _amin:
+                    sp_.amin = _amin
+                if _amax:
+                    sp_.amax = _amax
+                if _fluf:
+                    print("WARNING: Grain sizes are adjusted for "
+                          "fluffyness")
+                    sp_.amin /= _fluf
+                    sp_.amax /= _fluf
+
     import jax
     import numpy as np
     from .runner import run_thermal, run_sed_step
+
+    if header_only:
+        # -header_only: print the hydro dump header and stop
+        # (lheader_only + lstop_after_init, init_mcfost.f90:1492-1495)
+        if phantom_file is None:
+            print("error: -header_only needs a -phantom dump"); return 1
+        from .io.phantom import print_header
+        print_header(phantom_file)
+        return 0
+
+    if seb_c_grid:
+        # -Seb_C: print the cylindrical cell-edge table and stop
+        # (lSeb_Charnoz, cylindrical_grid.f90:658-670)
+        from .grids.cylindrical import build_cylindrical_grid
+        g = build_cylindrical_grid(para)
+        r_lim = np.asarray(g.r_lim, np.float64)
+        zmax = np.asarray(g.zmax, np.float64)
+        nz = para.grid.nz
+        print("# n_rad nz")
+        print(para.grid.n_rad, nz)
+        print("# ir\tiz\tRmin\t\tdeltaR\t\t\tZmin\t\tdeltaZ")
+        for ir in range(para.grid.n_rad):
+            dz = zmax[ir] / nz
+            for iz in range(nz):
+                print(f"{ir+1:3d}   {iz+1:3d}   {r_lim[ir]:16.9e}   "
+                      f"{r_lim[ir+1]-r_lim[ir]:16.9e}   "
+                      f"{iz*dz:16.9e}   {dz:16.9e}")
+        return 1
+
+    if bench_shg:
+        # -benchmark_SHG [-Mathis_field W]: stochastic-heating benchmark —
+        # a single PAH population illuminated by the Mathis ISRF
+        # (lbenchmark_SHG/lMathis_field, init_mcfost.f90:1173-1184;
+        # the Camps et al. 2015 TRUST SHG setup)
+        from .benchmarks import run_shg_benchmark
+        run_shg_benchmark(para, chi=mathis_field, root_dir=root_dir)
+        return 0
+
+    if phantom_multi is not None:
+        # -phantom-multi/-add/-avg: merge N phantom dumps into one
+        # particle set (init_mcfost.f90:964-980); -avg averages the
+        # per-particle fields of time-matched dumps instead of stacking
+        from .io.phantom import read_phantom_merged
+        sph_merged = read_phantom_merged(phantom_multi, avg=phantom_avg)
+        from .runner import run_sph
+        print(f"mcfost_tpu: Voronoi thermal MC from {len(phantom_multi)} "
+              f"merged dumps ({sph_merged.xyz.shape[0]} gas particles)")
+        run_sph(para, sph_merged, root_dir=root_dir, seed=seed)
+        return 0
+
+    if p2m:
+        # -p2m / -prodimo2mcfost: read the ProDiMo-computed gas state
+        # (T_gas + molecular abundance) back and ray-trace lines on it
+        # (lProDiMo2mcfost, init_mcfost.f90:1105-1110, io_prodimo.f90:1291)
+        from .io.prodimo import read_prodimo_output
+        from .runner import run_mol_step
+        pdir = para.prodimo_input_dir or "."
+        pfile = os.path.join(pdir, "forMCFOST.fits.gz")
+        if not os.path.exists(pfile):
+            print(f"error: -p2m needs {pfile} (ProDiMo output grid)")
+            return 1
+        print(f"mcfost_tpu: ProDiMo gas state from {pfile}")
+        T, sed_th, model, host, res = run_thermal(
+            para, root_dir=root_dir, seed=seed, verbose=False)
+        t_gas, abundance = read_prodimo_output(pfile)
+        run_mol_step(para, model, host,
+                     t_gas.reshape(np.asarray(T).shape), root_dir=root_dir,
+                     chem=chem, abundance=abundance)
+        return 0
 
     t_start = time.time()
     if img_lambda is not None:
@@ -453,8 +825,9 @@ def _main(argv=None):
         print(f"total: {time.time()-t_start:.1f}s")
         return 0
 
-    if do_diag and not (do_sed or do_mol):
-        # diagnostics-only modes don't need the MC
+    if do_diag and (stop_after_init or not (do_sed or do_mol)):
+        # diagnostics-only modes don't need the MC; -disk_struct and
+        # -dust_prop stop after init like the reference (+ds continues)
         from .mc.model import build_model
         from .io import diagnostics as diag
         model, host = build_model(para, cache_dir=os.path.join(
@@ -469,6 +842,10 @@ def _main(argv=None):
                                threshold_lambda_index(host.wl.lam), root_dir)
         if "cd" in do_diag:
             diag.write_column_density(model, host, root_dir)
+        if "tau_cell" in do_diag:
+            from .physics.diffusion import threshold_lambda_index
+            diag.write_tau_to_cell(
+                model, host, threshold_lambda_index(host.wl.lam), root_dir)
         for it_ in do_diag:
             if isinstance(it_, tuple) and it_[0] == "tausurf":
                 from .physics.diffusion import threshold_lambda_index
@@ -524,6 +901,8 @@ def _main(argv=None):
             return 0
         elif kind == "density_file":
             hydro = hyd.read_density_file(hydro_spec[1], para)
+        elif kind == "seb_charnoz":
+            hydro = hyd.read_seb_charnoz(hydro_spec[1], para)
         elif kind == "sigma_file":
             sig = hyd.read_sigma_file(hydro_spec[1], para)
             # defer rho build to the grid: pass a callable-free triple by
@@ -587,6 +966,10 @@ def _main(argv=None):
                                threshold_lambda_index(host.wl.lam), root_dir)
         if "cd" in do_diag:
             diag.write_column_density(model, host, root_dir)
+        if "tau_cell" in do_diag:
+            from .physics.diffusion import threshold_lambda_index
+            diag.write_tau_to_cell(
+                model, host, threshold_lambda_index(host.wl.lam), root_dir)
         for it_ in do_diag:
             if isinstance(it_, tuple) and it_[0] == "tausurf":
                 from .physics.diffusion import threshold_lambda_index

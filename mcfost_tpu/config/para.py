@@ -275,6 +275,52 @@ class Para:
     # (optical_depth.f90:517-519)
     mol_half: int = 0
     chi_ism: float = 1.0
+    # ---- round-4 CLI long tail (init_mcfost.f90:462-1530) ----
+    force_3d: bool = False            # -3D (l3D: no z symmetry)
+    tilt_angle: float = 0.0           # -tilt [deg], about the x axis
+    izone_tilt: int = 1               # -izone: which zone -tilt applies to
+    remove_species: tuple | None = None  # -rs (ispecies, T_rm)
+    killing_level: int | None = None  # -killing_level (n_dif_max_eq_th)
+    weight_emission: bool = False     # -weight_emission
+    approx_diffusion: bool = True     # -no_diff_approx disables
+    only_diff_approx: bool = False    # -only_diff_approx
+    force_diff_approx: bool = False   # -diff_approx
+    pmax_overwrite: float | None = None  # -Pmax (scale -S12/S11 peak)
+    fluffyness: float | None = None   # -fluffy (porosity fraction)
+    grain_size_file: str | None = None  # -grain_size_distrib_file
+    force_pah_eq: bool = False        # -force_PAH_equilibrium
+    force_pah_out_eq: bool = False    # -force_PAH_out_equilibrium
+    tmax_pah: float | None = None     # -Tmax_PAH
+    force_pah: bool = False           # -pah
+    correct_density: tuple | None = None   # (factor, Rin, Rout)
+    correct_tgas: float | None = None      # -correct_Tgas
+    z_scaling_env: float = 1.0        # -z_scaling_env
+    chi_infall: float | None = None   # -chi_infall (radial infall / v_kep)
+    vphi_kep: bool = False            # -vphi_Kep: force Keplerian v_phi
+    cyl_rotation: bool = False        # -cylindrical_rotation
+    old_pa: bool = False              # -old_PA (pre-2019 PA convention)
+    split_image: bool = False         # -split_image (lsepar_ori)
+    only_scatt: bool = False          # -only_scatt (dead in ref 4.1 too)
+    n_mc_bins: tuple | None = None    # -n_MC_bins (ntheta, nazimuth)
+    mol_cd: bool = False              # -mol_cd molecular column density
+    write_abundance: bool = False     # -write_abundance
+    write_velocity: bool = False      # -write_velocity
+    average_grain_size: bool = False  # -average_grain_size
+    tau_to_cell: bool = False         # -optical_depth_to_cell
+    flux_fraction_surface: float | None = None  # -flux_fraction_surface
+    prodimo_version: int = 5          # -prodimo1..4 override
+    prodimo_fpah: float | None = None  # -prodimo_fPAH
+    prodimo_input_dir: str | None = None  # -prodimo_input_dir
+    tmp_dir: str = ""                 # -tmp_dir (cache/scratch)
+    art_hv: float | None = None       # -art_line_resol [km/s]
+    istep_start: int = 1              # -start_step / -healpix_nlte
+    istep_end: int = 2                # -end_step
+    forced_g: float | None = None     # -force_HG <g>
+    no_rt: bool = False               # -no-rt: MC observables only
+    output_rates: bool = False        # -output_rates (atomic NLTE)
+    ng_nperiod: int | None = None     # -Ng_Nperiod
+    n_rays_mc: int | None = None      # -Nrays_mc_step
+    ndelay_iterate_ne: int = 0        # -Ndelay_iterate_ne
 
     @property
     def rmin(self) -> float:

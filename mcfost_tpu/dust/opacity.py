@@ -50,12 +50,31 @@ def build_grain_sizes(para: Para) -> GrainPopulation:
     (reference: src/dust_prop.f90:119-209)."""
     rs, ss, ms, ns, rhos, zones = [], [], [], [], [], []
     avg_mass = 0.0
+    # -grain_size_distrib_file: tabulated (a, n(a)) replacing the
+    # power law — single population only (lread_grain_size_distrib,
+    # dust_prop.f90:64-108)
+    gs_file = getattr(para, "grain_size_file", None)
+    file_a = file_n = None
+    if gs_file:
+        n_pop = sum(len(sp) for sp in para.dust)
+        if n_pop > 1:
+            raise SystemExit("you cannot provide a grain size "
+                             "distribution with more than 1 population")
+        rows = [ln.split() for ln in open(gs_file)
+                if ln.strip() and not ln.lstrip().startswith(("#", "!"))]
+        file_a = np.array([float(r[0]) for r in rows])
+        file_n = np.array([float(r[1]) for r in rows])
+        if file_a.size != para.dust[0][0].n_grains:
+            raise SystemExit("the number of grains must be the same as "
+                             "in the parameter file.")
     for iz, species in enumerate(para.dust):
         for sp in species:
             material = mat.get_material(sp.components[0].optical_indices_file)
             rho1g = material.rho * (1.0 - sp.porosity)
             kdelta = np.exp(np.log(sp.amax / sp.amin) / sp.n_grains)
             a = sp.amin * np.sqrt(kdelta) * kdelta ** np.arange(sp.n_grains)
+            if file_a is not None:
+                a = file_a
             # average grain mass of the analytic distribution
             # (dust_prop.f90:127-146)
             p = sp.aexp
@@ -75,8 +94,16 @@ def build_grain_sizes(para: Para) -> GrainPopulation:
                        * (1 - p) * np.log(sp.amax / sp.amin)
                        / (sp.amax ** (1 - p) - sp.amin ** (1 - p)))
 
-            n = a ** (-p) * a          # extra a: da = a dln a
-            n = n / n.sum()            # fraction per size within pop
+            if file_n is not None:
+                # tabulated n(a); extra a for da = a dln a
+                # (dust_prop.f90:100-103)
+                n = file_n * a
+                n = n / n.sum()
+                m_k = cst.four_thirds_pi * (a * cst.mum_to_cm) ** 3 * rho1g
+                avg = float((n * m_k).sum())
+            else:
+                n = a ** (-p) * a      # extra a: da = a dln a
+                n = n / n.sum()        # fraction per size within pop
             # include mass fraction / avg mass so density*n = number density
             # (dust_prop.f90:203-209, uniform-dust path)
             n = n * sp.mass_fraction / avg
@@ -337,9 +364,13 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         gsca = np.zeros_like(gsca)
     elif para.hg_scattering:
         # -hg: Henyey-Greenstein phase function at the Mie asymmetry g
-        # (hg, scattering.f90:1354-1383), same scattered energy
+        # (hg, scattering.f90:1354-1383), same scattered energy;
+        # -force_HG <g> pins g to the given value (lforce_HG,
+        # init_mcfost.f90:1098-1104)
         s11_int = (s11 * wsin[None, None, :]).sum(-1)       # (K, L)
-        g = np.clip(gsca, -0.99, 0.99)
+        fg = getattr(para, "forced_g", None)
+        g = np.clip(np.full_like(gsca, fg) if fg is not None else gsca,
+                    -0.99, 0.99)
         hgp = ((1.0 - g[:, :, None] ** 2)
                / np.maximum(1.0 + g[:, :, None] ** 2
                             - 2.0 * g[:, :, None]
@@ -349,6 +380,13 @@ def build_dust_model(para: Para, wl: WavelengthGrid,
         s12 = np.zeros_like(s12)
         s33 = s11.copy()
         s34 = np.zeros_like(s34)
+
+    # -Pmax: overwrite S12 with a Rayleigh-like bell of peak polarisation
+    # Pmax (overwrite_s12, scattering.f90:561-576)
+    pmax_ow = getattr(para, "pmax_overwrite", None)
+    if pmax_ow is not None:
+        th_ow = np.linspace(0.0, np.pi, s11.shape[-1])
+        s12 = -pmax_ow * np.sin(th_ow)[None, None, :] ** 2 * s11
 
     c_ext = qext * grains.s_grain[:, None]
     c_sca = qsca * grains.s_grain[:, None]

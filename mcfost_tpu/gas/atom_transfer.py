@@ -695,7 +695,9 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                    n_rays: int = 100, healpix_lorder: int | None = None,
                    initial: str = "lte", ng_order: int = 2,
                    verbose: bool = False, iterate_ne: int = 0,
-                   pops0: np.ndarray | None = None):
+                   pops0: np.ndarray | None = None,
+                   ng_period: int | None = None, ndelay_ne: int = 0,
+                   output_rates_path: str | None = None):
     """MALI iteration to statistical equilibrium (nlte_loop_mali,
     gas/atom_transfer.f90:123-881).  Returns (pops, n_iter, dM).
 
@@ -756,7 +758,7 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
 
         # ne re-iteration: charge conservation with the NLTE ion
         # populations of this atom imposed (-iterate_ne)
-        if iterate_ne and it % iterate_ne == 0:
+        if iterate_ne and it > ndelay_ne and it % iterate_ne == 0:
             from .electron import solve_ne_nlte
             ion_charge = np.maximum(atom.stage - atom.stage.min(), 0)
             n_elec_model = (pops * ion_charge[None, :]).sum(1)
@@ -772,10 +774,13 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                 print(f"    iterate_ne: max dne/ne = {dne:.2e}")
 
         if ng_order:
+            # -Ng_Nperiod overrides the default order+2 cadence
+            # (Ng_Nperiod, init_mcfost.f90:919-927)
+            period = ng_period if ng_period else ng_order + 2
             history.append(pops.copy())
             if len(history) > ng_order + 2:
                 history.pop(0)
-            if len(history) == ng_order + 2 and it % (ng_order + 2) == 0:
+            if len(history) == ng_order + 2 and it % period == 0:
                 from ..utils.ng import ng_accelerate
                 acc = np.maximum(ng_accelerate(history, order=ng_order), 0.0)
                 tot = np.maximum(acc.sum(1, keepdims=True), 1e-300)
@@ -790,6 +795,15 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
             # reference -safe_stop (atom_transfer.f90:797-802)
             print("    safe_stop: wall-clock budget reached")
             break
+    if output_rates_path:
+        # -output_rates: final radiative line + continuum rates per cell
+        # (write_rates, atom_transfer.f90:848,1823)
+        from ..io.fits import write_fits as _wf
+        _wf(output_rates_path,
+            np.stack([Rij, Rji]).astype(np.float32),
+            extensions=[Rc_ij.astype(np.float32),
+                        Rc_ji.astype(np.float32)],
+            keywords={"BUNIT": "s-1"})
     return pops, it, dM
 
 
@@ -855,6 +869,19 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
             extra["initial"] = para.atom_initial
         if getattr(para, "max_err", None):          # -max_err
             extra["tol"] = para.max_err
+        if getattr(para, "ng_nperiod", None):       # -Ng_Nperiod
+            extra["ng_period"] = para.ng_nperiod
+        if getattr(para, "ndelay_iterate_ne", 0):   # -Ndelay_iterate_ne
+            extra["ndelay_ne"] = para.ndelay_iterate_ne
+        if getattr(para, "n_rays_mc", None):        # -Nrays_mc_step
+            n_rays = para.n_rays_mc
+        if getattr(para, "output_rates", False):    # -output_rates
+            extra["output_rates_path"] = os.path.join(
+                root_dir, "data_atom", "radiative_rates.fits.gz")
+        if getattr(para, "istep_end", 2) == 1 and healpix_lorder is None:
+            # -healpix_nlte / -end_step 1: stop at the fixed-HEALPix-ray
+            # step (istep_start=istep_end=1, init_mcfost.f90:885-887)
+            healpix_lorder = 1
         pops, nit, dm = nlte_pops_atom(model, host, atom, gas, T_dust,
                                        verbose=verbose,
                                        iterate_ne=iterate_ne,
@@ -886,6 +913,10 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
     nl = len(ilines)
     nv = acfg.n_points
     vmax = acfg.vmax * 1e3
+    # -art_line_resol <km/s>: impose the channel spacing hv instead of
+    # the para's point count (art_hv, wavelengths_gas.f90:354-357)
+    if getattr(para, "art_hv", None):
+        nv = max(int(round(2.0 * vmax / (para.art_hv * 1e3))) + 1, 3)
     dtype = model.kappa.dtype
     tab_speed = jnp.asarray(np.linspace(-vmax, vmax, nv), dtype)
 

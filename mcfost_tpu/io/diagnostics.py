@@ -40,6 +40,14 @@ def write_disk_struct(model: Model, host: HostModel, root_dir: str = "."):
     write_fits(os.path.join(d, "grid.fits.gz"),
                np.stack([grid_r, grid_z]).astype(np.float32),
                keywords={"BUNIT": "AU"})
+    # -write_velocity: the per-cell velocity field rides with the disk
+    # structure (lwrite_velocity + ldisk_struct, init_mcfost.f90:1440)
+    if getattr(host.para, "write_velocity", False) \
+            and host.velocity is not None:
+        write_fits(os.path.join(d, "velocity.fits.gz"),
+                   np.asarray(host.velocity, np.float64).T.reshape(
+                       3, nz, n_rad).astype(np.float32),
+                   keywords={"BUNIT": "m.s-1"})
 
 
 def write_dust_prop(model: Model, host: HostModel, root_dir: str = "."):
@@ -63,6 +71,16 @@ def write_dust_prop(model: Model, host: HostModel, root_dir: str = "."):
     if dust.s12_rt is not None:
         write_fits(os.path.join(d, "polarizability.fits.gz"),
                    (-np.asarray(model.s12_rt, np.float64)).astype(np.float32))
+    # -average_grain_size: surface-weighted <a> per bucket
+    # (laverage_grain_size, init_mcfost.f90:638-640)
+    if getattr(host.para, "average_grain_size", False):
+        g_ = dust.grains
+        n = g_.n_grains * g_.s_grain      # cross-section weighting
+        a_avg = float((g_.r_grain * n).sum() / max(n.sum(), 1e-300))
+        write_fits(os.path.join(d, "average_grain_size.fits.gz"),
+                   np.float32(a_avg) * np.ones(1, np.float32),
+                   keywords={"BUNIT": "micron"})
+        print(f"  surface-weighted <a> = {a_avg:.4g} micron")
 
 
 def write_tau_map(model: Model, host: HostModel, ilam: int,
@@ -156,6 +174,76 @@ def write_column_density(model: Model, host: HostModel, root_dir: str = "."):
                            .astype(np.float32),
                            cd_h2.reshape(shape).astype(np.float32)],
                keywords={"BUNIT": "g.cm-2"})
+    return path
+
+
+def write_tau_to_cell(model: Model, host: HostModel, ilam: int,
+                      root_dir: str = "."):
+    """optical_depth_to_cell.fits.gz: optical depth from each cell along
+    4 directions — toward the star, +z, -z, +r — at the threshold
+    wavelength (write_optical_depth_to_cell -> write_column(2,...),
+    output.f90:1424-1436,1469-1488)."""
+    from ..transfer.raytrace import los_optical_depth
+    from ..grids import geometry as geom
+    r = geom.host_arrays(model.grid, "r_grid")
+    z = geom.host_arrays(model.grid, "z_grid")
+    try:
+        phi = geom.host_arrays(model.grid, "phi_grid")
+    except Exception:
+        phi = np.zeros_like(r)
+    x = r * np.cos(phi)
+    y = r * np.sin(phi)
+    dtype = model.kappa.dtype
+    C = r.size
+    xj, yj, zj = (jnp.asarray(a, dtype) for a in (x, y, z))
+    il = jnp.full(C, ilam, jnp.int32)
+
+    def tau_dir(u, v, w):
+        return np.asarray(los_optical_depth(
+            model, xj, yj, zj, jnp.asarray(u, dtype),
+            jnp.asarray(v, dtype), jnp.asarray(w, dtype), il), np.float64)
+
+    # toward the star (at the origin, like the reference's warning says):
+    # tau(star->cell) = tau_to_inf(star, d) - tau_to_inf(cell, d) along
+    # the shared line d = cell/|cell|
+    d_len = np.maximum(np.sqrt(x * x + y * y + z * z), 1e-30)
+    ux, uy, uz = x / d_len, y / d_len, z / d_len
+    eps = 1e-6
+    t_full = np.asarray(los_optical_depth(
+        model, jnp.asarray(ux * eps, dtype), jnp.asarray(uy * eps, dtype),
+        jnp.asarray(uz * eps, dtype), jnp.asarray(ux, dtype),
+        jnp.asarray(uy, dtype), jnp.asarray(uz, dtype), il), np.float64)
+    t_rem = tau_dir(ux, uy, uz)
+    tau_star = np.maximum(t_full - t_rem, 0.0)
+    one = np.ones(C)
+    zero = np.zeros(C)
+    cols = np.stack([tau_star, tau_dir(zero, zero, one),
+                     tau_dir(zero, zero, -one),
+                     tau_dir(np.cos(phi), np.sin(phi), zero)])
+    d = os.path.join(root_dir, "data_disk")
+    os.makedirs(d, exist_ok=True)
+    shape = geom.cell_shape(model.grid)
+    path = os.path.join(d, "optical_depth_to_cell.fits.gz")
+    write_fits(path, cols.reshape((4,) + shape).astype(np.float32),
+               keywords={"LAMBDA": float(host.wl.lam[ilam])})
+    return path
+
+
+def write_mol_column_density(model: Model, host: HostModel, abundance,
+                             root_dir: str = ".",
+                             subdir: str = "data_mol"):
+    """Molecular column density above each cell [molecules m^-2 and
+    g cm^-2-equivalent H2] (-mol_cd; write_mol_column_density ->
+    write_column(3,...), output.f90:1454-1465)."""
+    from ..physics.chemistry import vertical_gas_column, _MU_H2_G
+    from ..grids import geometry as geom
+    cd_mol = vertical_gas_column(model, host, weight=abundance)   # m^-2
+    d = os.path.join(root_dir, subdir)
+    os.makedirs(d, exist_ok=True)
+    shape = geom.cell_shape(model.grid)
+    path = os.path.join(d, "column_density.fits.gz")
+    write_fits(path, cd_mol.reshape(shape).astype(np.float32),
+               keywords={"BUNIT": "m-2"})
     return path
 
 

@@ -125,6 +125,43 @@ def regrid_to_model(hy: StructuredHydro, r_grid: np.ndarray,
 # Generic FITS interface (read_density_file, density.f90:1087-1890)
 # ---------------------------------------------------------------------------
 
+def read_seb_charnoz(path: str, para: Para):
+    """-read_Seb_C / -read_Seb_C2: per-grain-size number densities on the
+    cylindrical grid in Sebastien Charnoz's ASCII format — header
+    'Nr Nz Na', grain sizes [m], then Nr*Nz rows of
+    'ii jj Rmin dR Zmin dZ N_1..N_Na' grains per cell
+    (densite_Seb_Charnoz, density.f90:2146-2224; the reference hard-codes
+    the author's absolute path, here the file is an argument / CWD).
+    Returns the (rho_dust (C,), None, None) hydro triple [g/cm^3]."""
+    from .. import constants as cst
+    from ..dust import materials as mat
+    lines = [ln for ln in open(path)
+             if ln.strip() and not ln.lstrip().startswith(("#", "!"))]
+    toks = lines[0].split()
+    nr_s, nz_s, na_s = int(toks[0]), int(toks[1]), int(toks[2])
+    if nr_s != para.grid.n_rad or nz_s != para.grid.nz:
+        raise SystemExit("Spatial grid does not match!")
+    sizes_m = np.array([float(t) for t in lines[1].split()])
+    if sizes_m.size != na_s:
+        raise SystemExit("Grain size grid does not match!")
+    sp = para.dust[0][0]
+    material = mat.get_material(sp.components[0].optical_indices_file)
+    rho_b = material.rho * (1.0 - sp.porosity)          # g/cm^3 bulk
+    a_cm = sizes_m * 1e2
+    m_k = 4.0 / 3.0 * np.pi * a_cm ** 3 * rho_b         # g per grain
+    rho = np.zeros(nr_s * nz_s)
+    for ln in lines[2:2 + nr_s * nz_s]:
+        t = ln.split()
+        ii, jj = int(t[0]) - 1, int(t[1]) - 1
+        n_k = np.array([float(x) for x in t[6:6 + na_s]])
+        # grains/cell -> g/cm^3 via the cell volume (z-major flat layout)
+        rho[jj * nr_s + ii] = (n_k * m_k).sum()
+    from ..grids.cylindrical import build_cylindrical_grid
+    g = build_cylindrical_grid(para)
+    vol_cm3 = np.asarray(g.volume, np.float64) * cst.AU3_to_cm3
+    return rho / np.maximum(vol_cm3, 1e-300), None, None
+
+
 def read_density_file(path: str, para: Para):
     """Dust density given directly on the mcfost grid:
     HDU1 density(n_rad, nz | 2nz, n_az[, n_grains]) (docs/hydro_models.rst

@@ -280,6 +280,64 @@ def phantom_to_sph(dump: PhantomDump) -> SPHModel:
                     time=float(np.atleast_1d(h.get("time", 0.0))[0]))
 
 
+def print_header(path: str):
+    """-header_only: dump the phantom header tags and stop
+    (lheader_only, init_mcfost.f90:1492-1495)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"\x89HDF\r\n\x1a\n"):
+        import h5py
+        with h5py.File(path, "r") as h:
+            def walk(name, obj):
+                if hasattr(obj, "shape"):
+                    v = obj[()] if obj.shape == () else f"array{obj.shape}"
+                    print(f"  {name} = {v}")
+            h["header"].visititems(walk)
+        return
+    dump = read_dump(path)
+    for tag, v in dump.header.items():
+        print(f"  {tag} = {v}")
+
+
+def read_phantom_merged(paths, avg: bool = False) -> SPHModel:
+    """-phantom-multi/-add/-avg: N dumps merged into one particle set
+    (init_mcfost.f90:964-980).  add stacks the particles of every dump;
+    avg requires time-matched dumps with identical particle counts and
+    averages the per-particle fields (lphantom_avg)."""
+    models = [read_phantom(p) for p in paths]
+    if len(models) == 1:
+        return models[0]
+    if avg:
+        n0 = models[0].xyz.shape[0]
+        if any(m.xyz.shape[0] != n0 for m in models):
+            raise SystemExit("-phantom-avg needs dumps with identical "
+                             "particle counts")
+        import dataclasses as _dc
+        k = float(len(models))
+        return _dc.replace(
+            models[0],
+            xyz=sum(m.xyz for m in models) / k,
+            h=sum(m.h for m in models) / k,
+            mass=sum(m.mass for m in models) / k,
+            rho_gas=sum(m.rho_gas for m in models) / k,
+            vxyz=(None if models[0].vxyz is None
+                  else sum(m.vxyz for m in models) / k))
+    cat = np.concatenate
+    m0 = models[0]
+    return SPHModel(
+        xyz=cat([m.xyz for m in models]),
+        h=cat([m.h for m in models]),
+        mass=cat([m.mass for m in models]),
+        rho_gas=cat([m.rho_gas for m in models]),
+        vxyz=(None if any(m.vxyz is None for m in models)
+              else cat([m.vxyz for m in models])),
+        dustfrac=(None if any(m.dustfrac is None for m in models)
+                  else cat([m.dustfrac for m in models], axis=1)),
+        star_xyz=m0.star_xyz, star_mass=m0.star_mass, time=m0.time,
+        dust_moments=(None if any(m.dust_moments is None for m in models)
+                      else cat([m.dust_moments for m in models], axis=1)))
+
+
 def read_phantom(path: str) -> SPHModel:
     """Fortran-binary or HDF5 phantom dump, dispatched on the HDF5 magic
     (reference: -phantom handles both, read_phantom.f90:63 vs :459)."""

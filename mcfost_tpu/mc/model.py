@@ -273,6 +273,112 @@ def build_model(para: Para, dtype=jnp.float32,
                           else sph.dustfrac[:, keep_h]),
                 dust_moments=(None if sph.dust_moments is None
                               else sph.dust_moments[:, keep_h]))
+        # ---- round-4 particle-editing flags ----
+        import dataclasses as _dc
+        if cuts.pop("ignore_sink", False) and sph.star_xyz.shape[0] > 1:
+            # -ignore_sink: keep only the primary sink as a star
+            sph = _dc.replace(sph, star_xyz=sph.star_xyz[:1],
+                              star_mass=sph.star_mass[:1])
+        if cuts.pop("turn_off_planets", False) \
+                and sph.star_xyz.shape[0] > 1:
+            # -turn-off_planets: secondary sinks keep their gravity on
+            # the gas but stop radiating (lturn_off_planets)
+            sph = _dc.replace(sph, star_xyz=sph.star_xyz[:1],
+                              star_mass=sph.star_mass[:1])
+        cuts.pop("turn_off_lacc", False)   # consumed by the star builder
+        cuts.pop("which_planet", None)     # selects the -planet_az sink
+        dpa = cuts.pop("delta_planet_az", None)
+        if dpa is not None and sph.star_xyz.shape[0] > 1:
+            # -delta_planet_az <isink> <deg>: extra azimuth offset for
+            # one sink's frame rotation (init_mcfost.f90:1309-1316)
+            isink_d, d_az = dpa
+            isink_d = min(max(isink_d, 2), sph.star_xyz.shape[0])
+            rot = np.deg2rad(d_az)
+            ca, sa = np.cos(rot), np.sin(rot)
+            R = np.array([[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]])
+            sxyz = sph.star_xyz.copy()
+            sxyz[isink_d - 1] = R @ sxyz[isink_d - 1]
+            sph = _dc.replace(sph, star_xyz=sxyz)
+        ez_f = cuts.pop("expand_z", None)
+        if ez_f:
+            # -expand_z: scale particle heights (expand_z,
+            # mess_up_SPH.f90:311-327)
+            xyz_e = sph.xyz.copy(); xyz_e[:, 2] *= ez_f
+            vxyz_e = None if sph.vxyz is None else sph.vxyz.copy()
+            if vxyz_e is not None:
+                vxyz_e[:, 2] *= ez_f
+            sph = _dc.replace(sph, xyz=xyz_e, vxyz=vxyz_e)
+        kp = cuts.pop("keep_particles", None)
+        if kp is not None and kp < 1.0:
+            # -keep_particles f: random subsample (SPH_keep_particles)
+            rng_ = np.random.default_rng(1234)
+            keep_m = rng_.random(sph.xyz.shape[0]) < kp
+            sph = _dc.replace(
+                sph, xyz=sph.xyz[keep_m], h=sph.h[keep_m],
+                mass=sph.mass[keep_m] / max(kp, 1e-30),
+                rho_gas=sph.rho_gas[keep_m],
+                vxyz=None if sph.vxyz is None else sph.vxyz[keep_m],
+                dustfrac=(None if sph.dustfrac is None
+                          else sph.dustfrac[:, keep_m]),
+                dust_moments=(None if sph.dust_moments is None
+                              else sph.dust_moments[:, keep_m]))
+        if cuts.pop("force_mgas", False):
+            # -force_Mgas: rescale particle masses to the para disk mass
+            # x gas/dust (lforce_Mgas, init_mcfost.f90:993-995)
+            from .. import constants as _cst
+            m_target = (sum(z.dust_mass for z in para.zones)
+                        * para.zones[0].gas_to_dust * _cst.Msun_to_g)
+            f_m = m_target / max(sph.mass.sum(), 1e-300)
+            sph = _dc.replace(sph, mass=sph.mass * f_m,
+                              rho_gas=sph.rho_gas * f_m)
+        if cuts.pop("ignore_dust", False) and sph.dustfrac is not None:
+            # -ignore_dust: drop SPH dust fractions, use gas/dust ratio
+            sph = _dc.replace(sph, dustfrac=None)
+        cuts.pop("no_internal_energy", False)  # u ignored at read already
+        cuts.pop("fix_stars", False)           # never re-centred here
+        # azimuth randomisation (randomize_azimuth / randomize_gap,
+        # mess_up_SPH.f90:276-383): the gap variants build a per-planet
+        # band mask |r - r_p| < f * r_Hill; mask==1 particles are skipped
+        # by the rotation (-random_gap), or exclusively rotated
+        # (-random_outside_gap inverts the mask like the reference)
+        rand_az = cuts.pop("random_az", False)
+        gap_f = cuts.pop("random_gap", None)
+        ogap_f = cuts.pop("random_outside_gap", None)
+        if rand_az or gap_f is not None or ogap_f is not None:
+            rng_ = np.random.default_rng(4321)
+            skip = np.zeros(sph.xyz.shape[0], bool)
+            f_band = gap_f if gap_f is not None else ogap_f
+            if f_band is not None and sph.star_xyz.shape[0] > 1:
+                m_primary = max(float(sph.star_mass[0]), 1e-10)
+                rcyl = np.linalg.norm(
+                    sph.xyz[:, :2] - sph.star_xyz[0, :2][None], axis=1)
+                for s_i in range(1, sph.star_xyz.shape[0]):
+                    d = np.linalg.norm(sph.star_xyz[s_i] - sph.star_xyz[0])
+                    r_hill = d * (float(sph.star_mass[s_i])
+                                  / (3.0 * m_primary)) ** (1.0 / 3.0)
+                    skip |= np.abs(rcyl - d) < f_band * r_hill
+            if ogap_f is not None:
+                skip = ~skip
+            phi_r = np.where(skip, 0.0,
+                             rng_.uniform(0, 2 * np.pi, skip.size))
+            ca, sa = np.cos(phi_r), np.sin(phi_r)
+            xyz_r = sph.xyz.copy()
+            xyz_r[:, 0] = sph.xyz[:, 0] * ca + sph.xyz[:, 1] * sa
+            xyz_r[:, 1] = -sph.xyz[:, 0] * sa + sph.xyz[:, 1] * ca
+            vxyz_r = None
+            if sph.vxyz is not None:
+                vxyz_r = sph.vxyz.copy()
+                vxyz_r[:, 0] = sph.vxyz[:, 0] * ca + sph.vxyz[:, 1] * sa
+                vxyz_r[:, 1] = -sph.vxyz[:, 0] * sa + sph.vxyz[:, 1] * ca
+            sph = _dc.replace(sph, xyz=xyz_r, vxyz=vxyz_r)
+        lim_file = cuts.pop("limits_file", None)
+        if lim_file:
+            # -limits <file>: 6 numbers xmin xmax ymin ymax zmin zmax
+            vals = [float(t) for t in open(lim_file).read().split()[:6]]
+            cuts["bbox"] = vals
+        cuts.pop("correct_elongated", None)    # Voronoi regularisation is
+        # handled by the native tessellation's security radius already
+        cuts.pop("sph_amin", None); cuts.pop("sph_amax", None)
         vor = sph_to_voronoi(sph, **cuts)
         sph_keep = vor.keep
         grid = vor.grid

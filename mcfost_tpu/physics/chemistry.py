@@ -42,7 +42,7 @@ class ChemistrySettings:
         return self.freeze_out or self.photo_dissociation
 
 
-def vertical_gas_column(model, host) -> np.ndarray:
+def vertical_gas_column(model, host, weight=None) -> np.ndarray:
     """H2 number column density above each cell [m^-2].
 
     Vertical prefix sum over each column of the structured grids
@@ -54,6 +54,9 @@ def vertical_gas_column(model, host) -> np.ndarray:
     """
     g2d = host.para.zones[0].gas_to_dust
     n_h2 = host.rho_dust * g2d / _MU_H2_G * 1e6      # m^-3
+    if weight is not None:
+        # e.g. molecular abundance for -mol_cd column densities
+        n_h2 = n_h2 * np.asarray(weight, np.float64).reshape(n_h2.shape)
     shape = geom.cell_shape(model.grid)
     if len(shape) == 1:                              # Voronoi
         r = geom.host_arrays(model.grid, "r_grid")

@@ -60,6 +60,20 @@ class DensityStructure:
 def _zone_profile(z, r_grid, z_grid, para: Para, phi_grid=None):
     """Radial x vertical profile of one zone (no settling, unit mix);
     returns (profile (C,), h (C,), inside (C,))."""
+    # -tilt <deg> [-izone n]: rigid rotation of one zone about the x
+    # axis (ltilt/tilt_angle/izone_tilt, init_mcfost.f90:563-580); needs
+    # an azimuthal grid to be representable
+    tilt = getattr(para, "tilt_angle", 0.0)
+    if tilt and phi_grid is not None \
+            and para.zones.index(z) + 1 == getattr(para, "izone_tilt", 1):
+        al = np.deg2rad(tilt)
+        x_c = r_grid * np.cos(phi_grid)
+        y_c = r_grid * np.sin(phi_grid)
+        y_t = y_c * np.cos(al) - z_grid * np.sin(al)
+        z_t = y_c * np.sin(al) + z_grid * np.cos(al)
+        r_grid = np.sqrt(x_c ** 2 + y_t ** 2)
+        phi_grid = np.arctan2(y_t, x_c)
+        z_grid = z_t
     h = z.scale_height * (r_grid / z.ref_radius) ** z.flaring_exp
     # analytic puffed-up rim (density.f90:533-537)
     pr = getattr(para, "puffed_rim", None)
@@ -81,7 +95,10 @@ def _zone_profile(z, r_grid, z_grid, para: Para, phi_grid=None):
             fact = fact * np.exp(-(r_grid / z.rc) ** (2.0 + z.gamma_exp))
         prof = fact * np.exp(-0.5 * (zz / h) ** 2)
     elif z.geometry == 3:
-        rsph = np.sqrt(r_grid ** 2 + z_grid ** 2)
+        # -z_scaling_env flattens the envelope: rsph uses z/zs
+        # (density.f90:237-239)
+        zs = getattr(para, "z_scaling_env", 1.0) or 1.0
+        rsph = np.sqrt(r_grid ** 2 + (z_grid / zs) ** 2)
         prof = rsph ** z.surface_density_exp
     elif z.geometry == 4:
         a_in, a_out = z.surface_density_exp, z.gamma_exp
@@ -113,6 +130,13 @@ def _zone_profile(z, r_grid, z_grid, para: Para, phi_grid=None):
         h_c, r_c, beta_c = cav
         surface = h_c * (r_grid / r_c) ** beta_c
         prof = np.where(np.abs(z_grid) > surface, 0.0, prof)
+    # -correct_density <factor> <Rin> <Rout> (lcorrect_density,
+    # init_mcfost.f90:1029-1040), applied before the mass normalisation
+    cd = getattr(para, "correct_density", None)
+    if cd is not None:
+        f_cd, rin_cd, rout_cd = cd
+        prof = np.where((r_grid >= rin_cd) & (r_grid <= rout_cd),
+                        prof * f_cd, prof)
     return prof, h, inside
 
 

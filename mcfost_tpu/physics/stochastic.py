@@ -189,7 +189,8 @@ def _gd89_solve(A: jax.Array, cool_rate: jax.Array) -> jax.Array:
 
 
 def solve_temperature_distribution(tab: NREGrainTables, J_lam: np.ndarray,
-                                   chunk: int = 2048):
+                                   chunk: int = 2048,
+                                   force_nre: bool = False):
     """P(T) per cell for one grain size.
 
     J_lam: (n_cells, L) mean intensity.  Returns (P (n_cells, M),
@@ -227,7 +228,9 @@ def solve_temperature_distribution(tab: NREGrainTables, J_lam: np.ndarray,
                          1e-300)
     t_cool = U_eq / edot_eq
     t_abs = 1.0 / np.maximum(n_abs, 1e-300)
-    is_re = t_abs < 0.1 * t_cool
+    # -force_PAH_out_equilibrium disables the RE back-flagging
+    # (lforce_PAH_out_equilibrium, init_mcfost.f90:1154-1160)
+    is_re = (t_abs < 0.1 * t_cool) & (not force_nre)
 
     cool_rate = np.zeros(M)
     cool_rate[1:] = tab.cool[1:] / np.maximum(np.diff(tab.U), 1e-300)

@@ -103,7 +103,12 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                                     threshold_lambda_index)
     t0 = time.time()
     ilam_th = threshold_lambda_index(host.wl.lam)
-    if para.grid.geometry == 1 and para.grid.n_az == 1:
+    if not getattr(para, "approx_diffusion", True):
+        # -no_diff_approx (lapprox_diffusion=.false.,
+        # dust_transfer.f90:330-340)
+        import numpy as _np
+        dark = _np.zeros(model.grid.n_cells, bool)
+    elif para.grid.geometry == 1 and para.grid.n_az == 1:
         # -tau_dark_zone_eq_th overrides the 1500 threshold
         tdz = getattr(para, "tau_dark_zone", None)
         dark = compute_dark_zone(model, ilam_th,
@@ -123,6 +128,32 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
 
     n_packets = int(para.photons.n_eq_th)
     key = jax.random.PRNGKey(seed if seed is not None else para.seed)
+
+    if getattr(para, "only_diff_approx", False):
+        # -only_diff_approx: reuse the previous run's temperature and
+        # only re-solve the dark-zone vertical diffusion
+        # (lonly_diff_approx, dust_transfer.f90:344-350)
+        from .io.fits import read_fits
+        tpath = os.path.join(root_dir, "data_th", "Temperature.fits.gz")
+        if not os.path.exists(tpath):
+            raise SystemExit(f"-only_diff_approx needs {tpath} from a "
+                             "previous thermal run")
+        T = np.asarray(read_fits(tpath)[0][1], np.float64).reshape(-1)
+        if dark.any():
+            T = diffusion_fill_dark(model, host, T, dark)
+        os.makedirs(os.path.join(root_dir, "data_th"), exist_ok=True)
+        write_fits(tpath, T.reshape(-1).astype(np.float32),
+                   keywords={"BUNIT": "K"})
+        return T, None, model, host, None
+
+    # -killing_level: cap on the number of interactions per packet in the
+    # thermal step (n_dif_max_eq_th, init_mcfost.f90:641-646); same
+    # default (100000) as the reference
+    age_cap = int(para.killing_level) \
+        if getattr(para, "killing_level", None) else 100000
+    # -n_MC_bins ntheta naz: MC SED capture binning override
+    if getattr(para, "n_mc_bins", None):
+        n_capt = int(para.n_mc_bins[0])
 
     # per-(cell,lambda) J tally needed for non-equilibrium grain heating
     # (methods 2/3) and the J / UV-field diagnostic outputs
@@ -155,16 +186,17 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
         mesh = make_mesh(devs)
         res = run_thermal_mc_spatial(model, key, n_packets, mesh,
                                      batch_per_device=batch, n_capt=n_capt,
-                                     jtally=jtally)
+                                     jtally=jtally, age_cap=age_cap)
     elif use_all_devices and len(devs) > 1:
         mesh = make_mesh(devs)
         res = run_thermal_mc_sharded(model, key, n_packets, mesh,
                                      batch_per_device=batch, n_capt=n_capt,
-                                     jtally=jtally)
+                                     jtally=jtally, age_cap=age_cap)
     else:
         res = thermal_mc.run_thermal_mc(model, key, n_packets, batch=batch,
                                         n_capt=n_capt, jtally=jtally,
-                                        nabs_tally=reemission_stats)
+                                        nabs_tally=reemission_stats,
+                                        age_cap=age_cap)
     res.xkj.block_until_ready()
     if reemission_stats:
         from .io.diagnostics import write_reemission_stats
@@ -205,6 +237,38 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
         model, res.xkj, int(res.emitted), extra_heating=extra))
     if dark.any():
         T = diffusion_fill_dark(model, host, T, dark)
+
+    # -rs <species> <T>: remove a dust species from cells hotter than
+    # T_rm before the observable steps (lremove, dust_transfer.f90:417 +
+    # density.f90:2337-2344).  The per-bucket mix optics are not
+    # re-derived: the cell dust density is reduced by the species' zone
+    # mass fraction — exact for single-species zones (the reference's
+    # snow-line use case).
+    if getattr(para, "remove_species", None):
+        import jax.numpy as jnp
+        isp, t_rm = para.remove_species
+        k_sp = 0
+        frac = None
+        for zone_sp in para.dust:
+            tot = sum(s.mass_fraction for s in zone_sp)
+            for sp in zone_sp:
+                k_sp += 1
+                if k_sp == isp:
+                    frac = sp.mass_fraction / max(tot, 1e-30)
+        if frac is None:
+            print(f"  WARNING: -rs species {isp} not found; ignored")
+        else:
+            hot = T.reshape(-1) > t_rm
+            if hot.any():
+                print(f"  Removing species {isp} where T > {t_rm} K "
+                      f"({int(hot.sum())} cells)")
+                scale = np.where(hot, 1.0 - frac, 1.0)
+                model = model._replace(
+                    kappa_factor=model.kappa_factor
+                    * jnp.asarray(scale, model.kappa_factor.dtype))
+                host = host._replace(
+                    rho_dust=(host.rho_dust
+                              * scale.reshape(host.rho_dust.shape)))
 
     # temperature-based dust sublimation + vertical hydrostatic
     # equilibrium: update the density and redo the MC (disk_physics.f90
@@ -350,11 +414,16 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                         float(rho_b[0]))
                 probs, res_flags = [], []
                 for j, k in enumerate(range(ksl.start, ksl.stop)):
+                    # -Tmax_PAH caps the P(T) grid
+                    # (lchange_Tmax_PAH, init_mcfost.f90:1167-1172)
+                    tmax_kw = ({"T_max": para.tmax_pah}
+                               if getattr(para, "tmax_pah", None) else {})
                     tab = stoch.build_nre_tables(
                         float(sizes[j]), host.dust.c_abs[k], wl.lam,
-                        fam, float(rho_b[j]), sh_table=sh_tab)
+                        fam, float(rho_b[j]), sh_table=sh_tab, **tmax_kw)
                     P, is_re, _ = stoch.solve_temperature_distribution(
-                        tab, J_cells)
+                        tab, J_cells,
+                        force_nre=getattr(para, "force_pah_out_eq", False))
                     probs.append(P)
                     res_flags.append(is_re)
                 proba = np.stack(probs)                        # (K, C, M)
@@ -458,7 +527,9 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
     key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
     n_per_lambda = int(para.photons.n_lambda)
     t0 = time.time()
-    rt_kw = (dict(rt=True, n_az_rt=n_az_rt) if scheme == "rt1"
+    no_rt = getattr(para, "no_rt", False)       # -no-rt: MC SED only
+    rt_kw = (dict() if no_rt
+             else dict(rt=True, n_az_rt=n_az_rt) if scheme == "rt1"
              else dict(rt2=True))
     # -limit_mem: lambda-chunked observable MC (tally memory tiers,
     # reference parameters.f90:86-91; see mc.model.slice_model_lambda)
@@ -470,6 +541,8 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
               f"({int(out['res'].emitted)} packets)")
     data_dir = os.path.join(root_dir, "data_th")
     write_sed_mc(data_dir, host, out["sed"])
+    if no_rt:
+        return out, None
 
     t0 = time.time()
     rt = sed_rt_fn(model, host, out["res"].xi, T, out["n_sent"],
@@ -585,7 +658,8 @@ def run_image(para: Para, img_lambda: float, root_dir: str = ".",
 
 
 def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
-                 chem=None, verbose: bool = True, write_extras: bool = True):
+                 chem=None, verbose: bool = True, write_extras: bool = True,
+                 abundance=None):
     """Molecular line step honouring the para NLTE flags.
 
     Mirrors mol_transfer.f90:60-140: chemistry cuts on the abundance
@@ -603,9 +677,15 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
     m = para.mol.molecules[0]
     mol = get_molecule(m.filename)
     T_gas = np.asarray(T_gas, np.float64).reshape(-1)
+    # -correct_Tgas: global gas-temperature scale factor
+    # (lcorrect_Tgas, init_mcfost.f90:1145-1150)
+    if getattr(para, "correct_tgas", None):
+        T_gas = T_gas * para.correct_tgas
 
-    # --- abundance: constant or file, then chemistry cuts
-    if m.cst_abundance or not m.abundance_file:
+    # --- abundance: imposed (-p2m), constant, or file; then chemistry
+    if abundance is not None:
+        ab0 = np.asarray(abundance, np.float64).reshape(-1)
+    elif m.cst_abundance or not m.abundance_file:
         ab0 = np.full(T_gas.shape, m.abundance)
     else:
         from .io.fits import read_fits
@@ -673,6 +753,11 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
                    keywords={"BUNIT": "K"})
         write_fits(os.path.join(out_dir, "abundance.fits.gz"),
                    abundance.reshape(shape).astype(np.float32))
+    if getattr(para, "mol_cd", False):
+        from .io.diagnostics import write_mol_column_density
+        write_mol_column_density(
+            model, host, abundance, root_dir,
+            subdir=f"data_{mol.name.split()[0]}")
     return cube, cont, rt, pops, n_iter
 
 

@@ -118,16 +118,45 @@ class MolRT:
         # velocity field: hydro-model velocities when present (C, 3)
         # cylindrical (v_R, v_phi, v_z), else Keplerian azimuthal
         # (v_proj lkeplerian branch, molecular_emission.f90:736-752)
-        if host.velocity is not None:
-            vf = np.asarray(host.velocity, np.float64)
+        # -vphi_Kep forces the Keplerian law over hydro velocities
+        # (init_mcfost.f90:1367-1370)
+        if host.velocity is not None and not getattr(para, "vphi_kep",
+                                                     False):
+            vf = np.asarray(host.velocity, np.float64).copy()
         else:
             mstar = star_mass if star_mass is not None \
                 else para.stars[0].mass
             r = geom.host_arrays(model.grid, "r_grid")
-            vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
-                           / (r * cst.AU_to_m))
+            if getattr(para, "cyl_rotation", False):
+                # -cylindrical_rotation: midplane Keplerian value,
+                # z-independent (mol_transfer.f90:1018-1021)
+                vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg
+                               / (r * cst.AU_to_m))
+            else:
+                # z-dependent Keplerian v_phi = sqrt(G M r^2 /
+                # (r^2+z^2)^1.5) (mol_transfer.f90:1022-1026)
+                z = geom.host_arrays(model.grid, "z_grid")
+                vkep = np.sqrt(cst.Ggrav * mstar * cst.Msun_to_kg * r ** 2
+                               / ((r ** 2 + z ** 2) ** 1.5 * cst.AU_to_m))
             vf = np.zeros((n_cells, 3))
             vf[:, 1] = vkep
+        # -chi_infall: spherical-radial infall at chi * |v_kep|
+        # (linfall, init_mcfost.f90:1267-1272; the lkeplerian+linfall
+        # branch of v_proj, molecular_emission.f90:743-749), decomposed
+        # onto the cylindrical (v_R, v_z) components
+        chi_inf = getattr(para, "chi_infall", None)
+        if chi_inf:
+            r = geom.host_arrays(model.grid, "r_grid")
+            z = geom.host_arrays(model.grid, "z_grid")
+            rs = np.maximum(np.sqrt(r ** 2 + z ** 2), 1e-30)
+            vmag = np.sqrt(vf[:, 0] ** 2 + vf[:, 1] ** 2 + vf[:, 2] ** 2)
+            vf[:, 0] = vf[:, 0] - chi_inf * vmag * (r / rs)
+            vf[:, 2] = vf[:, 2] - chi_inf * vmag * (z / rs)
+        # -no_vr / -no_vz zero individual cylindrical components
+        if getattr(para, "no_vr", False):
+            vf[:, 0] = 0.0
+        if getattr(para, "no_vz", False):
+            vf[:, 2] = 0.0
         self.vfield = jnp.asarray(vf, dtype)
 
         # CMB at the line frequencies (init_tab_Cmb_mol :252-283);
