@@ -830,8 +830,8 @@ def _main(argv=None):
         # -dust_prop stop after init like the reference (+ds continues)
         from .mc.model import build_model
         from .io import diagnostics as diag
-        model, host = build_model(para, cache_dir=os.path.join(
-            root_dir, ".mcfost_tpu_cache"))
+        from .runner import _cache_dir
+        model, host = build_model(para, cache_dir=_cache_dir(para, root_dir))
         if "disk" in do_diag:
             diag.write_disk_struct(model, host, root_dir)
         if "dust" in do_diag:

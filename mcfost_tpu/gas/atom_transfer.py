@@ -970,6 +970,17 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
                            rt.lambda0.astype(np.float64),
                            np.asarray(tab_speed, np.float64)],
                keywords={"BUNIT": "W.m-2.pixel-1"})
+    if getattr(para, "split_image", False):
+        # -split_image (lsepar_ori): one file per ray-traced transition
+        # (output.f90:3587-3786)
+        for t in range(nl):
+            lam_nm = float(rt.lambda0[t]) * 1e3       # micron -> nm
+            write_fits(os.path.join(out_dir,
+                                    f"atomic_maps_{lam_nm:.4f}.fits.gz"),
+                       np.ascontiguousarray(arr[:, t]).astype(np.float32),
+                       extensions=[np.asarray(tab_speed, np.float64)],
+                       keywords={"BUNIT": "W.m-2.pixel-1",
+                                 "LAMBDA0": float(rt.lambda0[t])})
     # disk-integrated spectrum per line (spectrum_1d,
     # gas/atom_transfer.f90:1724)
     flux = cube.sum((-1, -2))                         # (n_rt, nv, nl)

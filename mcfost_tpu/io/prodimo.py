@@ -68,7 +68,14 @@ def write_for_prodimo(model, host, T, J, n_packets, root_dir: str = "."):
             kappa_cm2g.astype(np.float32),
         ],
         keywords={"NPACKETS": int(n_packets),
-                  "GASTODUS": float(g2d)})
+                  "GASTODUS": float(g2d),
+                  # -prodimo1..4 pin the interface version; -prodimo_fPAH
+                  # forces the PAH abundance ProDiMo should assume
+                  # (mcfost2ProDiMo_version / ProDiMo_fPAH,
+                  # init_mcfost.f90:1053-1079)
+                  "PRODIMO": int(getattr(host.para, "prodimo_version", 5)),
+                  **({"FPAH": float(host.para.prodimo_fpah)}
+                     if getattr(host.para, "prodimo_fpah", None) else {})})
     return os.path.join(d, "forProDiMo.fits.gz")
 
 

@@ -239,11 +239,15 @@ def build_model(para: Para, dtype=jnp.float32,
             sph = _dc.replace(sph, xyz=sph.xyz - c[None, :],
                               star_xyz=sph.star_xyz - c[None, :])
         paz = cuts.pop("planet_az", None)
+        # -planet <n> selects which sink -planet_az positions (default
+        # sink 2, init_mcfost.f90:1317-1322)
+        ipl = min(max(int(cuts.pop("which_planet", 2)), 2),
+                  max(sph.star_xyz.shape[0], 2)) - 1
         if paz is not None and sph.star_xyz.shape[0] > 1:
-            # rotate the system about z so sink 2 (the planet) sits at
+            # rotate the system about z so the chosen planet sink sits at
             # the requested azimuth (lplanet_az, init_mcfost.f90:1303)
             import dataclasses as _dc
-            cur = np.arctan2(sph.star_xyz[1, 1], sph.star_xyz[1, 0])
+            cur = np.arctan2(sph.star_xyz[ipl, 1], sph.star_xyz[ipl, 0])
             rot = np.deg2rad(paz) - cur
             ca, sa = np.cos(rot), np.sin(rot)
             R = np.array([[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]])
@@ -285,8 +289,11 @@ def build_model(para: Para, dtype=jnp.float32,
             # the gas but stop radiating (lturn_off_planets)
             sph = _dc.replace(sph, star_xyz=sph.star_xyz[:1],
                               star_mass=sph.star_mass[:1])
-        cuts.pop("turn_off_lacc", False)   # consumed by the star builder
-        cuts.pop("which_planet", None)     # selects the -planet_az sink
+        if cuts.pop("turn_off_lacc", False):
+            # -turn-off_Lacc: suppress the accretion luminosity channel
+            # (lturn_off_Lacc, init_mcfost.f90:1326-1328)
+            for st_ in para.stars:
+                st_.mdot = 0.0
         dpa = cuts.pop("delta_planet_az", None)
         if dpa is not None and sph.star_xyz.shape[0] > 1:
             # -delta_planet_az <isink> <deg>: extra azimuth offset for

@@ -24,6 +24,13 @@ from .mc import thermal_mc
 from .parallel.mesh import make_mesh, run_thermal_mc_sharded
 
 
+def _cache_dir(para: Para, root_dir: str) -> str:
+    """Opacity/Voronoi cache location; -tmp_dir redirects it
+    (tmp_dir, init_mcfost.f90:665-669)."""
+    tmp = getattr(para, "tmp_dir", "") or ""
+    return os.path.join(tmp or root_dir, ".mcfost_tpu_cache")
+
+
 def _grain_ranges(para: Para):
     """Grain-size index ranges per (zone, species) in build_grain_sizes
     order (mirrors the index bookkeeping of grains.f90:35-37)."""
@@ -71,8 +78,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
     of the default packet data-parallelism — for models whose per-cell
     tally arrays exceed one chip's HBM (-spatial_dd)."""
     t0 = time.time()
-    model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"), hydro=hydro)
+    model, host = build_model(para, cache_dir=_cache_dir(para, root_dir), hydro=hydro)
 
     # optically-thin sublimation radius: enlarge zone inner radii before
     # the MC (compute_othin_sublimation_radius, disk_physics.f90:21-76 +
@@ -89,8 +95,7 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
                 print(f"  sublimation radius: Rin -> {r_sub:.3f} AU")
             for z in para.zones:
                 z.rin = max(z.rin, r_sub)
-            model, host = build_model(para, cache_dir=os.path.join(
-                root_dir, ".mcfost_tpu_cache"), hydro=hydro)
+            model, host = build_model(para, cache_dir=_cache_dir(para, root_dir), hydro=hydro)
     if verbose:
         print(f"  model build: {time.time()-t0:.1f}s "
               f"({model.grid.n_cells} cells, {model.n_lambda} wavelengths, "
@@ -467,8 +472,7 @@ def run_sph(para: Para, sph, root_dir: str = ".",
     Writes data_th/Temperature.fits.gz with one temperature per particle
     (flat, like the reference's Voronoi output)."""
     t0 = time.time()
-    model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"), sph=sph)
+    model, host = build_model(para, cache_dir=_cache_dir(para, root_dir), sph=sph)
     if verbose:
         print(f"  Voronoi model: {model.grid.n_cells} cells "
               f"({time.time()-t0:.1f}s)")
@@ -521,7 +525,7 @@ def run_sed_step(para: Para, model, host, T, root_dir: str = ".",
             if verbose:
                 print(f"  SED wavelengths from {path}")
             model, host = build_model(
-                para, cache_dir=os.path.join(root_dir, ".mcfost_tpu_cache"),
+                para, cache_dir=_cache_dir(para, root_dir),
                 lambda_list=read_lambda_file(path))
 
     key = jax.random.PRNGKey((seed if seed is not None else para.seed) + 1)
@@ -583,8 +587,7 @@ def run_image(para: Para, img_lambda: float, root_dir: str = ".",
     from .transfer.sed import run_mc_sed
     from .transfer.image import image_rt
 
-    model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"), img_lambda=img_lambda)
+    model, host = build_model(para, cache_dir=_cache_dir(para, root_dir), img_lambda=img_lambda)
 
     # -Tfile overrides the default reuse path (init_mcfost.f90:773-776)
     tfile = t_file if t_file else os.path.join(root_dir, "data_th",
@@ -780,8 +783,7 @@ def run_model_1d(para: Para, path: str, root_dir: str = ".",
     para.zones[0].rin = float(r_au.min())
     para.zones[0].rout = float(r_au.max())
     para.zones[0].dust_mass = 1e-30       # dust-free atmosphere
-    model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"))
+    model, host = build_model(para, cache_dir=_cache_dir(para, root_dir))
 
     rg = _geom.host_arrays(model.grid, "r_grid")
     zg = _geom.host_arrays(model.grid, "z_grid")
@@ -830,8 +832,7 @@ def run_sphere_mesh(para: Para, path: str, root_dir: str = ".",
     para.zones[0].rin = float(sm.r_walls.min())
     para.zones[0].rout = float(sm.r_walls.max())
     para.zones[0].dust_mass = 1e-30
-    model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"))
+    model, host = build_model(para, cache_dir=_cache_dir(para, root_dir))
 
     # interpolate the (r, theta) cubes onto the grid cell centres
     rg = _geom.host_arrays(model.grid, "r_grid")
@@ -882,8 +883,7 @@ def run_mhd_voronoi(para: Para, path: str, root_dir: str = ".",
                    rho_gas=np.ones(n),          # set after tessellation
                    vxyz=mhd.v, dustfrac=None,
                    star_xyz=star_xyz, star_mass=star_mass)
-    model, host = build_model(para, cache_dir=os.path.join(
-        root_dir, ".mcfost_tpu_cache"), sph=sph)
+    model, host = build_model(para, cache_dir=_cache_dir(para, root_dir), sph=sph)
     keep = host.sph_keep if getattr(host, "sph_keep", None) is not None \
         else np.ones(n, bool)
     from .grids import geometry as _geom

@@ -72,7 +72,10 @@ def image_rt(model: Model, host: HostModel, xi, T_cells,
     pix = map_size / max(npx, npy)                  # [AU]
     out = np.zeros((n_rt, npy, npx, N_TYPE))
 
-    pa = np.deg2rad(para.maps.disk_pa + 90.0)       # reference ang_disque
+    # reference ang_disque; -old_PA restores the pre-2019 convention
+    # (+90 deg, init_mcfost.f90:1780)
+    pa = np.deg2rad(para.maps.disk_pa + 90.0
+                    + (90.0 if getattr(para, "old_pa", False) else 0.0))
 
     for i_rt in range(n_rt):
         u, v, w = dirs[i_rt]
