@@ -396,7 +396,8 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                  dark: bool = False, age_cap: int = 100000,
                  spatial=None, rt2: bool = False,
                  n_theta_i: int = 15, n_phi_i: int = 15,
-                 origin: bool = False, mono_budget: str = "received"):
+                 origin: bool = False, mono_budget: str = "received",
+                 rt_est: str = "collision", rt_compact: int = 2048):
     """Build the fused one-iteration MC body ``body(MCState) -> MCState``.
 
     Shared by the single/packet-DP driver (`advance`) and the spatially
@@ -700,7 +701,26 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
 
         # per-lambda mean-intensity path tally (xJ_abs,
         # radiation_field.f90:60-66): sum of l * Stokes I per (cell, lambda)
-        if jtally:
+        if jtally and dense_cells:
+            # (L, C) outer-product accumulation on the MXU: the B-element
+            # scalar scatter into the (L*C,) table costs ~230 us/iter
+            # serialized; one (L,B)@(B,C) matmul re-using the cell one-hot
+            # streams at MXU speed (~120 us, bf16 inputs f32 accumulate —
+            # the 2^-8 value rounding is far below MC noise)
+            # fresh bf16 one-hot (NOT a cast of ohc/ohs: casting forces a
+            # 229 MB materialized copy; a fresh iota-compare fuses into
+            # the matmul tiles)
+            oh_tj = (tloc[:, None]
+                     == jnp.arange(n_ct, dtype=jnp.int32)
+                     ).astype(jnp.bfloat16)
+            wl_oh = _one_hot(ilam, L, jnp.bfloat16) \
+                * jnp.where(act & inside, l_eff * sI,
+                            0.0).astype(jnp.bfloat16)[:, None]
+            xj = s.xj + jnp.einsum(
+                "bl,bc->lc", wl_oh, oh_tj,
+                preferred_element_type=jnp.float32).astype(
+                s.xj.dtype).reshape(-1)
+        elif jtally:
             xj = s.xj.at[ilam * n_ct + tloc].add(
                 jnp.where(act & inside, l_eff * sI, 0.0))
         else:
@@ -736,7 +756,16 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             xi = s.xi.at[base2].add(vals2, mode="promise_in_bounds")
         # ---- RT1 scattered-intensity tally (calc_xI_scatt(_pola),
         # dust_ray_tracing.f90:480-632; angles in angles_scatt_rt1 :409-476)
-        elif rt:
+        # rt_est="track": the reference's own per-crossing track-length
+        # estimator (save_radiation_field calls calc_xI_scatt for every
+        # traversed cell, radiation_field.f90:63-90 — the path the
+        # reference comments "slows down the SED calculation by a factor
+        # of 5").  It costs one B-row scatter-add per iteration, which on
+        # TPU serializes at ~110 ns/row (~3.6 ms at B=32k, 5x the whole
+        # rest of the step).  rt_est="collision" (default) replaces it
+        # with the event-based collision estimator below — see the block
+        # after the interaction draw.
+        elif rt and rt_est == "track":
             from .sampling import rotation_to_frame
             xm = x + 0.5 * l_eff * u
             ym = y + 0.5 * l_eff * v
@@ -927,6 +956,141 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             do_scat = interact & (R[9] < alb_l)
             do_abs = interact & ~do_scat
 
+        # ---- RT1 tally, collision estimator (TPU-first redesign of
+        # calc_xI_scatt, dust_ray_tracing.f90:480-632).  The track-length
+        # estimator above deposits from EVERY crossing lane every
+        # iteration — a B-row serialized scatter (~110 ns/row) that costs
+        # 5x the rest of the step.  Scattering events are ~50x rarer than
+        # crossings (measured ~2% of lanes/iteration on ref4.1), and at a
+        # scattering event the interaction probability has already
+        # sampled kappa_sca * dl, so depositing the packet Stokes times
+        # the phase matrix at each EVENT estimates the same scattered
+        # source function with kappa_sca folded in (the consumer drops
+        # its kappa_sca factor, transfer/raytrace.py).  Events are
+        # compacted to rt_compact lanes by a one-hot matmul (cheap, MXU)
+        # and only those rows are scattered; overflow beyond rt_compact
+        # is handled EXACTLY by another compaction pass (the inner
+        # while_loop), and event-free iterations skip the scatter
+        # entirely.  Event state here: x,y,z = interaction point,
+        # u,v,w/Stokes/fstar not yet updated by the scattering draw;
+        # in mono mode sI already carries the forced-scattering albedo
+        # weight (= kappa_sca/kappa_ext), in thermal mode the
+        # scatter-vs-absorb draw itself supplied the albedo factor.
+        if rt and rt_est == "collision":
+            Ec = rt_compact
+            ev = do_scat
+            phi_ev = jnp.arctan2(x, y)
+            kphi_ev = jnp.clip(
+                (jnp.mod(phi_ev, 2.0 * jnp.pi) / (2.0 * jnp.pi)
+                 * n_az_rt).astype(jnp.int32), 0, n_az_rt - 1)
+            psup_ev = jnp.where(z > 0.0, 0, 1)
+            base_ev = ((ilam * n_ct + tloc) * n_az_rt + kphi_ev) * 2 \
+                + psup_ev
+            rank = jnp.cumsum(ev.astype(jnp.int32)) - 1
+            count = jnp.sum(ev.astype(jnp.int32))
+            # payload columns must survive an exact f32 matmul: the key
+            # is split into <2^24 halves, flags ride as 0/1
+            payload = jnp.stack(
+                [(base_ev >> 11).astype(jnp.float32),
+                 (base_ev & 2047).astype(jnp.float32),
+                 pL.astype(jnp.float32),
+                 sI.astype(jnp.float32), sQ.astype(jnp.float32),
+                 sU.astype(jnp.float32), sV.astype(jnp.float32),
+                 u.astype(jnp.float32), v.astype(jnp.float32),
+                 w.astype(jnp.float32),
+                 fstar.astype(jnp.float32)], axis=1)       # (B, 11)
+            n_rt = model.rt_dirs.shape[0]
+            A1c = nang + 1
+            n_mt = 4 if pola else 1
+            mtabs_c = [model.s11_rt, model.s12_rt,
+                       model.s33_rt, model.s34_rt][:n_mt]
+            mtab_cat = jnp.concatenate(
+                [t.reshape(P * L, A1c).astype(jnp.float32)
+                 for t in mtabs_c], axis=1)               # (P*L, n_mt*A1)
+
+            def _rt_pass(carry):
+                off, xi_in = carry
+                oh = (((rank - off)[:, None]
+                       == jnp.arange(Ec, dtype=jnp.int32))
+                      & ev[:, None]).astype(jnp.float32)   # (B, Ec)
+                # HIGHEST precision: the TPU default truncates matmul
+                # inputs to bf16, which CORRUPTS the integer key columns
+                # (needs 14+ bits); the 3-pass f32 emulation is exact for
+                # one-hot x int<2^24 products
+                cp = jnp.einsum("be,bk->ek", oh, payload,
+                                precision=jax.lax.Precision.HIGHEST)
+                baseE = (jnp.round(cp[:, 0]).astype(jnp.int32) * 2048
+                         + jnp.round(cp[:, 1]).astype(jnp.int32))
+                pLE = jnp.round(cp[:, 2]).astype(jnp.int32)
+                sIe, sQe, sUe, sVe = cp[:, 3], cp[:, 4], cp[:, 5], cp[:, 6]
+                ue, ve, we = cp[:, 7], cp[:, 8], cp[:, 9]
+                fse = cp[:, 10]
+                mr = (_one_hot(pLE, P * L, jnp.float32) @ mtab_cat
+                      ).reshape(Ec, n_mt, A1c)
+                do0 = model.rt_dirs[:, 0][None, :].astype(jnp.float32)
+                do1 = model.rt_dirs[:, 1][None, :].astype(jnp.float32)
+                do2 = model.rt_dirs[:, 2][None, :].astype(jnp.float32)
+                u2, v2, w2 = ue[:, None], ve[:, None], we[:, None]
+                cos_sc = u2 * do0 + v2 * do1 + w2 * do2
+                itr = jnp.clip(jnp.round(
+                    jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
+                    * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
+                msel = jnp.zeros((Ec, n_mt, n_rt), jnp.float32)
+                for o in range(n_rt):
+                    oh_o = (itr[:, o, None]
+                            == jnp.arange(A1c, dtype=jnp.int32)
+                            ).astype(jnp.float32)
+                    msel = msel.at[:, :, o].set(
+                        jnp.sum(oh_o[:, None, :] * mr, axis=-1))
+                s11c = msel[:, 0]
+                if pola:
+                    from .sampling import rotation_to_frame
+                    _, v1pj, v1pk = rotation_to_frame(u2, v2, w2,
+                                                      -do0, -do1, -do2)
+                    xnyp = jnp.sqrt(jnp.maximum(
+                        v1pj * v1pj + v1pk * v1pk, 0.0))
+                    costhet = jnp.where(xnyp < 1e-10, 1.0,
+                                        -v1pj / jnp.maximum(xnyp, 1e-30))
+                    theta = jnp.arccos(jnp.clip(costhet, -1.0, 1.0))
+                    theta = jnp.where(theta >= jnp.pi, 0.0, theta) \
+                        + 0.5 * jnp.pi
+                    omega = jnp.where(v1pk < 0.0,
+                                      -2.0 * theta, 2.0 * theta)
+                    cosw = jnp.cos(omega)
+                    sinw = jnp.sin(omega)
+                    sm12 = -s11c * msel[:, 1]
+                    sm33 = -s11c * msel[:, 2]
+                    sm34 = -s11c * msel[:, 3]
+                    sm44 = sm33
+                    sQ2, sU2, sV2, sI2 = (sQe[:, None], sUe[:, None],
+                                          sVe[:, None], sIe[:, None])
+                    c2 = cosw * sQ2 - sinw * sU2
+                    c3 = sinw * sQ2 + cosw * sU2
+                    d1 = s11c * sI2 + sm12 * c2
+                    d2 = sm12 * sI2 + s11c * c2
+                    d3 = sm33 * c3 - sm34 * sV2
+                    d4 = sm34 * c3 + sm44 * sV2
+                    S1o = d1
+                    S2o = -cosw * d2 - sinw * d3
+                    S3o = -sinw * d2 + cosw * d3
+                    S4o = d4
+                else:
+                    S1o = s11c * sIe[:, None]
+                    S2o = jnp.zeros_like(S1o)
+                    S3o = jnp.zeros_like(S1o)
+                    S4o = jnp.zeros_like(S1o)
+                fs2 = fse[:, None] * S1o
+                fn2 = (1.0 - fse[:, None]) * S1o
+                valsE = jnp.stack([S1o, S2o, S3o, S4o, fs2, fn2],
+                                  axis=-1).reshape(Ec, n_rt * 6)
+                xi_out = xi_in.at[baseE].add(
+                    valsE.astype(xi_in.dtype), mode="promise_in_bounds")
+                return off + Ec, xi_out
+
+            _, xi = jax.lax.while_loop(
+                lambda c: c[0] < count, _rt_pass,
+                (jnp.zeros((), jnp.int32), xi))
+
         A1 = nang + 1
         thfac = jnp.pi / nang
         if "scatsample" in abl:
@@ -1107,7 +1271,8 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                                              "scat_method", "nabs_tally",
                                              "dark", "age_cap", "rt2",
                                              "n_theta_i", "n_phi_i",
-                                             "origin", "mono_budget"),
+                                             "origin", "mono_budget",
+                                             "rt_est", "rt_compact"),
                    donate_argnums=(2,))
 def advance(model: Model, key, state: MCState, n_packets,
             n_iters: int = 2000, pola: bool = True,
@@ -1118,7 +1283,9 @@ def advance(model: Model, key, state: MCState, n_packets,
             dark: bool = False, age_cap: int = 100000,
             rt2: bool = False, n_theta_i: int = 15,
             n_phi_i: int = 15, origin: bool = False,
-            mono_budget: str = "received", stop_alive=0) -> MCState:
+            mono_budget: str = "received", stop_alive=0,
+            rt_est: str = "collision",
+            rt_compact: int = 2048) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -1152,7 +1319,8 @@ def advance(model: Model, key, state: MCState, n_packets,
                         jtally=jtally, scat_method=scat_method,
                         nabs_tally=nabs_tally, dark=dark, age_cap=age_cap,
                         rt2=rt2, n_theta_i=n_theta_i, n_phi_i=n_phi_i,
-                        origin=origin, mono_budget=mono_budget)
+                        origin=origin, mono_budget=mono_budget,
+                        rt_est=rt_est, rt_compact=rt_compact)
     return jax.lax.while_loop(cond, body, state)
 
 
@@ -1195,7 +1363,9 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    nabs_tally: bool = False, progress=None,
                    rt2: bool = False, n_theta_i: int = 15,
                    n_phi_i: int = 15, origin: bool = False,
-                   mono_budget: str = "received") -> MCResult:
+                   mono_budget: str = "received",
+                   rt_est: str = "collision",
+                   rt_compact: int = 2048) -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
     state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt,
                        jtally=jtally, rt2=rt2, n_theta_i=n_theta_i,
@@ -1224,6 +1394,7 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                         dark=dark, age_cap=age_cap, rt2=rt2,
                         n_theta_i=n_theta_i, n_phi_i=n_phi_i,
                         origin=origin, mono_budget=mono_budget,
+                        rt_est=rt_est, rt_compact=rt_compact,
                         stop_alive=stop_for(b_cur))
         # ONE jitted summary + ONE transfer per chunk: eager per-field
         # reads over a tunnelled TPU cost ~0.1s dispatch latency each

@@ -262,7 +262,12 @@ def run_thermal_mc_spatial(model: Model, key, n_packets: int, mesh: Mesh,
 
     rounds = 0
     b_cur = batch_per_device
-    stop_w = 0
+    # arm the collective work-threshold exit from the FIRST chunk (the
+    # work counter includes the remaining emission budget, so the exit
+    # cannot fire before the budget is spent): without this the first
+    # chunk burns rounds_per_call*n_inner full-width iterations on an
+    # almost-dead batch — measured 2.77 s of a 3.15 s run at 1 device
+    stop_w = stop_for(b_cur) * n_dev
     while rounds * n_inner < max_rounds:
         stops = jnp.full((n_dev,), stop_w, jnp.int32)
         state, work = chunk(model, keys, state, budgets, totals, stops)

@@ -42,13 +42,21 @@ N_TYPE = 8   # I, Q, U, V, star_direct, star_scat, disk_th, disk_scat
 def assemble_source_function(model: Model, host: HostModel,
                              xi: jax.Array, T_cells: np.ndarray,
                              n_sent_per_lambda: np.ndarray,
-                             n_az_rt: int = 45, lam_sel=None):
+                             n_az_rt: int = 45, lam_sel=None,
+                             estimator: str = "collision"):
     """Source function, FLAT layout (Lc*n_cells*n_az_rt*2, nRT*N_TYPE).
 
     Follows init_dust_source_fct1 (dust_ray_tracing.f90:636-713):
       photon_energy = (E_stars + E_disk) lambda 1e-6 / (n_sent AU_to_cm pi)
       I_scatt = xi * photon_energy / V * (n_az_rt*2) * kappa_sca
       eps     = (I_scatt + J_th) / kappa_ext
+
+    estimator: "track" = the reference's per-crossing track-length tally
+    (xi sums l * Stokes * phase, so I_scatt carries the kappa_sca factor
+    above); "collision" (default) = the event-based tally in
+    mc/thermal_mc.py, whose interaction sampling already supplies
+    kappa_sca * l in expectation — the kappa_sca multiplication is
+    dropped and everything else is identical.
 
     lam_sel = (lo, hi): assemble only that wavelength window (rows stay
     lambda-major with chunk-local indices).  TPU layout notes: a 6-D
@@ -104,9 +112,18 @@ def assemble_source_function(model: Model, host: HostModel,
     # round-trip of each chunk over a tunnelled TPU moved ~200 MB per
     # chunk and stalled full-resolution runs for hours); only the small
     # (Lc, C) factor tables upload
-    fac = jnp.asarray(np.asarray(
-        factor * ksca_cell / np.maximum(kext_cell, 1e-300),
-        np.float32)[lo:hi], dtype)                        # (Lc, C)
+    sca_num = ksca_cell if estimator == "track" else 1.0
+    # near-empty cells (a debris-disk cavity, sparse outer rings) host
+    # ~zero scattering events, but the collision factor divides by kext:
+    # zero it below a per-lambda relative floor and clip the f32 cast so
+    # xi=0 cells give 0, not 0*inf=NaN (their formal-ray contribution is
+    # (1-e^-dtau)*eps ~ kext*l*eps -> negligible by the same smallness)
+    kmax = np.maximum(kext_cell.max(axis=1, keepdims=True), 1e-300)
+    fac_np = np.where(kext_cell > 1e-15 * kmax,
+                      factor * sca_num / np.maximum(kext_cell, 1e-300),
+                      0.0)
+    fac = jnp.asarray(np.asarray(np.clip(fac_np, 0.0, 1e37),
+                                 np.float32)[lo:hi], dtype)   # (Lc, C)
     jth = jnp.asarray(np.asarray(
         j_th / np.maximum(kext_cell, 1e-300), np.float32)[lo:hi], dtype)
     facr = jnp.broadcast_to(fac[:, :, None],
