@@ -559,7 +559,12 @@ def _main(argv=None):
             raise SystemExit("option -calc_jnu_atom not yet")
         # ---- dust / grain controls ----
         elif a == "-pah":
+            # reference consumes emissivity model + grain type
+            # (init_mcfost.f90 case("-pah"): model_pah, pah_grain)
             para.force_pah = True
+            para.pah_model = argv[i + 1]
+            para.pah_grain = argv[i + 2]
+            i += 2
         elif a == "-Tmax_PAH":
             i += 1; para.tmax_pah = float(argv[i])
         elif a == "-force_PAH_equilibrium":
@@ -679,11 +684,10 @@ def _main(argv=None):
                       "SHG benchmark"); return 1
             i += 1; mathis_field = float(argv[i])
         elif a == "-flux_fraction_surface":
-            # needs an energy-fraction recorder inside the line
-            # integrator (emission_line_energy_fraction_surface_map,
-            # mol_transfer.f90:1215-1300) — refuse rather than fake it
-            raise SystemExit("-flux_fraction_surface is not implemented "
-                             "in this build yet")
+            # energy-fraction surface maps of the molecular line cube
+            # (emission_line_energy_fraction_surface_map,
+            # mol_transfer.f90:1215-1320; init_mcfost.f90:1292-1296)
+            i += 1; para.flux_fraction = float(argv[i])
         else:
             # Unknown flags are a hard error: a physics-changing reference
             # flag silently ignored would compute the wrong model

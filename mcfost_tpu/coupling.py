@@ -137,3 +137,60 @@ def diffusion_opacity(state: CouplingState, T_part: np.ndarray
     out = np.zeros(len(keep))
     out[keep] = kappa_cm2g
     return out
+
+
+# ---------------------------------------------------------------------------
+# C-ABI adapters (native/coupling_c.c): raw f64 buffers in/out, so the
+# embedding shim stays a thin argument-marshalling layer.  Mirrors the
+# reference's C-callable library surface (libmcfost.a:
+# init_mcfost_phantom / run_mcfost_phantom / diffusion_opacity,
+# src/Makefile:263-266, src/mcfost2phantom.f90:7,159,535).
+# ---------------------------------------------------------------------------
+
+def _c_api_write_default_para(path: str, n_packets: int = 4000,
+                              n_lambda: int = 10,
+                              n_grains: int = 4) -> int:
+    """Write a reduced default parameter file (C test harness helper)."""
+    from .config.para import write_para
+    p = Para()
+    p.photons.n_eq_th = n_packets
+    p.wavelengths.n_lambda = n_lambda
+    for sp in p.dust[0]:
+        sp.n_grains = n_grains
+    write_para(p, path)
+    return 0
+
+
+def _c_api_init(para_path: str, n_packets: int) -> CouplingState:
+    """C entry: parse the para file; n_packets<=0 uses the file's own."""
+    return init_mcfost_phantom(
+        para_path, n_packets if n_packets > 0 else None, verbose=False)
+
+
+def _c_api_run(state: CouplingState, n_part: int, xyz_mv, h_mv, mass_mv,
+               n_star: int, star_xyz_mv, star_mass_mv, dudt_mv,
+               t_out_mv, batch: int = 8192) -> int:
+    """C entry: f64 buffers [xyz (3N), h (N), mass_g (N), star_xyz (3S),
+    star_mass_Msun (S), dudt (N W, optional), T_out (N K)].  Returns the
+    packet count used, <0 on error."""
+    xyz = np.frombuffer(xyz_mv, np.float64)[:3 * n_part].reshape(n_part, 3)
+    h = np.frombuffer(h_mv, np.float64)[:n_part]
+    mass = np.frombuffer(mass_mv, np.float64)[:n_part]
+    sxyz = np.frombuffer(star_xyz_mv, np.float64)[:3 * n_star].reshape(
+        n_star, 3)
+    smass = np.frombuffer(star_mass_mv, np.float64)[:n_star]
+    dudt = (np.frombuffer(dudt_mv, np.float64)[:n_part]
+            if dudt_mv is not None else None)
+    T, _, n_used = run_mcfost_phantom(state, xyz, h, mass, sxyz, smass,
+                                      dudt=dudt, batch=batch)
+    np.frombuffer(t_out_mv, np.float64)[:n_part] = T
+    return int(n_used)
+
+
+def _c_api_diffusion(state: CouplingState, n_part: int, t_mv,
+                     kappa_out_mv) -> int:
+    """C entry: Planck-mean opacity [cm^2/g gas] per particle."""
+    T = np.frombuffer(t_mv, np.float64)[:n_part]
+    kap = diffusion_opacity(state, T)
+    np.frombuffer(kappa_out_mv, np.float64)[:n_part] = kap
+    return 0

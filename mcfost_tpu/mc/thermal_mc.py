@@ -68,6 +68,11 @@ class MCState(NamedTuple):
     orig: jax.Array            # (L*(C+1),) escaped energy by origin cell
                                # (slot C = star/ISM) — write_origin
                                # (output.f90:1366-1420) — or (1,)
+    fe: jax.Array              # (Ef, 3+nRT*6) staged foreign RT events
+                               # under rt_slab sharding, or (1, 1)
+    fe_n: jax.Array            # scalar i32: valid rows in fe
+    fe_lost: jax.Array         # scalar i32: foreign events dropped on
+                               # fe overflow (0 in sane configs)
 
 
 class MCResult(NamedTuple):
@@ -339,7 +344,8 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
                jtally: bool = False, n_ct: int | None = None,
                rt2: bool = False, n_theta_i: int = 15,
                n_phi_i: int = 15, origin: bool = False,
-               mono: bool = False) -> MCState:
+               mono: bool = False, xi_rows: int | None = None,
+               fe_cap: int = 0) -> MCState:
     """Fresh all-dead MC state (lanes are populated by refill).
 
     rt=True allocates the RT1 scattered-intensity tally
@@ -351,10 +357,13 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
     Stokes/contrib type.  Both are stored FLAT (1-D): a trailing (nRT, 6)
     axis pair would be tile-padded to (4,128) on TPU — a 28x HBM blowup.
 
-    n_ct: cell extent of the tally arrays — n_cells by default, or the
-    per-device slab size under spatial domain decomposition."""
+    n_ct: cell extent of the tally arrays — n_cells by default.
+    xi_rows: cell extent of the RT tally only (the per-device slab size
+    under rt_slab sharding; other tallies stay full-size).
+    fe_cap: rows of the foreign-event staging block (rt_slab mode)."""
     dtype = model.kappa.dtype
     n_cells = model.grid.n_cells if n_ct is None else n_ct
+    n_xi = n_cells if xi_rows is None else xi_rows
     L = model.n_lambda
     B = batch
     # NB: every field gets its own buffer (donation forbids aliased args)
@@ -376,7 +385,7 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
         sed=jnp.zeros((L, n_capt, 8), dtype),
         xi=(jnp.zeros((L * n_cells * (n_theta_i * n_phi_i + 1), 6), dtype)
             if rt2 else
-            jnp.zeros((L * n_cells * n_az_rt * 2,
+            jnp.zeros((L * n_xi * n_az_rt * 2,
                        model.rt_dirs.shape[0] * 6), dtype)
             if rt else jnp.zeros((1, 1), dtype)),
         age=jnp.zeros(B, jnp.int32),
@@ -384,6 +393,11 @@ def init_state(model: Model, batch: int, n_capt: int = 10,
         ocell=jnp.full(B, -1, jnp.int32),
         orig=(jnp.zeros(L * (n_cells + 1), dtype) if origin
               else jnp.zeros(1, dtype)),
+        fe=(jnp.zeros((fe_cap, 3 + model.rt_dirs.shape[0] * 6),
+                      jnp.float32) if fe_cap > 0
+            else jnp.zeros((1, 1), jnp.float32)),
+        fe_n=jnp.zeros((), jnp.int32),
+        fe_lost=jnp.zeros((), jnp.int32),
         nsent=jnp.zeros(L if mono else 1, dtype),
     )
 
@@ -394,10 +408,11 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                  mrw_gamma: float = 2.0, jtally: bool = False,
                  scat_method: int = 2, nabs_tally: bool = False,
                  dark: bool = False, age_cap: int = 100000,
-                 spatial=None, rt2: bool = False,
+                 rt_slab=None, rt2: bool = False,
                  n_theta_i: int = 15, n_phi_i: int = 15,
                  origin: bool = False, mono_budget: str = "received",
-                 rt_est: str = "collision", rt_compact: int = 2048):
+                 rt_est: str = "collision", rt_compact: int = 2048,
+                 emit_width: int | None = None):
     """Build the fused one-iteration MC body ``body(MCState) -> MCState``.
 
     Shared by the single/packet-DP driver (`advance`) and the spatially
@@ -406,17 +421,22 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
     n_packets: local emission budget of this device; n_total: global packet
     count setting the per-packet luminosity (equal when not sharded).
 
-    spatial: None, or ``(dev_id, n_dev, slab)`` — cell-slab ownership for
-    spatial domain decomposition (SURVEY §2.7 north star).  With it set:
-    * lanes whose current cell belongs to another device are *frozen*
-      (position/state untouched) until the caller ring-routes them to their
-      owner (`lax.ppermute` in parallel/spatial.py);
-    * all cell-indexed tallies (xkj, xJ, nabs, RT1 xi) address the local
-      slab ``flat - dev_id*slab`` — each device owns C/n_dev tally cells,
-      the axis that lets models exceed single-chip HBM;
-    * the B&W reemission temperature reads the owner's slab tally, which is
-      the *complete* running deposit for that cell (tighter than the DP
-      path, where each device sees only its private 1/n_dev share).
+    rt_slab: None, or ``(dev_id, n_dev, slab)`` — cell-slab ownership of
+    the RT1 scattered-intensity tally for spatial domain decomposition
+    (SURVEY §2.7 north star).  Requires rt=True, rt_est="collision".
+    Packets are advanced data-parallel everywhere (the per-cell model
+    tables are O(C) scalars, replicated); the one SHARDED array is the
+    (L*C*n_az*2)-row xi tally, of which this device stores only its slab.
+    Collision events in an owned cell scatter into the local slab; events
+    in a foreign cell are compacted into the ``fe`` staging block
+    (payload: ilam, global cell, az bin, nRT*6 phase-weighted Stokes)
+    which the spatial driver ring-routes to the owner each iteration —
+    an arriving event is CONSUMED by a scatter, never queued, so the
+    exchange cannot deadlock (the r4/r5 lane-routing schemes measured a
+    1/n_dev duty cycle resp. a capacity gridlock; shipping the tally
+    events decouples compute placement from tally placement).  Overflow
+    past the fe block capacity is counted in fe_lost (visible in
+    MCResult; zero in any sane configuration).
     """
     dtype = model.kappa.dtype
     grid = model.grid
@@ -444,8 +464,14 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         else:
             R = _iter_randoms(key, s.it, 15, B, dtype)
 
-        # ---- 1. refill dead lanes while budget lasts
+        # ---- 1. refill dead lanes while budget lasts.  emit_width caps
+        # refill to the first lanes so the spatial-DD driver can reserve
+        # an immigration region whose dead slots routed-in packets can
+        # always claim (refill would otherwise win every free slot while
+        # the emission budget lasts and starve the ring merges)
         need = ~s.alive
+        if emit_width is not None and emit_width < B:
+            need = need & (jnp.arange(B) < emit_width)
         rank = jnp.cumsum(need.astype(jnp.int32))
         do_emit = need & (rank <= (n_budget - s.emitted))
         emitted = s.emitted + jnp.sum(do_emit.astype(jnp.int32))
@@ -519,22 +545,9 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         # ---- 2. one wall crossing with tau bookkeeping
         inside = cyl.is_inside(grid, ri, zj)
         flat = jnp.clip(cyl.flat_index(grid, ri, zj), 0, n_cells - 1)
-        if spatial is not None:
-            # spatial DD: lanes inside a cell owned by another device are
-            # frozen in place this iteration; the driver ring-routes them.
-            # Lanes outside the grid (stellar cavity, entry from infinity)
-            # carry no deposit and may be advanced by any device.
-            dev_id, n_dev, slab = spatial
-            mine = (flat // slab) == dev_id
-            frozen = alive & inside & ~mine
-            act = alive & ~frozen
-            tloc = jnp.clip(flat - dev_id * slab, 0, slab - 1)
-            n_ct = slab              # cell extent of local tally arrays
-        else:
-            frozen = jnp.zeros(B, bool)
-            act = alive
-            tloc = flat
-            n_ct = n_cells
+        act = alive
+        tloc = flat
+        n_ct = n_cells
         P = model.n_buckets
         # TPU cost model (measured, bench §profile): a data-dependent
         # gather of B rows costs ~90 ns/row (~3 ms at B=32k) regardless of
@@ -553,25 +566,6 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             vol_flat = jnp.ones(B, dtype)
             cvals = None
             xkj_flat = jnp.zeros(B, dtype)
-        elif dense_cells and spatial is not None:
-            # spatial DD: ONE slab-local one-hot serves everything.
-            # Only owned (or outside-grid) lanes are active, and outside
-            # lanes never consume per-cell values (opac is masked by
-            # `inside`), so the cell tables can be sliced to this
-            # device's slab and share the tally's one-hot.
-            ohs = (tloc[:, None]
-                   == jnp.arange(n_ct, dtype=jnp.int32)).astype(dtype)
-            pad = n_dev * slab - n_cells
-            ctab_full = (jnp.concatenate(
-                [cell_tab, jnp.zeros((pad, 3), dtype)]) if pad > 0
-                else cell_tab)                       # loop-invariant
-            ctab_slab = jax.lax.dynamic_slice_in_dim(
-                ctab_full, dev_id * slab, slab, axis=0)
-            ctab2 = (jnp.concatenate([ctab_slab, s.xkj[:, None]], axis=1)
-                     if need_xkj else ctab_slab)
-            cvals = ohs @ ctab2                      # (B, 3|4)
-            kfac, vol_flat = cvals[:, 0], cvals[:, 1]
-            xkj_flat = cvals[:, 3] if need_xkj else jnp.zeros(B, dtype)
         elif dense_cells:
             ctab = (jnp.concatenate([cell_tab, s.xkj[:, None]], axis=1)
                     if need_xkj else cell_tab)
@@ -694,8 +688,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
             # scatter-add costs ~0.5 ms/iter (55% of the whole thermal
             # iteration, bench §profile); the MXU contraction over the
             # same one-hot used for the gathers costs ~0.2 ms
-            oh_t = ohs if spatial is not None else ohc
-            xkj = s.xkj + jnp.einsum("bc,b->c", oh_t, dep_w)
+            xkj = s.xkj + jnp.einsum("bc,b->c", ohc, dep_w)
         else:
             xkj = s.xkj.at[tloc].add(dep_w)
 
@@ -984,21 +977,30 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                 (jnp.mod(phi_ev, 2.0 * jnp.pi) / (2.0 * jnp.pi)
                  * n_az_rt).astype(jnp.int32), 0, n_az_rt - 1)
             psup_ev = jnp.where(z > 0.0, 0, 1)
-            base_ev = ((ilam * n_ct + tloc) * n_az_rt + kphi_ev) * 2 \
-                + psup_ev
-            rank = jnp.cumsum(ev.astype(jnp.int32)) - 1
-            count = jnp.sum(ev.astype(jnp.int32))
-            # payload columns must survive an exact f32 matmul: the key
-            # is split into <2^24 halves, flags ride as 0/1
+            azk_ev = kphi_ev * 2 + psup_ev          # in [0, 2*n_az_rt)
+            if rt_slab is not None:
+                dev_id, n_dev_rt, slab_rt = rt_slab
+                owned_ev = (tloc // slab_rt) == dev_id
+                ev_l = ev & owned_ev
+                ev_f = ev & ~owned_ev
+                n_rows_loc = slab_rt
+            else:
+                ev_l = ev
+                ev_f = None
+                n_rows_loc = n_ct
+            # payload columns must survive an exact f32 matmul: each key
+            # component is < 2^24 (lambda index, global cell, az bin),
+            # flags ride as 0/1
             payload = jnp.stack(
-                [(base_ev >> 11).astype(jnp.float32),
-                 (base_ev & 2047).astype(jnp.float32),
+                [ilam.astype(jnp.float32),
+                 tloc.astype(jnp.float32),
+                 azk_ev.astype(jnp.float32),
                  pL.astype(jnp.float32),
                  sI.astype(jnp.float32), sQ.astype(jnp.float32),
                  sU.astype(jnp.float32), sV.astype(jnp.float32),
                  u.astype(jnp.float32), v.astype(jnp.float32),
                  w.astype(jnp.float32),
-                 fstar.astype(jnp.float32)], axis=1)       # (B, 11)
+                 fstar.astype(jnp.float32)], axis=1)       # (B, 12)
             n_rt = model.rt_dirs.shape[0]
             A1c = nang + 1
             n_mt = 4 if pola else 1
@@ -1008,25 +1010,30 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                 [t.reshape(P * L, A1c).astype(jnp.float32)
                  for t in mtabs_c], axis=1)               # (P*L, n_mt*A1)
 
-            def _rt_pass(carry):
-                off, xi_in = carry
+            def _compact_events(evmask, rank, E, off):
+                """Compact up to E events starting at running-count
+                ``off`` and evaluate their phase-matrix contributions:
+                returns (ilamE, flatE, azkE, valsE) with exactly-zero
+                rows past the event count."""
                 oh = (((rank - off)[:, None]
-                       == jnp.arange(Ec, dtype=jnp.int32))
-                      & ev[:, None]).astype(jnp.float32)   # (B, Ec)
+                       == jnp.arange(E, dtype=jnp.int32))
+                      & evmask[:, None]).astype(jnp.float32)   # (B, E)
                 # HIGHEST precision: the TPU default truncates matmul
                 # inputs to bf16, which CORRUPTS the integer key columns
                 # (needs 14+ bits); the 3-pass f32 emulation is exact for
                 # one-hot x int<2^24 products
                 cp = jnp.einsum("be,bk->ek", oh, payload,
                                 precision=jax.lax.Precision.HIGHEST)
-                baseE = (jnp.round(cp[:, 0]).astype(jnp.int32) * 2048
-                         + jnp.round(cp[:, 1]).astype(jnp.int32))
-                pLE = jnp.round(cp[:, 2]).astype(jnp.int32)
-                sIe, sQe, sUe, sVe = cp[:, 3], cp[:, 4], cp[:, 5], cp[:, 6]
-                ue, ve, we = cp[:, 7], cp[:, 8], cp[:, 9]
-                fse = cp[:, 10]
+                ilamE = jnp.round(cp[:, 0]).astype(jnp.int32)
+                flatE = jnp.round(cp[:, 1]).astype(jnp.int32)
+                azkE = jnp.round(cp[:, 2]).astype(jnp.int32)
+                pLE = jnp.round(cp[:, 3]).astype(jnp.int32)
+                sIe, sQe, sUe, sVe = cp[:, 4], cp[:, 5], cp[:, 6], cp[:, 7]
+                ue, ve, we = cp[:, 8], cp[:, 9], cp[:, 10]
+                fse = cp[:, 11]
+                Ec_ = E
                 mr = (_one_hot(pLE, P * L, jnp.float32) @ mtab_cat
-                      ).reshape(Ec, n_mt, A1c)
+                      ).reshape(Ec_, n_mt, A1c)
                 do0 = model.rt_dirs[:, 0][None, :].astype(jnp.float32)
                 do1 = model.rt_dirs[:, 1][None, :].astype(jnp.float32)
                 do2 = model.rt_dirs[:, 2][None, :].astype(jnp.float32)
@@ -1035,7 +1042,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                 itr = jnp.clip(jnp.round(
                     jnp.arccos(jnp.clip(cos_sc, -1.0, 1.0))
                     * (nang / jnp.pi)).astype(jnp.int32), 1, nang)
-                msel = jnp.zeros((Ec, n_mt, n_rt), jnp.float32)
+                msel = jnp.zeros((Ec_, n_mt, n_rt), jnp.float32)
                 for o in range(n_rt):
                     oh_o = (itr[:, o, None]
                             == jnp.arange(A1c, dtype=jnp.int32)
@@ -1082,14 +1089,50 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                 fs2 = fse[:, None] * S1o
                 fn2 = (1.0 - fse[:, None]) * S1o
                 valsE = jnp.stack([S1o, S2o, S3o, S4o, fs2, fn2],
-                                  axis=-1).reshape(Ec, n_rt * 6)
+                                  axis=-1).reshape(Ec_, n_rt * 6)
+                # zero rows stay exactly zero: every val is linear in the
+                # (zero) compacted Stokes
+                return ilamE, flatE, azkE, valsE
+
+            rank_l = jnp.cumsum(ev_l.astype(jnp.int32)) - 1
+            count_l = jnp.sum(ev_l.astype(jnp.int32))
+
+
+            def _rt_pass(carry):
+                off, xi_in = carry
+                ilamE, flatE, azkE, valsE = _compact_events(
+                    ev_l, rank_l, Ec, off)
+                if rt_slab is not None:
+                    flatE = flatE - dev_id * slab_rt
+                baseE = (ilamE * n_rows_loc + flatE) * (2 * n_az_rt) + azkE
+                baseE = jnp.clip(baseE, 0,
+                                 n_rows_loc * L * 2 * n_az_rt - 1)
                 xi_out = xi_in.at[baseE].add(
                     valsE.astype(xi_in.dtype), mode="promise_in_bounds")
                 return off + Ec, xi_out
 
             _, xi = jax.lax.while_loop(
-                lambda c: c[0] < count, _rt_pass,
+                lambda c: c[0] < count_l, _rt_pass,
                 (jnp.zeros((), jnp.int32), xi))
+
+            if rt_slab is not None and n_dev_rt > 1:
+                # stage foreign events for the driver's ring exchange:
+                # [ilam, global cell, az bin, nRT*6 values] per row
+                Ef = s.fe.shape[0]
+                rank_f = jnp.cumsum(ev_f.astype(jnp.int32)) - 1
+                count_f = jnp.sum(ev_f.astype(jnp.int32))
+                ilamF, flatF, azkF, valsF = _compact_events(
+                    ev_f, rank_f, Ef, jnp.zeros((), jnp.int32))
+                fe = jnp.concatenate(
+                    [ilamF[:, None].astype(jnp.float32),
+                     flatF[:, None].astype(jnp.float32),
+                     azkF[:, None].astype(jnp.float32), valsF], axis=1)
+                fe_n = jnp.minimum(count_f, Ef)
+                fe_lost = s.fe_lost + jnp.maximum(count_f - Ef, 0)
+            else:
+                fe, fe_n, fe_lost = s.fe, s.fe_n, s.fe_lost
+        else:
+            fe, fe_n, fe_lost = s.fe, s.fe_n, s.fe_lost
 
         A1 = nang + 1
         thfac = jnp.pi / nang
@@ -1235,21 +1278,13 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         # The count still reports as n_lost so the bias surface (local
         # deposit instead of continued transport) stays visible.  The
         # reference has no cap but also no lock-step cost for stragglers.
-        # Frozen (awaiting-routing) lanes neither age nor die.
         age = jnp.where(act, age + 1, age)
         overage = act & (age > age_cap)
         if not mono and "xkjscatter" not in abl:
             inside_now = cyl.is_inside(grid, ri, zj)
             dep_late = jnp.where(overage & inside_now, sI, 0.0)
-            if spatial is not None:
-                flat_now = jnp.clip(cyl.flat_index(grid, ri, zj),
-                                    0, n_cells - 1)
-                tloc_now = jnp.clip(flat_now - dev_id * slab, 0, slab - 1)
-                mine_now = (flat_now // slab) == dev_id
-                dep_late = jnp.where(mine_now, dep_late, 0.0)
-            else:
-                tloc_now = jnp.clip(cyl.flat_index(grid, ri, zj),
-                                    0, n_cells - 1)
+            tloc_now = jnp.clip(cyl.flat_index(grid, ri, zj),
+                                0, n_cells - 1)
             xkj = xkj.at[tloc_now].add(dep_late)
         act = act & ~overage
         nkill = s.nkill + jnp.sum(overage.astype(jnp.int32))
@@ -1257,10 +1292,11 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         return MCState(x=x, y=y, z=z, u=u, v=v, w=w,
                        sI=sI, sQ=sQ, sU=sU, sV=sV,
                        ilam=ilam, ri=ri, zj=zj, tau_rem=tau_rem,
-                       alive=act | frozen, fstar=fstar, fscat=fscat,
+                       alive=act, fstar=fstar, fscat=fscat,
                        emitted=emitted, nkill=nkill, xkj=xkj, xj=xj,
                        nabs=nabs, sed=sed, xi=xi, age=age, it=s.it + 1,
-                       ocell=ocell, orig=orig, nsent=nsent)
+                       ocell=ocell, orig=orig, fe=fe, fe_n=fe_n,
+                       fe_lost=fe_lost, nsent=nsent)
 
     return body
 

@@ -733,7 +733,9 @@ def run_mol_step(para: Para, model, host, T_gas, root_dir: str = ".",
     cube, cont, rt = mol_cube(model, host, T_gas, root_dir=root_dir,
                               verbose=verbose, pops=pops,
                               abundance=abundance,
-                              half=getattr(para, "mol_half", 0))
+                              half=getattr(para, "mol_half", 0),
+                              flux_fraction=getattr(
+                                  para, "flux_fraction", None))
 
     if write_extras:
         out_dir = os.path.join(root_dir, f"data_{mol.name.split()[0]}")

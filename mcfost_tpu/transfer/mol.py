@@ -305,10 +305,131 @@ def integrate_mol_rays(model: Model, kappa_mol, emis_mol, kappa_cont,
     return I, Ic
 
 
+def _mol_flux_march(model: Model, kappa_mol_t, emis_mol_t, kappa_cont_t,
+                    emis_cont_t, norme_m1, sigma2_m1, vfield, tab_speed,
+                    x0, y0, z0, u, v, w, thr=None, n_vpoints: int = 8,
+                    max_steps: int = 2000):
+    """Single-transition inward march for the energy-fraction surface.
+
+    thr=None: return the final line+continuum specific intensity (N, nv)
+    accumulated from the observer side (no CMB term) — the per-pixel peak
+    of this is the reference's flux threshold base.  thr=(N,): return
+    (pos (N, 3), found (N,)) — the point along each ray where the running
+    channel-peak intensity first exceeds thr, with the final step length
+    rescaled by (thr - I_prev)/(I - I_prev) exactly like
+    physical_length_mol_Flux (optical_depth.f90:732-859)."""
+    grid = model.grid
+    dtype = x0.dtype
+    n_cells = grid.n_cells
+    nv = tab_speed.shape[0]
+    N = x0.shape[0]
+
+    ri0, zj0 = geom.index_cell(grid, x0, y0, z0)
+    inside0 = geom.is_inside(grid, ri0, zj0)
+    xm, ym, zm, rim, zjm, hitm = geom.move_to_grid(grid, x0, y0, z0, u, v, w)
+    x = jnp.where(inside0, x0, xm)
+    y = jnp.where(inside0, y0, ym)
+    z = jnp.where(inside0, z0, zm)
+    ri = jnp.where(inside0, ri0, rim)
+    zj = jnp.where(inside0, zj0, zjm)
+    alive = (inside0 | hitm) & ~geom.has_exited(grid, ri, zj, z)
+
+    I = jnp.zeros((N, nv), dtype)
+    tau = jnp.zeros((N, nv), dtype)
+    found = jnp.zeros(N, bool)
+    fpos = jnp.zeros((N, 3), dtype)
+    record = thr is not None
+
+    def v_proj(cell_v, xx, yy, zz):
+        rr = jnp.sqrt(jnp.maximum(xx * xx + yy * yy, 1e-30))
+        return (cell_v[:, 0] * (xx * u + yy * v) / rr
+                + cell_v[:, 1] * (-yy * u + xx * v) / rr
+                + cell_v[:, 2] * w)
+
+    def cond(st):
+        return jnp.any(st[8]) & (st[0] < max_steps)
+
+    def body(st):
+        it, x, y, z, ri, zj, tau, I, alive, found, fpos = st
+        inside = geom.is_inside(grid, ri, zj)
+        flat = jnp.clip(geom.flat_index(grid, ri, zj), 0, n_cells - 1)
+        x1, y1, z1, ri1, zj1, l = geom.cross_cell(grid, x, y, z, u, v, w,
+                                                  ri, zj)
+        cell_v = vfield[flat]
+        P = jnp.zeros((N, nv), dtype)
+        for k in range(n_vpoints):
+            f = (k + 0.5) / n_vpoints
+            vproj_k = v_proj(cell_v, x + f * l * u, y + f * l * v,
+                             z + f * l * w)
+            dvv = tab_speed[None, :] - vproj_k[:, None]
+            P = P + (norme_m1[flat][:, None]
+                     * jnp.exp(-sigma2_m1[flat][:, None] * dvv * dvv))
+        P = P / n_vpoints
+        kc = kappa_cont_t[flat]
+        opac = kappa_mol_t[flat][:, None] * P + kc[:, None]
+        dtau = l[:, None] * opac
+        Snu = (emis_mol_t[flat][:, None] * P
+               + emis_cont_t[flat][:, None]) / jnp.maximum(opac, 1e-30)
+        okl = alive & inside
+        dI = jnp.where(okl[:, None],
+                       jnp.exp(-tau) * (-jnp.expm1(-dtau)) * Snu, 0.0)
+        I1 = I + dI
+        if record:
+            prev = jnp.max(I, axis=1)
+            cur = jnp.max(I1, axis=1)
+            cross = okl & ~found & (cur > thr)
+            f_l = jnp.clip((thr - prev) / jnp.maximum(cur - prev, 1e-300),
+                           0.0, 1.0)
+            hitp = jnp.stack([x + f_l * l * u, y + f_l * l * v,
+                              z + f_l * l * w], axis=1)
+            fpos = jnp.where(cross[:, None], hitp, fpos)
+            found = found | cross
+        tau = tau + jnp.where(okl[:, None], dtau, 0.0)
+        I = I1
+        x = jnp.where(alive, x1, x)
+        y = jnp.where(alive, y1, y)
+        z = jnp.where(alive, z1, z)
+        ri = jnp.where(alive, ri1, ri)
+        zj = jnp.where(alive, zj1, zj)
+        in_cav = ri == 0
+        t_ca = -(x * u + y * v + z * w)
+        d2 = x * x + y * y + z * z - t_ca * t_ca
+        hit_star = in_cav & (t_ca > 0) & (d2 < model.star_r[0] ** 2)
+        alive = (alive & ~geom.has_exited(grid, ri, zj, z) & ~hit_star
+                 & ~found)
+        return (it + 1, x, y, z, ri, zj, tau, I, alive, found, fpos)
+
+    st = (jnp.zeros((), jnp.int32), x, y, z, ri, zj, tau, I, alive,
+          found, fpos)
+    st = jax.lax.while_loop(cond, body, st)
+    if record:
+        return st[10], st[9]
+    return st[7]
+
+
+def flux_fraction_surface(model: Model, rt: "MolRT", tab_speed, frac: float,
+                          px, py, pz, u, v, w, itrans: int = 0,
+                          n_vpoints: int = 8):
+    """xyz positions where ``frac`` of each pixel ray's final channel-peak
+    line+continuum intensity has been accumulated
+    (emission_line_energy_fraction_surface_map,
+    mol_transfer.f90:1215-1320; only ray-tracing transition 1, like the
+    reference).  Returns (pos (N, 3), found (N,)); not-found pixels stay
+    (0,0,0) like the reference's flag_sortie branch."""
+    dtype = model.kappa.dtype
+    args = (model, rt.kappa_mol[:, itrans], rt.emis_mol[:, itrans],
+            rt.kappa_cont[:, itrans], rt.emis_cont[:, itrans],
+            rt.norme_m1, rt.sigma2_m1, rt.vfield, tab_speed,
+            px, py, pz, u, v, w)
+    I_fin = _mol_flux_march(*args, thr=None, n_vpoints=n_vpoints)
+    thr = jnp.asarray(frac, dtype) * jnp.max(I_fin, axis=1)
+    return _mol_flux_march(*args, thr=thr, n_vpoints=n_vpoints)
+
+
 def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
              root_dir: str = ".", n_vpoints: int = 8, verbose: bool = True,
              pops: np.ndarray | None = None, abundance=None,
-             half: int = 0):
+             half: int = 0, flux_fraction: float | None = None):
     """Full -mol LTE pipeline: channel-map cubes for the parameter file's
     ray-tracing transitions, written as lines.fits.gz
     (emission_line_map, mol_transfer.f90:484-; docs/outputs.rst:80-96)."""
@@ -340,6 +461,8 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
 
     cube = np.zeros((n_rt, nv, nt, npy, npx))
     cont = np.zeros((n_rt, nt, npy, npx))
+    ffs = (np.zeros((n_rt, npy, npx, 3), np.float32)
+           if flux_fraction is not None else None)
 
     for i_rt in range(n_rt):
         u, v, w = dirs[i_rt]
@@ -366,6 +489,19 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
             half=half)
         I = np.asarray(I, np.float64).reshape(npx, npy, nt, nv)
         Ic = np.asarray(Ic, np.float64).reshape(npx, npy, nt)
+        if flux_fraction is not None:
+            # -flux_fraction_surface: the radius where flux_fraction of
+            # each pixel's line energy has been emitted along the ray
+            pos, fnd = flux_fraction_surface(
+                model, rt, tab_speed, flux_fraction,
+                jnp.asarray(px.ravel(), dtype),
+                jnp.asarray(py.ravel(), dtype),
+                jnp.asarray(pz.ravel(), dtype),
+                jnp.full(n, -u, dtype), jnp.full(n, -v, dtype),
+                jnp.full(n, -w, dtype), n_vpoints=n_vpoints)
+            pos = np.where(np.asarray(fnd)[:, None],
+                           np.asarray(pos, np.float64), 0.0)
+            ffs[i_rt] = pos.reshape(npx, npy, 3).transpose(1, 0, 2)
         # nu.F_nu per pixel (intensite_pixel_mol, mol_transfer.f90:823-830)
         for t in range(nt):
             fac = (pix ** 2 / dist2) * rt.freq[t]
@@ -388,4 +524,16 @@ def mol_cube(model: Model, host: HostModel, T_gas: np.ndarray,
     if verbose:
         print(f"  line cube written: {out_dir}/lines.fits.gz "
               f"({nv} channels x {nt} transitions x {n_rt} directions)")
+    if ffs is not None:
+        # f<frac>_surface.fits.gz [3, RT_n_az, RT_n_incl, ny, nx]
+        # (write_tau_surface with lflux_fraction_surface,
+        # output.f90:1052-1120)
+        sarr = ffs.reshape(n_az, n_incl, npy, npx, 3).transpose(
+            4, 0, 1, 2, 3)
+        fname = f"f{flux_fraction:g}_surface.fits.gz"
+        write_fits(os.path.join(out_dir, fname),
+                   np.ascontiguousarray(sarr).astype(np.float32),
+                   keywords={"BUNIT": "AU"})
+        if verbose:
+            print(f"  flux-fraction surface written: {out_dir}/{fname}")
     return cube, cont, rt

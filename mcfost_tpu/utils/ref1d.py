@@ -23,7 +23,8 @@ from .. import constants as cst
 
 
 def solve_two_level_1d(r, n_h2, T, abundance, mol, vturb=150.0,
-                       n_mu=16, n_nu=16, max_iter=200, tol=1e-6):
+                       n_mu=16, n_nu=16, max_iter=200, tol=1e-6,
+                       cmb: bool = True):
     """1D spherical 2-level NLTE: returns (pops (K, 2), tex (K,)).
 
     r: (K,) shell radii [AU] (cell centres, log-spaced); n_h2 (K,) [m^-3];
@@ -79,7 +80,7 @@ def solve_two_level_1d(r, n_h2, T, abundance, mol, vturb=150.0,
 
     xcmb = cst.hp * nu0 / (cst.kb * cst.T_Cmb)
     I_cmb = (2 * cst.hp * nu0 ** 3 / cst.c_light ** 2
-             / np.expm1(min(xcmb, 300.0)))
+             / np.expm1(min(xcmb, 300.0))) if cmb else 0.0
     n_ray = len(p_all)
     for it in range(max_iter):
         chi0, eta0 = emis_opac(pops)

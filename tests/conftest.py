@@ -21,3 +21,11 @@ import jax  # noqa: E402
 
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the fast pass compiles hundreds of
+# kernels; caching them on disk makes re-runs (and the per-file runner's
+# fresh processes) cheap.  Harmless on the TPU pass too.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

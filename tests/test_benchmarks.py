@@ -339,3 +339,220 @@ def test_pascucci_thin_limit_quantitative(tmp_path):
     rel = np.abs(T[good] - T_ana[good]) / T_ana[good]
     assert np.median(rel) < 0.10, \
         f"thin-limit T deviates {np.median(rel):.1%} from the exact balance"
+
+
+def _water_cloud(nlev=2, n_rad=20, nz=10, vfield=None, vturb_ms=0.0,
+                 cache="/tmp/wc_cache"):
+    """The water-benchmark cloud (uniform sphere, n(H2)=1e4 cm^-3,
+    Tkin=40 K, o-H2O/H2 = 1e-9; benchmarks.f90:527-575) built directly
+    so the test controls vturb and the velocity field."""
+    from mcfost_tpu.benchmarks import water_para
+    from mcfost_tpu.grids import geometry as geom
+    from mcfost_tpu.physics.molecules import builtin_ortho_h2o
+
+    p = water_para(nlev)
+    p.grid.n_rad, p.grid.nz = n_rad, nz
+    p.wavelengths.n_lambda = 8
+    for sp in p.dust[0]:
+        sp.n_grains = 8
+    model, host = build_model(p, cache_dir=cache)
+    rg = geom.host_arrays(model.grid, "r_grid")
+    zg = geom.host_arrays(model.grid, "z_grid")
+    rs = np.sqrt(rg ** 2 + zg ** 2)
+    mu_mH = 2.3 * 1.007825 / 6.022140857e23
+    n_h2 = np.full(model.grid.n_cells, 1.0e4 * 1e6)
+    rho_dust = n_h2 * mu_mH / 1e6 / p.zones[0].gas_to_dust
+    if vfield is None:
+        vel = np.zeros((model.grid.n_cells, 3))
+    else:
+        v = vfield(rs)
+        vel = np.stack([v * rg / np.maximum(rs, 1e-30),
+                        np.zeros_like(v),
+                        v * zg / np.maximum(rs, 1e-30)], 1)
+    host = host._replace(rho_dust=rho_dust, velocity=vel)
+    # the published water problems are GAS-ONLY: with the nominal
+    # gas-to-dust the dust continuum at 557 GHz pumps the line
+    # (Blu*J_dust ~ 4x the collisional excitation) and raises the core
+    # Tex from 2.8 to 3.5 K — physical for a dusty cloud, but not the
+    # benchmark.  The dust OPACITY is zeroed (the gas density, which
+    # derives from rho_dust * gas_to_dust, stays nominal).
+    import jax.numpy as jnp
+    model = model._replace(kappa=model.kappa * 1e-10,
+                           kappa_abs=model.kappa_abs * 1e-10)
+    p.mol.v_turb = np.full(model.grid.n_cells, vturb_ms / 1e3)
+    p.mol.v_turb_unit = "km/s"
+    mol = builtin_ortho_h2o(nlev)
+    T = np.full(model.grid.n_cells, 40.0)
+    return p, model, host, mol, T, rs, n_h2
+
+
+def test_water1_cross_method_quantitative(tmp_path):
+    """Quantitative water1 (VERDICT r4 next #4): the production NLTE
+    solver and the independent 1D discrete-ordinates ALI solver must
+    agree on the 557 GHz Tex(r) of the water-1 cloud within the
+    inter-code spread of the published benchmark (~15%, van Zadelhoff
+    et al. 2002).  vturb=200 m/s on BOTH solvers pins the linewidth so
+    the comparison tests the transfer, not width conventions; no CMB,
+    like the published problem."""
+    from mcfost_tpu.transfer.mol_nlte import nlte_populations
+    from mcfost_tpu.utils.ref1d import solve_two_level_1d
+
+    p, model, host, mol, T, rs, n_h2 = _water_cloud(
+        vturb_ms=200.0, cache=str(tmp_path / "c"))
+    ab = 1.0e-9
+    pops, it, diff = nlte_populations(model, host, mol, T, ab, nlev=2,
+                                      n_rays=48, initial="lte",
+                                      max_iter=40, verbose=False,
+                                      cmb=False)
+    tex2d = _tex(pops, mol)
+
+    nsh = 16
+    edges = np.geomspace(rs.min() * 0.999, rs.max() * 1.001, nsh + 1)
+    r_sh, tex_sh = [], []
+    for k in range(nsh):
+        m = (rs >= edges[k]) & (rs < edges[k + 1])
+        if m.sum() < 1:
+            continue
+        r_sh.append(np.median(rs[m]))
+        tex_sh.append(np.median(tex2d[m]))
+    r_sh = np.array(r_sh)
+    tex_sh = np.array(tex_sh)
+    pops1d, tex1d = solve_two_level_1d(
+        r_sh, np.full(len(r_sh), 1.0e10), np.full(len(r_sh), 40.0),
+        ab, mol, vturb=200.0, cmb=False)
+    good = np.isfinite(tex_sh) & np.isfinite(tex1d) & (tex1d > 0.5)
+    assert good.sum() >= 8
+    rel = np.abs(tex_sh[good] - tex1d[good]) / tex1d[good]
+    assert np.median(rel) < 0.15, \
+        f"water1 cross-method Tex disagreement {np.median(rel):.1%}"
+    # analytic escape-probability bracket for the cloud core: with
+    # two-level SE  n_u/n_l = Clu / (Cul + A beta)  and the static
+    # Doppler-sphere escape beta in [0.5/(tau0 sqrt(pi ln tau0)), 4/tau0]
+    # (wing-escape slab formula to geometric-dilution sphere formula),
+    # the production core Tex must land inside the implied Tex range
+    nu0 = float(mol.freq[0])
+    Aul = float(mol.Aul[0])
+    gu, gl = float(mol.g[1]), float(mol.g[0])
+    dE = (mol.level_energy[1] - mol.level_energy[0]) * 1.602176634e-19
+    kul = np.interp(40.0, mol.coll_temps, mol.coll_rates[0]) * 1e-6
+    Cul = kul * 1.0e10
+    Clu = Cul * (gu / gl) * np.exp(-dE / (cst.kb * 40.0))
+    mH = 1.007825 / 6.022140857e23 * 1e-3
+    vth = np.sqrt(2.0 * cst.kb * 40.0 / (mol.weight * mH) + 200.0 ** 2)
+    Bul = Aul * cst.c_light ** 2 / (2 * cst.hp * nu0 ** 3)
+    Blu = Bul * gu / gl
+    phi0 = cst.c_light / (vth * nu0 * np.sqrt(np.pi))
+    n_l = 1.0e10 * ab                       # ~everything in the ground state
+    chi0 = cst.hp * nu0 / (4 * np.pi) * n_l * Blu * phi0      # 1/m
+    tau0 = chi0 * rs.max() * cst.AU_to_m    # line-centre, centre-to-edge
+    assert tau0 > 0.5, f"benchmark cloud lost its optical depth ({tau0=})"
+    def tex_of_beta(beta):
+        fu = Clu / (Clu + Cul + Aul * beta)
+        return dE / cst.kb / np.log((1 - fu) * gu / (fu * gl))
+    def beta_of(t):
+        return (1.0 - np.exp(-t)) / t       # LVG-form escape, any tau
+    b_lo = beta_of(3.0 * tau0)              # long-chord bound
+    b_hi = beta_of(0.5 * tau0)              # short-chord bound
+    core = rs < 0.3 * rs.max()
+    tex_core = np.median(tex2d[core])
+    assert tex_of_beta(b_hi) < tex_core < tex_of_beta(b_lo), \
+        (tex_core, tex_of_beta(b_hi), tex_of_beta(b_lo), tau0)
+    # the published problem is strongly subthermal: Tex << Tkin = 40 K
+    assert np.median(tex1d[good]) < 20.0
+    assert np.median(tex_sh[good]) < 20.0
+
+
+def test_water2_sobolev_quantitative(tmp_path):
+    """Quantitative water2: with the linear radial field
+    v(r) = 1e5 r[pc] m/s the velocity gradient is constant and
+    isotropic, so in the LVG-valid region (v >> vth) the exact Sobolev
+    two-level solution applies cell by cell:
+        beta(tau_s) with tau_s = (A c^3 / 8 pi nu^3) n_l (gu/gl)
+                          (1 - nl gu / nu gl)^-1 ... solved by fixed
+    point; the production solver (sobolev initial + MALI iterations)
+    must reproduce it within 20% (benchmarks.f90:449-451 field)."""
+    from mcfost_tpu import constants as cst
+    from mcfost_tpu.transfer.mol_nlte import nlte_populations
+
+    p, model, host, mol, T, rs, n_h2 = _water_cloud(
+        vturb_ms=0.0, cache=str(tmp_path / "c"),
+        vfield=lambda r: 1.0e5 * r * cst.AU_to_pc)
+    ab = 1.0e-9
+    pops, it, diff = nlte_populations(model, host, mol, T, ab, nlev=2,
+                                      n_rays=48, initial="sobolev",
+                                      max_iter=40, verbose=False,
+                                      cmb=False)
+    tex2d = _tex(pops, mol)
+
+    # analytic per-cell Sobolev fixed point (no CMB, no dust):
+    # dv/dr = 1e5 m/s / pc everywhere (linear field)
+    dvdr = 1.0e5 * cst.AU_to_pc / cst.AU_to_m          # 1/s
+    nu0 = float(mol.freq[0])
+    Aul = float(mol.Aul[0])
+    gu, gl = float(mol.g[1]), float(mol.g[0])
+    dE = (mol.level_energy[1] - mol.level_energy[0]) * 1.602176634e-19
+    Cul = np.interp(40.0, mol.coll_temps, mol.coll_rates[0]) * 1e-6 \
+        * n_h2[0]
+    Clu = Cul * (gu / gl) * np.exp(-dE / (cst.kb * 40.0))
+    n_mol = n_h2[0] * ab
+    fu = 0.5 * Clu / (Clu + Cul)        # start somewhere subthermal
+
+    for _ in range(300):
+        nl = n_mol * (1 - fu)
+        nu_ = n_mol * fu
+        # Sobolev optical depth (constant-gradient, isotropic)
+        tau_s = (Aul * cst.c_light ** 3 / (8 * np.pi * nu0 ** 3)
+                 * (nl * gu / gl - nu_) / dvdr)
+        tau_s = max(tau_s, 1e-10)
+        beta = (1.0 - np.exp(-tau_s)) / tau_s
+        # SE with escape-probability-scaled A (no external field):
+        # nu (A beta + Cul) = nl Clu
+        fu_new = Clu / (Clu + Cul + Aul * beta)
+        fu = 0.5 * fu + 0.5 * fu_new
+    nl = n_mol * (1 - fu)
+    nu_ = n_mol * fu
+    tex_ana = dE / cst.kb / np.log(max(nl * gu / (nu_ * gl), 1.0 + 1e-12))
+
+    # LVG-valid region: v(r) well above the 40 K thermal width
+    mH = 1.007825 / 6.022140857e23 * 1e-3
+    vth = np.sqrt(2.0 * cst.kb * 40.0 / (mol.weight * mH))
+    lvg = (rs * cst.AU_to_pc * 1.0e5 > 4.0 * vth)
+    assert lvg.sum() > 20
+    med = np.median(tex2d[lvg])
+    assert abs(med - tex_ana) / tex_ana < 0.2, (med, tex_ana)
+
+
+def test_water3_ladder_consistent_with_two_level(tmp_path):
+    """Quantitative water3: in the cold subthermal cloud the 557 GHz
+    excitation from the full 8-level ladder must stay within 25% of the
+    2-level result (upper-ladder pumping is weak), and every excited
+    population must stay below its LTE value (no masing/pumping
+    artifacts in the multi-level SEE)."""
+    from mcfost_tpu import constants as cst
+    from mcfost_tpu.transfer.mol_nlte import nlte_populations
+
+    p2, model, host, mol2, T, rs, n_h2 = _water_cloud(
+        vturb_ms=200.0, cache=str(tmp_path / "c"))
+    ab = 1.0e-9
+    pops2, *_ = nlte_populations(model, host, mol2, T, ab, nlev=2,
+                                 n_rays=48, initial="lte", max_iter=40,
+                                 verbose=False, cmb=False)
+    from mcfost_tpu.physics.molecules import builtin_ortho_h2o
+    mol8 = builtin_ortho_h2o(8)
+    pops8, *_ = nlte_populations(model, host, mol8, T, ab, nlev=8,
+                                 n_rays=48, initial="lte", max_iter=40,
+                                 verbose=False, cmb=False)
+    tex2 = _tex(pops2, mol2)
+    tex8 = _tex(pops8, mol8)
+    good = np.isfinite(tex2) & np.isfinite(tex8) & (tex2 > 0.5)
+    assert good.sum() > 50
+    rel = np.abs(tex8[good] - tex2[good]) / tex2[good]
+    assert np.median(rel) < 0.25, np.median(rel)
+    # excited populations bounded by LTE (subthermal everywhere)
+    kT = cst.kb * 40.0
+    for lev in range(1, 8):
+        dEl = (mol8.level_energy[lev] - mol8.level_energy[0]) \
+            * 1.602176634e-19
+        blc = (mol8.g[lev] / mol8.g[0]) * np.exp(-dEl / kT)
+        frac = pops8[:, lev] / np.maximum(pops8[:, 0], 1e-300)
+        assert np.median(frac[good]) < 1.5 * blc + 1e-30

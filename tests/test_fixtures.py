@@ -59,13 +59,16 @@ def MC_similar(x, y, threshold=0.01, mask_threshold=1e-24):
     return np.percentile(rel, 75) < threshold
 
 
-def _synth_phantom_dump(path):
+def _synth_phantom_dump(path, n=900):
     """Synthetic Phantom dump for the discF_00500 fixture (the real dump is
-    a download in the reference's get_test_data.sh, not in-tree)."""
+    a download in the reference's get_test_data.sh, not in-tree).
+
+    n=900 keeps the CPU CI harness test-sized; tools/full_goldens.py
+    passes n=150000 for the production-scale Voronoi golden (the real CI
+    dump has 1.5e6 particles; VERDICT r4 next #6)."""
     from mcfost_tpu import constants as cst
     from mcfost_tpu.io import phantom as ph
     rng = np.random.default_rng(42)
-    n = 900
     r = 60.0 * rng.uniform(0.05, 1.0, n) ** 0.5
     phi = rng.uniform(0, 2 * np.pi, n)
     z = 0.07 * r * rng.normal(size=n)
@@ -74,11 +77,14 @@ def _synth_phantom_dump(path):
     udist = cst.AU_to_cm
     umass = cst.Msun_to_g
     utime = np.sqrt(udist ** 3 / (ph.G_CGS * umass))
+    # smoothing length ~ mean interparticle spacing so the tessellation
+    # stays well conditioned at any n
+    h_sm = 1.2 * (900.0 / n) ** (1.0 / 3.0)
     header = {"nparttot": np.int64(n), "ntypes": np.int32(1),
               "npartoftype": np.int32(n), "nblocks": np.int32(1),
-              "massoftype": 3e-8, "hfact": 1.2, "time": 0.0,
+              "massoftype": 3e-8 * 900.0 / n, "hfact": 1.2, "time": 0.0,
               "udist": udist, "umass": umass, "utime": utime}
-    parts = {"x": x, "y": y, "z": z, "h": np.full(n, 1.2),
+    parts = {"x": x, "y": y, "z": z, "h": np.full(n, h_sm),
              "vx": -vk * np.sin(phi), "vy": vk * np.cos(phi),
              "vz": np.zeros(n), "itype": np.ones(n, np.int8),
              "dustfrac": np.full(n, 0.01)}

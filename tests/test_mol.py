@@ -148,3 +148,70 @@ def test_only_top_bottom_split(setup):
     assert abs(top / bot - 1.0) < 0.05
     # halves overlap ONLY in the midplane cell: full <= top+bot <= 2 full
     assert full < top + bot < 2.0 * full
+
+
+def test_flux_fraction_surface(setup, tmp_path):
+    """-flux_fraction_surface: the surface where a given fraction of each
+    pixel's line energy has been accumulated along the ray
+    (emission_line_energy_fraction_surface_map,
+    mol_transfer.f90:1215-1320).  Deeper fractions must lie deeper along
+    the ray, and found points must be inside the model."""
+    import glob
+    import jax.numpy as jnp
+    from mcfost_tpu.grids import geometry as geom
+    from mcfost_tpu.transfer.mol import flux_fraction_surface, MolRT
+    from mcfost_tpu.physics.molecules import get_molecule
+
+    para, model, host, T = setup
+    cube, cont, rt = mol_cube(model, host, T, root_dir=str(tmp_path),
+                              verbose=False, flux_fraction=0.5)
+    files = glob.glob(str(tmp_path) + "/data_*/f0.5_surface.fits.gz")
+    assert files, "f<frac>_surface.fits.gz not written"
+    from mcfost_tpu.io.fits import read_fits
+    arr = read_fits(files[0])[0][1]
+    n_incl, n_az = para.maps.n_incl, para.maps.n_az_angles
+    assert arr.shape == (para.maps.nx, para.maps.ny, n_incl, n_az, 3)[::-1] \
+        or arr.shape == (3, n_az, n_incl, para.maps.ny, para.maps.nx)
+    assert np.isfinite(arr).all()
+    rmax = geom.model_extent(model.grid)[1]
+    rr = np.sqrt((arr ** 2).sum(axis=0))
+    found = rr > 0
+    assert found.sum() > 10, "no pixels reached the fraction surface"
+    # bound: the grid's bounding sphere (|xyz| includes the z extent, so
+    # it exceeds the cylindrical rmax near the surface layers)
+    assert (rr[found] <= rmax * 1.5).all(), "surface outside the model"
+
+    # monotonicity: the 0.9-fraction point lies deeper along the ray
+    # than the 0.2-fraction point wherever both exist
+    m = para.mol.molecules[0]
+    tab_speed = jnp.asarray(
+        np.linspace(m.vmin * 1e3, m.vmax * 1e3, m.n_speed),
+        model.kappa.dtype)
+    dirs = np.asarray(model.rt_dirs, np.float64)
+    u, v, w = dirs[0]
+    npx = npy = 21
+    pix = para.maps.map_size / npx
+    az = np.arctan2(u, -v)
+    xpl = np.array([np.cos(az), np.sin(az), 0.0])
+    ypl = -np.cross(xpl, [u, v, w])
+    center = np.array([u, v, w]) * 10.0 * rmax
+    corner = center - 0.5 * npx * pix * xpl - 0.5 * npy * pix * ypl
+    ix, iy = np.meshgrid(np.arange(npx) + 0.5, np.arange(npy) + 0.5,
+                         indexing="ij")
+    px = corner[0] + ix * pix * xpl[0] + iy * pix * ypl[0]
+    py = corner[1] + ix * pix * xpl[1] + iy * pix * ypl[1]
+    pz = corner[2] + ix * pix * xpl[2] + iy * pix * ypl[2]
+    dtype = model.kappa.dtype
+    n = px.size
+    args = (jnp.asarray(px.ravel(), dtype), jnp.asarray(py.ravel(), dtype),
+            jnp.asarray(pz.ravel(), dtype),
+            jnp.full(n, -u, dtype), jnp.full(n, -v, dtype),
+            jnp.full(n, -w, dtype))
+    p2, f2 = flux_fraction_surface(model, rt, tab_speed, 0.2, *args)
+    p9, f9 = flux_fraction_surface(model, rt, tab_speed, 0.9, *args)
+    both = np.asarray(f2) & np.asarray(f9)
+    assert both.sum() > 5
+    # depth along the march = projection on the travel direction (-u,-v,-w)
+    d2 = -(np.asarray(p2) @ np.array([u, v, w]))
+    d9 = -(np.asarray(p9) @ np.array([u, v, w]))
+    assert (d9[both] >= d2[both] - 1e-6).all()

@@ -130,3 +130,38 @@ def test_slab_ownership_disjoint(small_model):
     assert owners.min() == 0 and owners.max() <= n_dev - 1
     counts = np.bincount(owners, minlength=n_dev)
     assert counts.sum() == model.grid.n_cells
+
+
+def test_spatial_rt_tally_sharded_matches_plain(small_model):
+    """The slab-sharded RT1 collision tally with ring-routed foreign
+    events reproduces the single-device tally within MC noise, with
+    ZERO dropped events (the r5 event-routing architecture; an earlier
+    bounded-inbox relay silently lost 23% at the hot inner slab)."""
+    model, host = small_model
+    C = model.grid.n_cells
+    L = model.n_lambda
+    cdf = np.tile(np.linspace(0, 1, C + 1, dtype=np.float32), (L, 1))
+    mm = model._replace(prob_e_cell=jax.device_put(cdf))
+    n = 8000
+    mesh = make_mesh(jax.devices()[:8])
+    rs = run_thermal_mc_spatial(mm, jax.random.PRNGKey(1), n, mesh,
+                                batch_per_device=512, mono=True,
+                                mrw=False, rt=True, n_az_rt=15)
+    rp = thermal_mc.run_thermal_mc(mm, jax.random.PRNGKey(2), n,
+                                   batch=4096, mono=True, mrw=False,
+                                   rt=True, n_az_rt=15)
+    xs = np.asarray(rs.xi, np.float64)
+    xp = np.asarray(rp.xi, np.float64)
+    assert xs.shape == xp.shape
+    ts, tp = xs[:, 0].sum(), xp[:, 0].sum()
+    assert tp > 0
+    assert abs(ts - tp) / tp < 0.15, (ts, tp)
+    # per-slab totals agree too (a relay bug shows up as a slab deficit)
+    slab = slab_size(C, 8)
+    Is = xs[:, 0].reshape(L, C, 30).sum((0, 2))
+    Ip = xp[:, 0].reshape(L, C, 30).sum((0, 2))
+    for s0 in range(8):
+        a = Ip[s0 * slab:(s0 + 1) * slab].sum()
+        b = Is[s0 * slab:(s0 + 1) * slab].sum()
+        if a > 0.05 * Ip.sum() / 8:      # slabs with real flux
+            assert abs(b - a) / a < 0.3, (s0, a, b)
