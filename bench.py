@@ -147,6 +147,36 @@ def main():
     except Exception:
         pass
 
+    # ---- production-scale Voronoi throughput (VERDICT r4 next #6):
+    # the 150k-particle synthetic discF disk (the real CI dump is 1.5e6
+    # particles), thermal MC at a bench-sized packet count.  The
+    # tessellation + model caches live in .mcfost_tpu_cache, so after
+    # the first build this costs the MC run plus ~1 min of cache loads.
+    voronoi = None
+    try:
+        sys.path.insert(0, "tests")
+        from test_fixtures import _synth_phantom_dump
+        from mcfost_tpu.config.para import read_para
+        from mcfost_tpu.io.phantom import read_phantom
+        vdump = os.path.join(".mcfost_tpu_cache", "bench_discF_150k")
+        os.makedirs(".mcfost_tpu_cache", exist_ok=True)
+        if not os.path.isfile(vdump):
+            _synth_phantom_dump(vdump, n=150000)
+        vpara = read_para("/root/reference/test_suite/test_data/"
+                          "discF_00500/discF_00500.para")
+        vpara.not_random_voronoi = True
+        vmodel, vhost = build_model(vpara, cache_dir=".mcfost_tpu_cache",
+                                    sph=read_phantom(vdump))
+        rv, dtv = _timed_run(run_thermal_mc, vmodel,
+                             jax.random.PRNGKey(1), 500000, batch=12288,
+                             max_iters=500000, mrw=False)
+        voronoi = {"n_cells": int(vmodel.grid.n_cells),
+                   "voronoi_pps": round(int(rv.emitted) / dtv, 1)}
+        print("bench: voronoi done", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: voronoi skipped ({type(e).__name__})",
+              file=sys.stderr)
+
     # ---- sharded drivers on this chip (1-device mesh: driver overhead)
     from mcfost_tpu.parallel.mesh import make_mesh, run_thermal_mc_sharded
     from mcfost_tpu.parallel.spatial import run_thermal_mc_spatial
@@ -206,6 +236,7 @@ def main():
         "step_time_breakdown": breakdown,
         "mfu_est": mfu,
         "hbm_roof_frac": hbm_frac,
+        "voronoi": voronoi,
         "sharding": {
             "dp_1dev_pps": round(dp_pps, 1),
             "dp_1dev_eff": round(dp_pps / pps, 3),

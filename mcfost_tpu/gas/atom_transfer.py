@@ -275,7 +275,11 @@ def integrate_atom_rays(model: Model, chi0, eta0, adamp, vth, chi_c, eta_c,
                 pg = partners[:, g_i]
                 dvg = dv_off[None, :, g_i, None]
                 wtg = wt_off[None, :, g_i, None]
-            xg = (tab_speed[None, None, :] + dvg
+            # tab_speed: (nv,) shared axis or (nl, nv) per-line axes
+            # (adaptive_line_grids)
+            tabb = (tab_speed[None, :, :] if tab_speed.ndim == 2
+                    else tab_speed[None, None, :])
+            xg = (tabb + dvg
                   - vproj[:, None, None]) / vth_f[:, None, None]
             prof_g = voigt(adamp_f[:, pg, None], xg)          # (N, nl, nv)
             opac = opac + wtg * chi0_f[:, pg, None] * prof_g
@@ -595,10 +599,59 @@ def line_overlap_partners(lambda0_nm, vth_max: float, vspan: float,
     return partners, dvs, wts
 
 
+def adaptive_line_grids(rt, vspan: float = 0.0, n_core: int = 9,
+                        n_wing: int = 6, wing_floor: float = 1e-4,
+                        art_hv: float | None = None) -> np.ndarray:
+    """Per-line NLTE velocity-channel axes (make_wavelengths_nlte's
+    role, gas/wavelengths_gas.f90:354-): linear CORE channels covering
+    +-(4 vth + velocity span), then log-spaced WING channels out to
+    where each line's Voigt damping wing a/(sqrt(pi) x^2) falls below
+    ``wing_floor`` of the core — strong-damping lines (Balmer) get wide
+    wings, weak lines stay compact.  art_hv [m/s] imposes the core
+    channel spacing instead (-art_line_resol, wavelengths_gas.f90:357).
+
+    Returns (nl, nv) velocity offsets [m/s], strictly increasing per
+    line; every line has the same channel COUNT (static shapes for the
+    jitted integrator) but its own wing extent."""
+    vth_max = float(np.asarray(rt.vth_j).max())
+    a_max = np.asarray(rt.adamp, np.float64).max(axis=0)      # (nl,)
+    nl = a_max.shape[0]
+    x_core = 4.0 + vspan / vth_max
+    if art_hv:
+        dx = max(art_hv / vth_max, 1e-3)
+        n_core = max(int(np.ceil(x_core / dx)) + 1, 3)
+    half_core = np.linspace(0.0, x_core, n_core)
+    x_wing = np.sqrt(np.maximum(a_max, 1e-12)
+                     / (np.sqrt(np.pi) * wing_floor))
+    x_wing = np.maximum(x_wing, x_core * 1.5)
+    half = np.zeros((nl, n_core + n_wing))
+    for k in range(nl):
+        half[k, :n_core] = half_core
+        half[k, n_core:] = np.geomspace(x_core * 1.15, x_wing[k], n_wing)
+    tab = np.concatenate([-half[:, ::-1], half[:, 1:]], axis=1)
+    return tab * vth_max
+
+
+def channel_weights(tab: np.ndarray) -> np.ndarray:
+    """Trapezoid quadrature widths of a (possibly non-uniform) channel
+    axis; shape-preserving over leading dims."""
+    tab = np.asarray(tab, np.float64)
+    w = np.zeros_like(tab)
+    w[..., 1:-1] = 0.5 * (tab[..., 2:] - tab[..., :-2])
+    w[..., 0] = 0.5 * (tab[..., 1] - tab[..., 0])
+    w[..., -1] = 0.5 * (tab[..., -1] - tab[..., -2])
+    return w
+
+
 def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21,
-                dirs: np.ndarray | None = None):
+                dirs: np.ndarray | None = None, adaptive: bool = True,
+                art_hv: float | None = None):
     """Profile-weighted mean intensity and MALI diagonal per (cell, line):
     returns (Jbar (C, nl), Lambda* (C, nl)).
+
+    adaptive=True (default) uses the per-line damping-wing-aware channel
+    axes of adaptive_line_grids; False falls back to the fixed
+    ``nv``-point linear +-4 vth axis (the pre-r5 grid).
 
     dirs: optional explicit ray directions (e.g. HEALPix pixel centres
     for the reference's fixed-ray MALI step 1, -healpix_lorder); falls
@@ -607,7 +660,15 @@ def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21,
     n_cells = model.grid.n_cells
     nl = len(rt.ilines)
     vth_max = float(np.asarray(rt.vth_j).max())
-    tab_np = np.linspace(-4.0 * vth_max, 4.0 * vth_max, nv)
+    vspan = float(np.abs(np.asarray(rt.vfield)).max()) \
+        if np.asarray(rt.vfield).size else 0.0
+    if adaptive:
+        tab_np = adaptive_line_grids(rt, vspan=vspan, art_hv=art_hv)
+        nv = tab_np.shape[1]
+    else:
+        tab_np = np.broadcast_to(
+            np.linspace(-4.0 * vth_max, 4.0 * vth_max, nv), (nl, nv))
+    w_ch = channel_weights(tab_np)                      # (nl, nv)
     tab = jnp.asarray(tab_np, dtype)
     x0 = model.grid.r_grid
     y0 = jnp.zeros(n_cells, dtype)
@@ -638,10 +699,12 @@ def jbar_lambda(model: Model, rt: AtomRT, n_rays: int = 8, nv: int = 21,
             partners=prt_j, dv_off=dvs_j, wt_off=wts_j, n_overlap=G)
         I = np.asarray(I, np.float64)
         psi = np.asarray(psi, np.float64)
-        # weights: the cell's own absorption profile at its rest frame
-        xg = tab_np[None, None, :] / vth_np[:, None, None]
+        # weights: the cell's own absorption profile at its rest frame,
+        # with trapezoid channel widths (the axes are non-uniform)
+        xg = tab_np[None, :, :] / vth_np[:, None, None]
         import scipy.special as sps
-        H = np.real(sps.wofz(xg + 1j * a_np[:, :, None]))
+        H = np.real(sps.wofz(xg + 1j * a_np[:, :, None])) \
+            * w_ch[None, :, :]
         jbar += (I * H).sum(-1)
         lstar += (psi * H).sum(-1)
         wsum += H.sum(-1)
@@ -697,7 +760,8 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
                    verbose: bool = False, iterate_ne: int = 0,
                    pops0: np.ndarray | None = None,
                    ng_period: int | None = None, ndelay_ne: int = 0,
-                   output_rates_path: str | None = None):
+                   output_rates_path: str | None = None,
+                   art_hv: float | None = None):
     """MALI iteration to statistical equilibrium (nlte_loop_mali,
     gas/atom_transfer.f90:123-881).  Returns (pops, n_iter, dM).
 
@@ -739,7 +803,8 @@ def nlte_pops_atom(model: Model, host: HostModel, atom: AtomModel,
     it = 0
     for it in range(1, max_iter + 1):
         rt = AtomRT(model, host, atom, gas, pops, all_lines, T_dust)
-        jbar, lst = jbar_lambda(model, rt, n_rays=n_rays, dirs=dirs)
+        jbar, lst = jbar_lambda(model, rt, n_rays=n_rays, dirs=dirs,
+                                art_hv=art_hv)
         lst = np.clip(lst, 0.0, 0.999)
 
         # MALI-preconditioned line rates (Rybicki & Hummer 1992):
@@ -865,6 +930,9 @@ def atom_cube(model: Model, host: HostModel, T_dust: np.ndarray,
                 if verbose:
                     print(f"  initial populations from {pops_path}")
         extra = {}
+        if getattr(para, "art_hv", None):
+            # -art_line_resol: imposed NLTE core-channel spacing [km/s]
+            extra["art_hv"] = para.art_hv * 1e3
         if getattr(para, "atom_initial", None):     # -escape_prob
             extra["initial"] = para.atom_initial
         if getattr(para, "max_err", None):          # -max_err

@@ -1420,9 +1420,22 @@ def run_thermal_mc(model: Model, key, n_packets: int,
         return 3000 if b > 4096 else 768 if b > 1024 else \
             96 if b > 128 else 0
 
+    # adaptive chunking: n_iters is a DYNAMIC argument of `advance`, so
+    # the per-call iteration count can track a wall-clock target without
+    # recompiling.  Big Voronoi grids (1.5e5 cells) cost ~10-50x more
+    # per iteration than the ref4.1 grid; a fixed 2000-iteration call
+    # there runs minutes and CRASHES the tunnelled TPU worker (watchdog).
+    # Small grids skip the probe: an extra host round-trip costs ~0.1 s
+    # over the tunnel, noticeable on a 1.7 s headline run.
+    chunk_iters = (min(iters_per_call, 500)
+                   if model.grid.n_cells > 50_000 else iters_per_call)
+    target_s = 8.0
+    import time as _time
+    first_call = True
     while done_iters < max_iters:
+        t_call = _time.time()
         state = advance(model, key, state, n_packets,
-                        n_iters=min(iters_per_call,
+                        n_iters=min(chunk_iters,
                                     max_iters - done_iters),
                         pola=pola, mono=mono, rt=rt, n_az_rt=n_az_rt,
                         mrw=mrw, mrw_gamma=mrw_gamma, jtally=jtally,
@@ -1434,8 +1447,17 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                         stop_alive=stop_for(b_cur))
         # ONE jitted summary + ONE transfer per chunk: eager per-field
         # reads over a tunnelled TPU cost ~0.1s dispatch latency each
+        prev_iters = done_iters
         done_iters, emitted, n_alive = (
             int(v) for v in jax.device_get(_summary(state)))
+        dt_call = _time.time() - t_call
+        ran = max(done_iters - prev_iters, 1)
+        if first_call:
+            first_call = False          # compile time pollutes the probe
+        elif ran >= chunk_iters // 2:   # untruncated-enough to time
+            per_it = dt_call / ran
+            chunk_iters = int(min(max(target_s / max(per_it, 1e-7), 100),
+                                  iters_per_call))
         if progress is not None:
             progress(done_iters, emitted, n_alive)
         if compact_tail and emitted >= n_packets and n_alive > 0:

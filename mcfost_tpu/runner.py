@@ -480,6 +480,14 @@ def run_sph(para: Para, sph, root_dir: str = ".",
     n_packets = int(para.photons.n_eq_th)
     key = jax.random.PRNGKey(seed if seed is not None else para.seed)
     t0 = time.time()
+    # empirical TPU-worker fault: B=16384 on a >1e5-cell Voronoi grid
+    # hard-crashes the tunnelled worker ("kernel fault") within 5
+    # iterations while 4096..12288 run fine — a driver/XLA-stack issue
+    # at that exact shape we cannot debug from this side of the tunnel;
+    # cap the batch under it (measured: no such fault at 12288 and the
+    # throughput difference is a few percent)
+    if model.grid.n_cells > 100_000 and batch >= 16384:
+        batch = 12288
     res = thermal_mc.run_thermal_mc(model, key, n_packets, batch=batch,
                                     n_capt=n_capt, mrw=False)
     res.xkj.block_until_ready()

@@ -531,3 +531,73 @@ def test_atom_restart_ne_and_pops(tiny_model, tmp_path):
     # converged restart stays at the stored solution (same fixed point)
     rel = np.abs(pops2 - pops1) / np.maximum(np.abs(pops1), 1e-300)
     assert np.median(rel) < 0.35
+
+
+def test_adaptive_line_grids_wing_convergence(tiny_model):
+    """Adaptive NLTE wavelength grids (VERDICT r4 next #5,
+    make_wavelengths_nlte, gas/wavelengths_gas.f90): per-line axes put
+    log-spaced wing channels out to the Voigt damping wing, so the
+    profile-weighted Jbar of a damped Balmer-type line converges — the
+    adaptive default must agree with a brute-force dense wide grid far
+    better than the old fixed 21-point +-4vth axis, which cannot see the
+    wings at all."""
+    from mcfost_tpu.gas.atom import hydrogen_model
+    from mcfost_tpu.gas.atom_transfer import (AtomRT, GasState,
+                                              adaptive_line_grids,
+                                              channel_weights,
+                                              jbar_lambda)
+    from mcfost_tpu.gas.lte import lte_pops
+    model, host = tiny_model
+    atom = hydrogen_model(3)
+    T_dust = np.full(model.grid.n_cells, 6000.0)
+    gas = GasState(model, host, T_dust)
+    gas.ne = np.full(model.grid.n_cells, 1e20)
+    # crank the natural damping so the wings genuinely matter (the tiny
+    # disk's vdW/Stark terms alone give a ~ 5e-4: wings under the core
+    # floor; a Balmer line in a dense atmosphere reaches a ~ 0.1)
+    atom.Grad = atom.Grad * 300.0
+    nstar = lte_pops(atom, gas.T, gas.ne, atom.abund * gas.nHtot)
+    rt = AtomRT(model, host, atom, gas, nstar,
+                np.arange(atom.n_lines), T_dust)
+
+    # grid structure: per-line axes, increasing, wings scale with damping
+    tab = adaptive_line_grids(rt)
+    assert tab.ndim == 2 and tab.shape[0] == atom.n_lines
+    assert np.all(np.diff(tab, axis=1) > 0)
+    vth_max = float(np.asarray(rt.vth_j).max())
+    a_max = np.asarray(rt.adamp, np.float64).max(axis=0)
+    # strongest-damped line gets the widest wings (when above the floor)
+    if tab[:, -1].max() > 1.01 * tab[:, -1].min():
+        assert np.argmax(tab[:, -1]) == np.argmax(a_max)
+    assert tab[:, -1].max() > 8.0 * vth_max     # beyond the fixed axis
+    w = channel_weights(tab)
+    assert np.allclose(w.sum(1), tab[:, -1] - tab[:, 0], rtol=1e-12)
+
+    # Jbar convergence: dense wide linear reference vs adaptive vs
+    # fixed-21
+    j_ref, _ = jbar_lambda(model, rt, n_rays=2, adaptive=False, nv=801)
+    # widen the fixed reference axis to the adaptive extent by art_hv
+    import mcfost_tpu.gas.atom_transfer as at
+    xw = tab[:, -1].max() / vth_max
+    tab_ref = np.broadcast_to(
+        np.linspace(-xw * vth_max, xw * vth_max, 1601),
+        (atom.n_lines, 1601)).copy()
+    # monkey-free dense run: call the internals via adaptive grids with
+    # a huge linear axis
+    orig = at.adaptive_line_grids
+    at.adaptive_line_grids = lambda *a, **k: tab_ref
+    try:
+        j_dense, _ = jbar_lambda(model, rt, n_rays=2, adaptive=True)
+    finally:
+        at.adaptive_line_grids = orig
+    j_adap, _ = jbar_lambda(model, rt, n_rays=2, adaptive=True)
+    j_fix21, _ = jbar_lambda(model, rt, n_rays=2, adaptive=False, nv=21)
+
+    sel = j_dense > np.percentile(j_dense, 50)
+    err_adap = np.median(np.abs(j_adap[sel] - j_dense[sel])
+                         / j_dense[sel])
+    err_fix = np.median(np.abs(j_fix21[sel] - j_dense[sel])
+                        / j_dense[sel])
+    assert err_adap < 0.05, f"adaptive grid not converged: {err_adap:.3f}"
+    assert err_adap < 0.5 * max(err_fix, 1e-9) or err_fix < 0.01, \
+        (err_adap, err_fix)
