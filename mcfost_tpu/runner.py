@@ -113,7 +113,11 @@ def run_thermal(para: Para, root_dir: str = ".", seed: int | None = None,
         # dust_transfer.f90:330-340)
         import numpy as _np
         dark = _np.zeros(model.grid.n_cells, bool)
-    elif para.grid.geometry == 1 and para.grid.n_az == 1:
+    elif para.grid.geometry == 1 and para.grid.n_az == 1 \
+            and model.grid.n_cells == para.grid.n_rad * para.grid.nz:
+        # the ACTUAL grid must be the 2D cylindrical one the column
+        # solver assumes — an adopted hydro mesh (io/hydro.py
+        # native_mesh_model) is spherical-3D regardless of the para
         # -tau_dark_zone_eq_th overrides the 1500 threshold
         tdz = getattr(para, "tau_dark_zone", None)
         dark = compute_dark_zone(model, ilam_th,
