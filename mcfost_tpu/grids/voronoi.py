@@ -143,6 +143,12 @@ class VoronoiGrid(NamedTuple):
     bbox: jax.Array            # (6,)
     lookup: jax.Array          # (G, G, G) i32 voxel -> seed guess
     inradius: jax.Array        # (N,) distance seed -> nearest bisector/2
+    planes: jax.Array          # (N, MAX_NB, 4) bisector planes [nx ny nz
+                               # d], precomputed so one crossing costs ONE
+                               # contiguous row-gather instead of a B*W
+                               # random gather of neighbour seeds (the
+                               # latter measured ~35 ms/iter at B=12k on
+                               # a 1.5e5-cell mesh)
 
     @property
     def n_cells(self) -> int:
@@ -180,6 +186,19 @@ def build_voronoi_grid(points: np.ndarray, bbox, max_nb: int = 32,
     d_nn, _ = tree.query(points, k=2)
     inradius = 0.5 * d_nn[:, 1]
 
+    # precomputed bisector planes per (cell, slot): normal toward the
+    # neighbour and offset, padded slots get an impossible plane
+    pts64b = np.asarray(points, np.float64)
+    nb_safe = np.maximum(neighbours, 0)
+    q = pts64b[nb_safe]                               # (N, W, 3)
+    p = pts64b[:, None, :]
+    n_pl = q - p
+    d_pl = 0.5 * np.sum(n_pl * (q + p), -1)
+    invalid = neighbours < 0
+    n_pl[invalid] = 0.0
+    d_pl[invalid] = 1e30                              # never crossed
+    planes = np.concatenate([n_pl, d_pl[..., None]], -1)
+
     grid = VoronoiGrid(
         seeds=jnp.asarray(np.asarray(points, _np_dt(dtype))),
         neighbours=jnp.asarray(neighbours),
@@ -187,6 +206,7 @@ def build_voronoi_grid(points: np.ndarray, bbox, max_nb: int = 32,
         bbox=jnp.asarray(np.asarray(bbox, _np_dt(dtype))),
         lookup=jnp.asarray(lookup),
         inradius=jnp.asarray(np.asarray(inradius, _np_dt(dtype))),
+        planes=jnp.asarray(np.asarray(planes, _np_dt(dtype))),
     )
     pts64 = np.asarray(points, np.float64)
     from . import geometry as _geom
@@ -200,15 +220,13 @@ def build_voronoi_grid(points: np.ndarray, bbox, max_nb: int = 32,
 def _neighbour_planes(grid: VoronoiGrid, icell):
     """Bisector plane set of cells `icell` (B,): normals (B, W, 3) toward
     the neighbour and offsets d with n.x <= d inside
-    (plane normal r_neighbour - r_cell, reference Voronoi.f90:893-904)."""
+    (plane normal r_neighbour - r_cell, reference Voronoi.f90:893-904).
+    Two contiguous row-gathers (planes + neighbour codes); padded slots
+    carry d=1e30 so they are never the minimum."""
     nb = grid.neighbours[icell]                       # (B, W)
     valid = nb >= 0
-    nb_safe = jnp.maximum(nb, 0)
-    p = grid.seeds[icell]                             # (B, 3)
-    q = grid.seeds[nb_safe]                           # (B, W, 3)
-    n = q - p[:, None, :]
-    d = 0.5 * jnp.sum(n * (q + p[:, None, :]), -1)
-    return nb, valid, n, d
+    pl = grid.planes[icell]                           # (B, W, 4)
+    return nb, valid, pl[..., :3], pl[..., 3]
 
 
 def cross_cell(grid: VoronoiGrid, x, y, z, u, v, w, icell):
@@ -274,16 +292,24 @@ def locate(grid: VoronoiGrid, x, y, z, n_steps: int = 64):
     icell = grid.lookup[gi, gj, gk]                   # (B,) 0-based
     pos = jnp.stack([x, y, z], -1)
 
-    def body(_, icell):
+    def step(st):
+        it, icell, moving = st
         nb, valid, n, d = _neighbour_planes(grid, icell)
         viol = jnp.sum(n * pos[:, None, :], -1) - d   # > 0 -> outside
         viol = jnp.where(valid, viol, -1.0)
         k = jnp.argmax(viol, axis=1)
         worst = jnp.take_along_axis(viol, k[:, None], 1)[:, 0]
         nxt = jnp.take_along_axis(nb, k[:, None], 1)[:, 0]
-        return jnp.where(worst > 0, nxt, icell)
+        move = worst > 0
+        return (it + 1, jnp.where(move, nxt, icell), jnp.any(move))
 
-    icell = jax.lax.fori_loop(0, n_steps, body, icell)
+    # the voxel guess converges in a handful of descent steps; a fixed
+    # 64-step fori here ran EVERY kernel iteration through the emission
+    # refill and dominated big-Voronoi step time (~70 of 146 ms/iter at
+    # 1.5e5 cells) — the while exits as soon as every point settles
+    _, icell, _ = jax.lax.while_loop(
+        lambda st: st[2] & (st[0] < n_steps), step,
+        (jnp.zeros((), jnp.int32), icell, jnp.asarray(True)))
     return icell + 1                                  # 1-based
 
 
