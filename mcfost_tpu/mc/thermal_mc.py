@@ -723,8 +723,11 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         # branch, radiation_field.f90:91-130): raw Stokes binned over the
         # relative (theta, phi) direction bins; unscattered stellar packets
         # go to the per-cell direct-star bin (I_spec_star) for the exact-
-        # angle convolution at image time (calc_Isca_rt2_star)
-        if rt2:
+        # angle convolution at image time (calc_Isca_rt2_star).
+        # rt_est="collision" (default) replaces this per-crossing scatter
+        # with the event-based deposit after the interaction draw, same
+        # as RT1 (see the collision block below)
+        if rt2 and rt_est == "track":
             xm2 = x + 0.5 * l_eff * u
             ym2 = y + 0.5 * l_eff * v
             zm2 = z + 0.5 * l_eff * w
@@ -969,6 +972,59 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
         # in mono mode sI already carries the forced-scattering albedo
         # weight (= kappa_sca/kappa_ext), in thermal mode the
         # scatter-vs-absorb draw itself supplied the albedo factor.
+        if rt2 and rt_est == "collision":
+            # RT2 collision estimator: deposit the pre-scatter Stokes of
+            # each scattering event into the incident-direction bin of
+            # its cell (the interaction draw already sampled kext*l; the
+            # consumer drops its kappa factor).  No Mueller work at MC
+            # time — the phase convolution happens at image time.
+            Ec2 = rt_compact
+            ev2 = do_scat
+            nb2c = n_theta_i * n_phi_i
+            phi_pos2 = jnp.arctan2(x, y)
+            phi_vol2 = jnp.arctan2(-u, -v)
+            rel2 = jnp.mod(phi_vol2 - phi_pos2, 2.0 * jnp.pi)
+            phi_b2 = jnp.clip((rel2 / (2.0 * jnp.pi)
+                               * n_phi_i).astype(jnp.int32), 0,
+                              n_phi_i - 1)
+            wmid2 = jnp.where(z > 0.0, w, -w)     # midplane symmetry fold
+            th_b2 = jnp.clip(((wmid2 + 1.0) * 0.5
+                              * n_theta_i).astype(jnp.int32),
+                             0, n_theta_i - 1)
+            direct2 = fstar & ~fscat
+            b2c = jnp.where(direct2, nb2c, th_b2 * n_phi_i + phi_b2)
+            fsv2 = fstar.astype(jnp.float32)
+            payload2 = jnp.stack(
+                [ilam.astype(jnp.float32), tloc.astype(jnp.float32),
+                 b2c.astype(jnp.float32),
+                 sI.astype(jnp.float32), sQ.astype(jnp.float32),
+                 sU.astype(jnp.float32), sV.astype(jnp.float32),
+                 fsv2 * sI.astype(jnp.float32),
+                 (1.0 - fsv2) * sI.astype(jnp.float32)], axis=1)
+            rank2 = jnp.cumsum(ev2.astype(jnp.int32)) - 1
+            count2 = jnp.sum(ev2.astype(jnp.int32))
+
+            def _rt2_pass(carry):
+                off, xi_in = carry
+                oh2 = (((rank2 - off)[:, None]
+                        == jnp.arange(Ec2, dtype=jnp.int32))
+                       & ev2[:, None]).astype(jnp.float32)
+                cp2 = jnp.einsum("be,bk->ek", oh2, payload2,
+                                 precision=jax.lax.Precision.HIGHEST)
+                row2 = ((jnp.round(cp2[:, 0]).astype(jnp.int32) * n_ct
+                         + jnp.round(cp2[:, 1]).astype(jnp.int32))
+                        * (nb2c + 1)
+                        + jnp.round(cp2[:, 2]).astype(jnp.int32))
+                row2 = jnp.clip(row2, 0, xi_in.shape[0] - 1)
+                vals2E = cp2[:, 3:9]               # I,Q,U,V, fs*I, fn*I
+                xi_out = xi_in.at[row2].add(
+                    vals2E.astype(xi_in.dtype), mode="promise_in_bounds")
+                return off + Ec2, xi_out
+
+            _, xi = jax.lax.while_loop(
+                lambda c: c[0] < count2, _rt2_pass,
+                (jnp.zeros((), jnp.int32), xi))
+
         if rt and rt_est == "collision":
             Ec = rt_compact
             ev = do_scat

@@ -182,7 +182,8 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
                                  n_sent_per_lambda: np.ndarray, i_rt: int,
                                  nang_rt: int = 15, n_theta_i: int = 15,
                                  n_phi_i: int = 15, n_super: int = 5,
-                                 pola: bool = True, lam_sel=None):
+                                 pola: bool = True, lam_sel=None,
+                                 estimator: str = "collision"):
     """RT2 source function for ONE viewing direction.
 
     Convolves the per-cell specific intensity I(theta_I, phi_I) stored by
@@ -210,8 +211,16 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
     photon_energy, kext_cell, ksca_cell, j_th, V = _sed_energy_tables(
         model, host, T_cells, n_sent_per_lambda)
     factor = photon_energy[:, None] / V[None, :]              # (L, C)
-    fac_sca = (factor * ksca_cell
-               / np.maximum(kext_cell, 1e-300))[lo:hi]        # (Lc, C)
+    # collision-estimator tallies already carry kappa_sca (the
+    # interaction draw sampled kext*l and the scatter branch the albedo)
+    # — drop the kappa_sca numerator and guard near-empty cells against
+    # 1/kext overflow exactly like the RT1 assembly
+    sca_num2 = ksca_cell if estimator == "track" else 1.0
+    kmax2 = np.maximum(kext_cell.max(axis=1, keepdims=True), 1e-300)
+    fac_sca = np.where(kext_cell > 1e-15 * kmax2,
+                       factor * sca_num2
+                       / np.maximum(kext_cell, 1e-300), 0.0)
+    fac_sca = np.clip(fac_sca, 0.0, 1e37)[lo:hi]              # (Lc, C)
     kext_cell = kext_cell[lo:hi]
     j_th = j_th[lo:hi]
 
