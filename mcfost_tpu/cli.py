@@ -164,6 +164,11 @@ def _main(argv=None):
             i += 1; hydro_spec = ("model_1d", argv[i])
         elif a == "-sphere_mesh":
             i += 1; hydro_spec = ("sphere_mesh", argv[i])
+        elif a == "-hydro_regrid":
+            # extension (not a reference flag): force the pre-r5
+            # regrid-onto-para-grid behavior for structured hydro input
+            # instead of adopting the snapshot's own mesh
+            para.hydro_regrid = True
         elif a == "-mhd_voronoi":
             i += 1; hydro_spec = ("mhd_voronoi", argv[i])
         elif a == "-mol":

