@@ -411,7 +411,7 @@ def make_mc_step(model: Model, key, n_packets, n_total=None,
                  rt_slab=None, rt2: bool = False,
                  n_theta_i: int = 15, n_phi_i: int = 15,
                  origin: bool = False, mono_budget: str = "received",
-                 rt_est: str = "collision", rt_compact: int = 2048,
+                 rt_est: str = "collision", rt_compact: int = 1024,
                  emit_width: int | None = None):
     """Build the fused one-iteration MC body ``body(MCState) -> MCState``.
 
@@ -1377,7 +1377,7 @@ def advance(model: Model, key, state: MCState, n_packets,
             n_phi_i: int = 15, origin: bool = False,
             mono_budget: str = "received", stop_alive=0,
             rt_est: str = "collision",
-            rt_compact: int = 2048) -> MCState:
+            rt_compact: int = 1024) -> MCState:
     """Advance the MC by at most ``n_iters`` lock-step iterations.
 
     Device executions are kept short (the host driver loops) so single XLA
@@ -1457,7 +1457,7 @@ def run_thermal_mc(model: Model, key, n_packets: int,
                    n_phi_i: int = 15, origin: bool = False,
                    mono_budget: str = "received",
                    rt_est: str = "collision",
-                   rt_compact: int = 2048) -> MCResult:
+                   rt_compact: int = 1024) -> MCResult:
     """Run the MC to completion by chunked device calls (see `advance`)."""
     state = init_state(model, batch, n_capt, rt=rt, n_az_rt=n_az_rt,
                        jtally=jtally, rt2=rt2, n_theta_i=n_theta_i,
