@@ -119,9 +119,10 @@ def assemble_source_function(model: Model, host: HostModel,
     # xi=0 cells give 0, not 0*inf=NaN (their formal-ray contribution is
     # (1-e^-dtau)*eps ~ kext*l*eps -> negligible by the same smallness)
     kmax = np.maximum(kext_cell.max(axis=1, keepdims=True), 1e-300)
-    fac_np = np.where(kext_cell > 1e-15 * kmax,
-                      factor * sca_num / np.maximum(kext_cell, 1e-300),
-                      0.0)
+    with np.errstate(over="ignore"):    # masked branch may overflow
+        fac_np = np.where(kext_cell > 1e-15 * kmax,
+                          factor * sca_num / np.maximum(kext_cell, 1e-300),
+                          0.0)
     fac = jnp.asarray(np.asarray(np.clip(fac_np, 0.0, 1e37),
                                  np.float32)[lo:hi], dtype)   # (Lc, C)
     jth = jnp.asarray(np.asarray(
@@ -217,9 +218,10 @@ def assemble_source_function_rt2(model: Model, host: HostModel,
     # 1/kext overflow exactly like the RT1 assembly
     sca_num2 = ksca_cell if estimator == "track" else 1.0
     kmax2 = np.maximum(kext_cell.max(axis=1, keepdims=True), 1e-300)
-    fac_sca = np.where(kext_cell > 1e-15 * kmax2,
-                       factor * sca_num2
-                       / np.maximum(kext_cell, 1e-300), 0.0)
+    with np.errstate(over="ignore"):    # masked branch may overflow
+        fac_sca = np.where(kext_cell > 1e-15 * kmax2,
+                           factor * sca_num2
+                           / np.maximum(kext_cell, 1e-300), 0.0)
     fac_sca = np.clip(fac_sca, 0.0, 1e37)[lo:hi]              # (Lc, C)
     kext_cell = kext_cell[lo:hi]
     j_th = j_th[lo:hi]
