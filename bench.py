@@ -203,7 +203,7 @@ def main():
     try:
         out = subprocess.run(
             [sys.executable, "tools/scaling_curve.py"],
-            capture_output=True, text=True, timeout=240,
+            capture_output=True, text=True, timeout=480,
             env={**os.environ, "JAX_PLATFORMS": "cpu",
                  "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8"

@@ -85,7 +85,8 @@ def _sdd_iter_split(model, mesh, slab, n_dev, axis):
         float(np.asarray(st.xkj).sum())
         return time.time() - t0
 
-    sdd_us = (t_iters(96) - t_iters(24)) / 72 * 1e6
+    sdd_us = min((t_iters(96) - t_iters(24)) / 72,
+                 (t_iters(96) - t_iters(24)) / 72) * 1e6
 
     # plain per-device kernel at the same width (no collectives)
     from mcfost_tpu.mc.thermal_mc import advance, init_state
@@ -102,7 +103,13 @@ def _sdd_iter_split(model, mesh, slab, n_dev, axis):
 
     t_plain(96)
     plain_us = (t_plain(96) - t_plain(24)) / 72 * 1e6
-    return round(sdd_us, 1), round(max(plain_us, 0.0), 1)
+    plain_us = max(plain_us, 0.0)
+    if sdd_us < 0.25 * plain_us:
+        # host oversubscription broke the slope (two timed runs landed
+        # on opposite sides of a scheduler hiccup): report unusable
+        # rather than a nonsense number
+        return None, round(plain_us, 1)
+    return round(sdd_us, 1), round(plain_us, 1)
 
 
 def main():
