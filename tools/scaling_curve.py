@@ -85,8 +85,11 @@ def _sdd_iter_split(model, mesh, slab, n_dev, axis):
         float(np.asarray(st.xkj).sum())
         return time.time() - t0
 
-    sdd_us = min((t_iters(96) - t_iters(24)) / 72,
-                 (t_iters(96) - t_iters(24)) / 72) * 1e6
+    # two independent slope estimates; take the min (scheduler hiccups
+    # only ever inflate a wall-clock difference)
+    s1 = (t_iters(96) - t_iters(24)) / 72
+    s2 = (t_iters(96) - t_iters(24)) / 72
+    sdd_us = min(s1, s2) * 1e6
 
     # plain per-device kernel at the same width (no collectives)
     from mcfost_tpu.mc.thermal_mc import advance, init_state
