@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import constants as cst
 from ..mc.model import Model, HostModel
-from .raytrace import (N_TYPE, assemble_source_function,
+from .raytrace import (N_TYPE,
                        assemble_source_function_rt2, integrate_rays,
                        integrate_rays_rt2, los_optical_depth)
 
@@ -63,8 +63,9 @@ def image_rt(model: Model, host: HostModel, xi, T_cells,
     map_size = para.maps.map_size
 
     if scheme == "rt1":
-        eps = assemble_source_function(model, host, xi, T_cells,
-                                       n_sent_per_lambda, n_az_rt)
+        from .raytrace import source_tables
+        fac1, jth1 = source_tables(model, host, T_cells,
+                                   n_sent_per_lambda, n_az_rt)
 
     from ..grids import geometry as _geom
     rmax = _geom.model_extent(model.grid)[1]
@@ -113,8 +114,8 @@ def image_rt(model: Model, host: HostModel, xi, T_cells,
                     jnp.full(n, lam_index, jnp.int32))
             if scheme == "rt1":
                 return np.asarray(integrate_rays(
-                    model, eps, *args, i_rt, n_az_rt=n_az_rt),
-                    np.float64)
+                    model, xi, fac1, jth1, *args, i_rt,
+                    n_az_rt=n_az_rt), np.float64)
             return np.asarray(integrate_rays_rt2(model, eps2, istar_j,
                                                  *args, nang_rt=nang_rt),
                               np.float64)

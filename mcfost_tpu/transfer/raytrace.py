@@ -149,6 +149,39 @@ def assemble_source_function(model: Model, host: HostModel,
     return jnp.stack(cols, axis=1)       # (rows, nRT*N_TYPE)
 
 
+def source_tables(model: Model, host: HostModel, T_cells,
+                  n_sent_per_lambda, n_az_rt: int = 45, lam_sel=None,
+                  estimator: str = "collision"):
+    """(fac (Lc*C,), jth (Lc*C,)) device arrays for the ON-THE-FLY source
+    construction inside integrate_rays.
+
+    Replaces materializing the (Lc*C*n_az*2, nRT*N_TYPE) eps array of
+    assemble_source_function: the 24 columns tile-pad to 128 on TPU, so
+    each 3-wavelength chunk wrote ~1 GB of padded HBM — measured 30 s of
+    the 57 s ref4.1 SED RT.  The integrator now gathers the raw xi tally
+    row plus these two per-(lambda, cell) scalars and assembles the
+    N_TYPE columns arithmetically."""
+    wl = host.wl
+    L = wl.n
+    dtype = model.kappa.dtype
+    lo, hi = (0, L) if lam_sel is None else lam_sel
+    photon_energy, kext_cell, ksca_cell, j_th, V = _sed_energy_tables(
+        model, host, T_cells, n_sent_per_lambda)
+    factor = (photon_energy[:, None] / V[None, :] * (n_az_rt * 2))
+    sca_num = ksca_cell if estimator == "track" else 1.0
+    kmax = np.maximum(kext_cell.max(axis=1, keepdims=True), 1e-300)
+    with np.errstate(over="ignore"):
+        fac_np = np.where(kext_cell > 1e-15 * kmax,
+                          factor * sca_num
+                          / np.maximum(kext_cell, 1e-300), 0.0)
+    fac = jnp.asarray(np.asarray(np.clip(fac_np, 0.0, 1e37),
+                                 np.float32)[lo:hi].reshape(-1), dtype)
+    jth = jnp.asarray(np.asarray(
+        j_th / np.maximum(kext_cell, 1e-300),
+        np.float32)[lo:hi].reshape(-1), dtype)
+    return fac, jth
+
+
 def _sed_energy_tables(model: Model, host: HostModel, T_cells,
                        n_sent_per_lambda):
     """photon_energy (L,), kext_cell/ksca_cell (L,C), J_th (L,C) — shared
@@ -541,24 +574,28 @@ def _move_to_grid(grid: cyl.CylGrid, x, y, z, u, v, w):
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "n_az_rt"))
-def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
+def integrate_rays(model: Model, xi: jax.Array, fac: jax.Array,
+                   jth: jax.Array, x0, y0, z0, u, v, w,
                    ilam, i_rt, n_az_rt: int = 45,
                    max_steps: int = 4000, lam0=0):
     """Backward formal integration along a batch of rays.
 
-    eps: FLAT (Lc*n_cells*n_az_rt*2, nRT*N_TYPE) source function
-    (assemble_source_function); i_rt: the observer direction of this ray
-    batch (static — both callers trace one direction per batch); ilam:
-    chunk-local wavelength index per ray.  Returns Stokes (N, N_TYPE).
-    Rays that hit the star are terminated (their direct-star flux is
-    handled by the star map)."""
+    xi: the RAW flat RT1 tally (Lc*n_cells*n_az_rt*2, nRT*6);
+    fac/jth: (Lc*n_cells,) per-(lambda, cell) source factors
+    (source_tables) — the N_TYPE source columns are assembled ON THE FLY
+    per crossing instead of materializing the padded eps array
+    (assemble_source_function cost 30 s of a 57 s ref4.1 SED RT).
+    i_rt: the observer direction of this ray batch (traced — changing it
+    does not recompile); ilam: chunk-local wavelength index per ray.
+    Returns Stokes (N, N_TYPE).  Rays that hit the star are terminated
+    (their direct-star flux is handled by the star map)."""
     grid = model.grid
     dtype = x0.dtype
     n_cells = grid.n_cells
     # one dynamic column-slice per call (i_rt stays traced so changing
     # the observer direction does not recompile the integrator)
-    eps_dir = jax.lax.dynamic_slice_in_dim(
-        eps, jnp.asarray(i_rt, jnp.int32) * N_TYPE, N_TYPE, axis=1)
+    xi_dir = jax.lax.dynamic_slice_in_dim(
+        xi, jnp.asarray(i_rt, jnp.int32) * 6, 6, axis=1)
 
     x, y, z, ri, zj, hit = cyl.move_to_grid(grid, x0, y0, z0, u, v, w)
 
@@ -589,11 +626,19 @@ def integrate_rays(model: Model, eps: jax.Array, x0, y0, z0, u, v, w,
                         0, n_az_rt - 1)
         psup = jnp.where(zm > 0.0, 0, 1)
 
-        # eps rows are chunk-local (lam0 = chunk start); opacity lookups
+        # xi rows are chunk-local (lam0 = chunk start); opacity lookups
         # above use the global ilam
-        row = (((ilam - lam0) * n_cells + flat) * n_az_rt + kphi) * 2 \
-            + psup
-        S = eps_dir[row]                                  # (N, N_TYPE)
+        lc = ilam - lam0
+        row = ((lc * n_cells + flat) * n_az_rt + kphi) * 2 + psup
+        xr = xi_dir[row]                                  # (N, 6)
+        fj = fac[lc * n_cells + flat]
+        jt = jth[lc * n_cells + flat]
+        # N_TYPE columns (assemble_source_function's layout): I+jth, Q,
+        # U, V, 0 (direct star rides the star map), star_scat, jth
+        # (disk thermal), disk_scat
+        S = jnp.stack([xr[:, 0] * fj + jt, xr[:, 1] * fj, xr[:, 2] * fj,
+                       xr[:, 3] * fj, jnp.zeros_like(fj), xr[:, 4] * fj,
+                       jt, xr[:, 5] * fj], axis=1)        # (N, N_TYPE)
         # -expm1 keeps (1 - exp(-dtau)) accurate for small dtau in f32
         wgt = jnp.where(alive & inside,
                         jnp.exp(-tau) * (-jnp.expm1(-dtau)), 0.0)
@@ -691,9 +736,11 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     # wavelength chunks: keep each (Lc*C*az*2, nRT*8) eps under ~1 GB of
     # padded HBM (cols pad to 128); full-resolution fixtures OOM'd when
     # the whole L rode one array
+    # chunking now only bounds the per-call ray batch (n_pix * Lc rays)
+    # and the xi slice view; nothing per-chunk is materialized anymore
     rows_per_l = model.grid.n_cells * n_az_rt * 2
     bytes_per_l = rows_per_l * max(n_rt * N_TYPE, 128) * 4
-    Lc_max = max(1, int(1.0e9 // max(bytes_per_l, 1)))
+    Lc_max = max(1, int(4.0e9 // max(bytes_per_l, 1)))
     if scheme == "rt2":
         # the RT2 convolution runs in host numpy: pull the tally ONCE
         # (per-chunk slices of a device array would re-cross the TPU
@@ -713,13 +760,15 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
     dist2 = (para.maps.distance * cst.pc_to_AU) ** 2
     out = np.zeros((L, n_rt, N_TYPE))
 
+    rows_per_l_xi = model.grid.n_cells * n_az_rt * 2
     for lo in range(0, L, Lc_max):
         hi = min(lo + Lc_max, L)
         Lc = hi - lo
         if scheme == "rt1":
-            eps = assemble_source_function(model, host, xi, T_cells,
-                                           n_sent_per_lambda, n_az_rt,
-                                           lam_sel=(lo, hi))
+            fac_c, jth_c = source_tables(model, host, T_cells,
+                                         n_sent_per_lambda, n_az_rt,
+                                         lam_sel=(lo, hi))
+            xi_c = xi[lo * rows_per_l_xi:hi * rows_per_l_xi]
         for i_rt in range(n_rt):
             u, v, w = dirs[i_rt]
             # image plane basis (dust_map, dust_transfer.f90:1244-1258)
@@ -755,7 +804,8 @@ def sed_rt(model: Model, host: HostModel, xi, T_cells,
                                jnp.int32)
             if scheme == "rt1":
                 st = np.asarray(
-                    integrate_rays(model, eps, xs, ys, zs, us, vs, ws,
+                    integrate_rays(model, xi_c, fac_c, jth_c,
+                                   xs, ys, zs, us, vs, ws,
                                    il_g, i_rt, n_az_rt=n_az_rt,
                                    lam0=lo), np.float64)
             else:
