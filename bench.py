@@ -21,9 +21,13 @@ Instrumentation (VERDICT r3 items 1-3):
   * mfu_est / hbm_gbps_est — XLA cost-analysis FLOPs and bytes of one
     kernel iteration over the measured iteration time, against nominal
     peak compute and HBM bandwidth;
+  * voronoi — production-scale Voronoi throughput (150k particles /
+    149k cells, the synthetic discF disk at bench-sized packet count);
   * sharding — packet-DP and spatial-DD drivers on a 1-device mesh vs
-    the plain driver (driver overhead), plus an efficiency curve over a
-    virtual 8-device CPU mesh (subprocess) for multi-chip shape.
+    the plain driver (driver overhead), plus a LIVE efficiency curve
+    over a virtual 8-device CPU mesh (subprocess) reporting the host
+    core ceiling, ceiling-normalized efficiencies and an instrumented
+    sdd-vs-plain per-iteration split.
 """
 import json
 import os
